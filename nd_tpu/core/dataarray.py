@@ -1,0 +1,1191 @@
+"""TPU-native datacube data model: DataArray and Dataset.
+
+This module is a ground-up, JAX-first implementation of the labelled
+n-dimensional data structures that the reference framework obtains from
+``xarray`` (see /root/reference/nd/__init__.py:17 — everything there flows
+through xarray.Dataset/DataArray). Since this framework targets TPUs, the
+payload of every variable may be a device-resident ``jax.Array``; all
+structural operations route through ``jax.numpy`` in that case so chained
+ops never round-trip through host memory. Coordinates and attributes are
+host-side NumPy/Python metadata (they drive compilation, not compute).
+
+Supported surface (kept intentionally close to the reference's usage):
+  isel/sel, transpose, squeeze, expand_dims, rename, copy, arithmetic with
+  dimension broadcasting, reductions, ``Dataset.to_array`` /
+  ``expand_variables`` (the inverse), stack/unstack of dimensions,
+  complex values, datetime coordinates, attribute propagation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .variable import Variable, as_array, get_xp, is_device_array
+
+try:
+    import jax.numpy as jnp
+except Exception:  # pragma: no cover
+    jnp = None
+
+__all__ = ['DataArray', 'Dataset', 'concat', 'merge', 'broadcast',
+           'full_like', 'zeros_like', 'ones_like']
+
+_STACK_ATTR = '_nd_tpu_stacked'
+
+
+def _normalize_indexers(indexers, kwargs):
+    if indexers is None:
+        indexers = {}
+    indexers = dict(indexers)
+    indexers.update(kwargs)
+    return indexers
+
+
+def _sel_to_isel(coord_var, label, method=None):
+    """Convert a label-based selection on a 1-d coordinate to positions."""
+    values = coord_var.values
+
+    def _coerce(x):
+        if np.issubdtype(values.dtype, np.datetime64):
+            return np.asarray(x, dtype=values.dtype)
+        return np.asarray(x, dtype=values.dtype) \
+            if not isinstance(x, slice) else x
+
+    if isinstance(label, slice):
+        lo, hi = label.start, label.stop
+        mask = np.ones(len(values), dtype=bool)
+        ascending = len(values) < 2 or values[0] <= values[-1]
+        if lo is not None:
+            lo = _coerce(lo)
+            mask &= (values >= lo) if ascending else (values <= lo)
+        if hi is not None:
+            hi = _coerce(hi)
+            mask &= (values <= hi) if ascending else (values >= hi)
+        idx = np.nonzero(mask)[0]
+        if len(idx) == 0:
+            return slice(0, 0)
+        return slice(int(idx[0]), int(idx[-1]) + 1)
+
+    label_arr = _coerce(label)
+    scalar = (np.ndim(label_arr) == 0)
+    label_arr = np.atleast_1d(label_arr)
+    out = np.empty(len(label_arr), dtype=np.int64)
+    for i, lab in enumerate(label_arr):
+        if method == 'nearest':
+            if np.issubdtype(values.dtype, np.datetime64):
+                diffs = np.abs(values.astype('int64')
+                               - lab.astype('int64'))
+            else:
+                diffs = np.abs(values - lab)
+            out[i] = int(np.argmin(diffs))
+        else:
+            matches = np.nonzero(values == lab)[0]
+            if len(matches) == 0:
+                raise KeyError('label %r not found in coordinate' % (lab,))
+            out[i] = int(matches[0])
+    if scalar:
+        return int(out[0])
+    return out
+
+
+class _CoordsView:
+    """Mapping view over an object's coordinates."""
+
+    def __init__(self, obj):
+        self._obj = obj
+
+    def __getitem__(self, key):
+        return self._obj._coord_dataarray(key)
+
+    def __setitem__(self, key, value):
+        self._obj._set_coord(key, value)
+
+    def __delitem__(self, key):
+        del self._obj._coords[key]
+
+    def __contains__(self, key):
+        return key in self._obj._coords
+
+    def __iter__(self):
+        return iter(self._obj._coords)
+
+    def __len__(self):
+        return len(self._obj._coords)
+
+    def keys(self):
+        return self._obj._coords.keys()
+
+    def items(self):
+        return ((k, self[k]) for k in self._obj._coords)
+
+    def values(self):
+        return (self[k] for k in self._obj._coords)
+
+    def variables(self):
+        return dict(self._obj._coords)
+
+    def __repr__(self):
+        return 'Coordinates: ' + ', '.join(
+            '%s %r' % (k, v.dims) for k, v in self._obj._coords.items())
+
+
+def _coerce_coord(name, value, dim_sizes):
+    """Coerce a user-supplied coordinate into a Variable."""
+    if isinstance(value, Variable):
+        return value
+    if isinstance(value, DataArray):
+        return Variable(value.dims, value.data, value.attrs)
+    if isinstance(value, tuple) and len(value) in (2, 3) \
+            and (isinstance(value[0], (tuple, list, str))):
+        dims = value[0]
+        attrs = value[2] if len(value) == 3 else None
+        return Variable(dims, as_array(value[1]), attrs)
+    arr = as_array(value)
+    if arr.ndim == 0:
+        return Variable((), arr)
+    if arr.ndim == 1:
+        return Variable((name,), arr)
+    raise ValueError(
+        'cannot infer dimensions for %d-d coordinate %r; pass '
+        '(dims, data)' % (arr.ndim, name))
+
+
+class _NDOpsMixin:
+    """Shared arithmetic/reduction machinery for DataArray."""
+
+    def _apply_binary(self, other, op, reflexive=False):
+        raise NotImplementedError
+
+    def __add__(self, o):
+        return self._apply_binary(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return self._apply_binary(o, lambda a, b: a + b, True)
+
+    def __sub__(self, o):
+        return self._apply_binary(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._apply_binary(o, lambda a, b: a - b, True)
+
+    def __mul__(self, o):
+        return self._apply_binary(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._apply_binary(o, lambda a, b: a * b, True)
+
+    def __truediv__(self, o):
+        return self._apply_binary(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._apply_binary(o, lambda a, b: a / b, True)
+
+    def __pow__(self, o):
+        return self._apply_binary(o, lambda a, b: a ** b)
+
+    def __mod__(self, o):
+        return self._apply_binary(o, lambda a, b: a % b)
+
+    def __and__(self, o):
+        return self._apply_binary(o, lambda a, b: a & b)
+
+    def __or__(self, o):
+        return self._apply_binary(o, lambda a, b: a | b)
+
+    def __xor__(self, o):
+        return self._apply_binary(o, lambda a, b: a ^ b)
+
+    def __lt__(self, o):
+        return self._apply_binary(o, lambda a, b: a < b)
+
+    def __le__(self, o):
+        return self._apply_binary(o, lambda a, b: a <= b)
+
+    def __gt__(self, o):
+        return self._apply_binary(o, lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return self._apply_binary(o, lambda a, b: a >= b)
+
+    def __eq__(self, o):  # elementwise, like xarray
+        return self._apply_binary(o, lambda a, b: a == b)
+
+    def __ne__(self, o):
+        return self._apply_binary(o, lambda a, b: a != b)
+
+    __hash__ = None
+
+
+class DataArray(_NDOpsMixin):
+    """A labelled n-dimensional array with coordinates and attributes."""
+
+    def __init__(self, data, coords=None, dims=None, attrs=None, name=None):
+        if isinstance(data, DataArray):
+            if dims is None:
+                dims = data.dims
+            if coords is None:
+                coords = dict(data._coords)
+            if attrs is None:
+                attrs = dict(data.attrs)
+            if name is None:
+                name = data.name
+            data = data.data
+        if isinstance(data, Variable):
+            if dims is None:
+                dims = data.dims
+            if attrs is None:
+                attrs = dict(data.attrs)
+            data = data.data
+        data = as_array(data)
+        if dims is None:
+            if coords is not None and len(coords) == data.ndim and \
+                    not isinstance(coords, dict):
+                raise ValueError('pass dims explicitly')
+            dims = tuple('dim_%d' % i for i in range(data.ndim))
+        if isinstance(dims, str):
+            dims = (dims,)
+        dims = tuple(dims)
+        self.variable = Variable(dims, data)
+        self._coords = {}
+        self.attrs = dict(attrs) if attrs else {}
+        self.name = name
+        if coords:
+            if not isinstance(coords, dict):
+                coords = {d: c for d, c in zip(dims, coords)}
+            for k, v in coords.items():
+                self._set_coord(k, v)
+
+    # -- construction helpers ------------------------------------------------
+    @classmethod
+    def _from_parts(cls, variable, coords, attrs, name):
+        obj = cls.__new__(cls)
+        obj.variable = variable
+        obj._coords = dict(coords)
+        obj.attrs = dict(attrs) if attrs else {}
+        obj.name = name
+        return obj
+
+    def _set_coord(self, key, value):
+        var = _coerce_coord(key, value, self.sizes)
+        for d, s in zip(var.dims, var.shape):
+            if d in self.sizes and self.sizes[d] != s:
+                raise ValueError(
+                    'coordinate %r has size %d along %r; expected %d'
+                    % (key, s, d, self.sizes[d]))
+        self._coords[key] = var
+
+    def _coord_dataarray(self, key):
+        var = self._coords[key]
+        sub = {k: v for k, v in self._coords.items()
+               if set(v.dims).issubset(set(var.dims))}
+        return DataArray._from_parts(var, sub, var.attrs, key)
+
+    # -- properties -----------------------------------------------------------
+    @property
+    def data(self):
+        return self.variable.data
+
+    @data.setter
+    def data(self, value):
+        value = as_array(value)
+        if tuple(value.shape) != self.shape:
+            raise ValueError('shape mismatch')
+        self.variable = Variable(self.dims, value, self.variable.attrs)
+
+    @property
+    def values(self):
+        return self.variable.values
+
+    @values.setter
+    def values(self, value):
+        self.data = np.asarray(value)
+
+    @property
+    def dims(self):
+        return self.variable.dims
+
+    @property
+    def shape(self):
+        return self.variable.shape
+
+    @property
+    def ndim(self):
+        return self.variable.ndim
+
+    @property
+    def size(self):
+        return self.variable.size
+
+    @property
+    def dtype(self):
+        return self.variable.dtype
+
+    @property
+    def sizes(self):
+        return dict(zip(self.dims, self.shape))
+
+    @property
+    def coords(self):
+        return _CoordsView(self)
+
+    @property
+    def real(self):
+        xp = get_xp(self.data)
+        return self._replace(xp.real(self.data))
+
+    @property
+    def imag(self):
+        xp = get_xp(self.data)
+        return self._replace(xp.imag(self.data))
+
+    @property
+    def chunks(self):
+        return None
+
+    @property
+    def loc(self):
+        raise NotImplementedError('use .sel()')
+
+    def jax(self):
+        """Return the payload as a device array (uploading if needed)."""
+        return self.variable.jax()
+
+    def item(self):
+        return self.values.item()
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __array__(self, dtype=None, copy=None):
+        v = self.values
+        return v.astype(dtype) if dtype is not None else v
+
+    def _replace(self, data, dims=None, coords=None, name=None):
+        dims = self.dims if dims is None else dims
+        coords = self._coords if coords is None else coords
+        coords = {k: v for k, v in coords.items()
+                  if set(v.dims).issubset(set(dims))}
+        return DataArray._from_parts(
+            Variable(dims, data), coords, self.attrs,
+            self.name if name is None else name)
+
+    # -- mapping access --------------------------------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._coord_dataarray(key)
+        # positional indexing
+        if not isinstance(key, tuple):
+            key = (key,)
+        indexers = {}
+        for d, k in zip(self.dims, key):
+            indexers[d] = k
+        return self.isel(indexers)
+
+    def __setitem__(self, key, value):
+        if isinstance(key, str):
+            self._set_coord(key, value)
+            return
+        raise TypeError('positional assignment not supported')
+
+    def __delitem__(self, key):
+        del self._coords[key]
+
+    def __contains__(self, key):
+        return key in self._coords
+
+    # -- structural ops ----------------------------------------------------------
+    def copy(self, deep=True):
+        return DataArray._from_parts(
+            self.variable.copy(deep), {k: v.copy(deep)
+                                       for k, v in self._coords.items()},
+            dict(self.attrs), self.name)
+
+    def isel(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        new_var = self.variable.isel(indexers)
+        new_coords = {}
+        for k, v in self._coords.items():
+            sub = {d: i for d, i in indexers.items() if d in v.dims}
+            new_coords[k] = v.isel(sub) if sub else v
+        # Drop coords that became 0-d scalars but keep them (xarray keeps
+        # scalar coords); we keep them too.
+        return DataArray._from_parts(new_var, new_coords, self.attrs,
+                                     self.name)
+
+    def sel(self, indexers=None, method=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        isel_kw = {}
+        for d, label in indexers.items():
+            if d not in self._coords:
+                raise KeyError('no coordinate for dimension %r' % d)
+            isel_kw[d] = _sel_to_isel(self._coords[d], label, method)
+        return self.isel(isel_kw)
+
+    def transpose(self, *dims):
+        if not dims:
+            dims = self.dims[::-1]
+        dims = tuple(d for d in dims if d in self.dims)
+        return DataArray._from_parts(self.variable.transpose(*dims),
+                                     self._coords, self.attrs, self.name)
+
+    def squeeze(self, dim=None):
+        var = self.variable.squeeze(dim)
+        coords = {}
+        for k, v in self._coords.items():
+            dropped = set(self.dims) - set(var.dims)
+            sub = {d: 0 for d in v.dims if d in dropped}
+            coords[k] = v.isel(sub) if sub else v
+        return DataArray._from_parts(var, coords, self.attrs, self.name)
+
+    def expand_dims(self, dim, axis=0):
+        if isinstance(dim, dict):
+            out = self
+            for d, val in dim.items():
+                out = out.expand_dims(d, axis)
+                if not np.isscalar(val):
+                    out = out._replace(
+                        get_xp(out.data).broadcast_to(
+                            out.data,
+                            (len(val),) + out.shape[1:]))
+                    out._coords[d] = Variable((d,), as_array(val))
+            return out
+        var = self.variable.expand_dims(dim, axis)
+        coords = dict(self._coords)
+        if dim in coords and coords[dim].ndim == 0:
+            coords[dim] = Variable((dim,), coords[dim].values.reshape(1))
+        return DataArray._from_parts(var, coords, self.attrs, self.name)
+
+    def rename(self, mapping=None, **kwargs):
+        if isinstance(mapping, str):
+            # renaming the array itself
+            out = self.copy(deep=False)
+            out.name = mapping
+            return out
+        mapping = dict(mapping or {})
+        mapping.update(kwargs)
+        var = self.variable.rename_dims(mapping)
+        coords = {}
+        for k, v in self._coords.items():
+            coords[mapping.get(k, k)] = v.rename_dims(mapping)
+        return DataArray._from_parts(var, coords, self.attrs,
+                                     mapping.get(self.name, self.name))
+
+    def astype(self, dtype):
+        return self._replace(self.data.astype(dtype))
+
+    def fillna(self, value):
+        xp = get_xp(self.data)
+        return self._replace(xp.where(xp.isnan(self.data), value, self.data))
+
+    def where(self, cond, other=np.nan):
+        xp = get_xp(self.data)
+        cond_data = cond.data if isinstance(cond, DataArray) else cond
+        other_data = other.data if isinstance(other, DataArray) else other
+        if isinstance(cond, DataArray):
+            a, b = broadcast_variables(self.variable,
+                                       Variable(cond.dims, cond_data))
+            data = xp.where(b.data, a.data, other_data)
+            return self._replace(data, dims=a.dims)
+        return self._replace(xp.where(cond_data, self.data, other_data))
+
+    def isnull(self):
+        xp = get_xp(self.data)
+        if np.issubdtype(np.dtype(str(self.dtype)), np.floating) or \
+                np.issubdtype(np.dtype(str(self.dtype)), np.complexfloating):
+            return self._replace(xp.isnan(self.data))
+        return self._replace(np.zeros(self.shape, dtype=bool))
+
+    def notnull(self):
+        xp = get_xp(self.data)
+        out = self.isnull()
+        return out._replace(xp.logical_not(out.data))
+
+    def clip(self, min=None, max=None):
+        xp = get_xp(self.data)
+        return self._replace(xp.clip(self.data, min, max))
+
+    def to_dataset(self, name=None, dim=None):
+        if dim is not None:
+            return expand_variables_da(self, dim)
+        name = name or self.name
+        if name is None:
+            raise ValueError('cannot convert unnamed DataArray to Dataset')
+        ds = Dataset(attrs=self.attrs)
+        for k, v in self._coords.items():
+            ds._coords[k] = v
+        ds[name] = self
+        return ds
+
+    # -- stack/unstack ------------------------------------------------------------
+    def stack(self, **kwargs):
+        """Stack multiple dims into one. Only one new dim per call."""
+        (new_dim, dims), = kwargs.items()
+        dims = tuple(dims)
+        other = tuple(d for d in self.dims if d not in dims)
+        ordered = other + dims
+        var = self.variable.transpose(*ordered)
+        n_other = len(other)
+        xp = get_xp(var.data)
+        stacked_size = int(np.prod([self.sizes[d] for d in dims],
+                                   dtype=np.int64))
+        new_shape = var.shape[:n_other] + (stacked_size,)
+        data = var.data.reshape(new_shape)
+        new_dims = other + (new_dim,)
+        coords = {k: v for k, v in self._coords.items()
+                  if not (set(v.dims) & set(dims))}
+        out = DataArray._from_parts(Variable(new_dims, data), coords,
+                                    self.attrs, self.name)
+        out.attrs[_STACK_ATTR] = {
+            'dim': new_dim,
+            'dims': dims,
+            'shape': tuple(self.sizes[d] for d in dims),
+            'coords': {k: (v.dims, v.values)
+                       for k, v in self._coords.items()
+                       if set(v.dims) & set(dims)},
+        }
+        return out
+
+    def unstack(self, dim=None):
+        info = self.attrs.get(_STACK_ATTR)
+        if info is None:
+            raise ValueError('DataArray was not stacked by nd_tpu')
+        new_dim = info['dim']
+        dims = info['dims']
+        shape = info['shape']
+        other = tuple(d for d in self.dims if d != new_dim)
+        var = self.variable.transpose(*(other + (new_dim,)))
+        data = var.data.reshape(var.shape[:-1] + tuple(shape))
+        coords = {k: v for k, v in self._coords.items() if k != new_dim}
+        for k, (cdims, cvals) in info['coords'].items():
+            coords[k] = Variable(cdims, cvals)
+        attrs = {k: v for k, v in self.attrs.items() if k != _STACK_ATTR}
+        out = DataArray._from_parts(Variable(other + dims, data), coords,
+                                    attrs, self.name)
+        return out
+
+    # -- arithmetic -----------------------------------------------------------------
+    def _apply_binary(self, other, op, reflexive=False):
+        if isinstance(other, Dataset):
+            return NotImplemented
+        if isinstance(other, DataArray):
+            var = self.variable._binary_op(other.variable, op, reflexive)
+            coords = dict(other._coords)
+            coords.update(self._coords)
+            coords = {k: v for k, v in coords.items()
+                      if set(v.dims).issubset(set(var.dims))}
+            name = self.name if self.name == other.name else None
+            return DataArray._from_parts(var, coords, {}, name)
+        var = self.variable._binary_op(other, op, reflexive)
+        return DataArray._from_parts(var, self._coords, {}, self.name)
+
+    def __neg__(self):
+        return self._replace(-self.data)
+
+    def __abs__(self):
+        xp = get_xp(self.data)
+        return self._replace(xp.abs(self.data))
+
+    def __invert__(self):
+        xp = get_xp(self.data)
+        return self._replace(xp.logical_not(self.data))
+
+    # -- reductions --------------------------------------------------------------------
+    def _reduce(self, npfunc, jnpfunc, dim=None, **kwargs):
+        xp = get_xp(self.data)
+        func = jnpfunc if xp is jnp else npfunc
+        var = self.variable.reduce(func, dim, **kwargs)
+        coords = {k: v for k, v in self._coords.items()
+                  if set(v.dims).issubset(set(var.dims))}
+        return DataArray._from_parts(var, coords, self.attrs, self.name)
+
+    def mean(self, dim=None, **kw):
+        return self._reduce(np.nanmean, jnp.nanmean if jnp else None,
+                            dim, **kw)
+
+    def std(self, dim=None, **kw):
+        return self._reduce(np.nanstd, jnp.nanstd if jnp else None, dim, **kw)
+
+    def var(self, dim=None, **kw):
+        return self._reduce(np.nanvar, jnp.nanvar if jnp else None, dim, **kw)
+
+    def min(self, dim=None, **kw):
+        return self._reduce(np.nanmin, jnp.nanmin if jnp else None, dim, **kw)
+
+    def max(self, dim=None, **kw):
+        return self._reduce(np.nanmax, jnp.nanmax if jnp else None, dim, **kw)
+
+    def sum(self, dim=None, **kw):
+        return self._reduce(np.nansum, jnp.nansum if jnp else None, dim, **kw)
+
+    def median(self, dim=None, **kw):
+        return self._reduce(np.nanmedian, jnp.nanmedian if jnp else None,
+                            dim, **kw)
+
+    def count(self, dim=None, **kw):
+        notnull = self.notnull().astype(np.int64)
+        return notnull._reduce(np.sum, jnp.sum if jnp else None, dim, **kw)
+
+    def argmin(self, dim=None, **kw):
+        return self._reduce(np.nanargmin, jnp.nanargmin if jnp else None,
+                            dim, **kw)
+
+    def argmax(self, dim=None, **kw):
+        return self._reduce(np.nanargmax, jnp.nanargmax if jnp else None,
+                            dim, **kw)
+
+    def quantile(self, q, dim=None, **kw):
+        return self._reduce(np.nanquantile,
+                            jnp.nanquantile if jnp else None, dim, q=q, **kw)
+
+    # -- misc ---------------------------------------------------------------------------
+    def persist(self):
+        return self
+
+    def compute(self):
+        return self
+
+    def chunk(self, *args, **kwargs):
+        return self
+
+    def __repr__(self):
+        coord_names = ', '.join(self._coords)
+        return ('<nd_tpu.DataArray %r %s dims=%r coords=[%s] %s>'
+                % (self.name, self.shape, self.dims, coord_names,
+                   self.dtype))
+
+    # Accessor namespaces are attached by nd_tpu.core.accessors at import
+    # time (mirrors the reference's register_dataset_accessor pattern,
+    # /root/reference/nd/_xarray.py:48).
+
+
+class Dataset(_NDOpsMixin):
+    """A dict of DataArrays sharing dimensions and coordinates."""
+
+    def __init__(self, data_vars=None, coords=None, attrs=None):
+        self._variables = {}
+        self._coords = {}
+        self.attrs = dict(attrs) if attrs else {}
+        if coords:
+            for k, v in dict(coords).items():
+                self._set_coord(k, v)
+        if data_vars:
+            for k, v in dict(data_vars).items():
+                self[k] = v
+
+    # -- helpers ------------------------------------------------------------
+    def _set_coord(self, key, value):
+        var = _coerce_coord(key, value, self.sizes)
+        for d, s in zip(var.dims, var.shape):
+            if d in self.sizes and self.sizes[d] != s:
+                raise ValueError(
+                    'coordinate %r conflicts on dim %r (%d != %d)'
+                    % (key, d, s, self.sizes[d]))
+        self._coords[key] = var
+
+    # -- properties ------------------------------------------------------------
+    @property
+    def data_vars(self):
+        return {k: self[k] for k in self._variables}
+
+    @property
+    def coords(self):
+        return _CoordsView(self)
+
+    def _coord_dataarray(self, key):
+        var = self._coords[key]
+        sub = {k: v for k, v in self._coords.items()
+               if set(v.dims).issubset(set(var.dims))}
+        return DataArray._from_parts(var, sub, var.attrs, key)
+
+    @property
+    def sizes(self):
+        """Mapping dim -> size, in coordinate-then-variable order."""
+        out = {}
+        for v in self._coords.values():
+            for d, s in zip(v.dims, v.shape):
+                out.setdefault(d, s)
+        for v in self._variables.values():
+            for d, s in zip(v.dims, v.shape):
+                out.setdefault(d, s)
+        return out
+
+    @property
+    def dims(self):
+        # xarray sorts Dataset.dims alphabetically; mirror that quirk since
+        # reference code (filters.py:128) works around it.
+        return dict(sorted(self.sizes.items()))
+
+    @property
+    def chunks(self):
+        return {}
+
+    @property
+    def nbytes(self):
+        return sum(v.data.nbytes for v in self._variables.values())
+
+    # -- mapping interface ----------------------------------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, (list, tuple)):
+            ds = Dataset(attrs=self.attrs)
+            keep_dims = set()
+            for k in key:
+                if k not in self._variables:
+                    raise KeyError(k)
+                ds._variables[k] = self._variables[k]
+                keep_dims |= set(self._variables[k].dims)
+            for ck, cv in self._coords.items():
+                ds._coords[ck] = cv
+            return ds
+        if key in self._variables:
+            var = self._variables[key]
+            coords = {k: v for k, v in self._coords.items()
+                      if set(v.dims).issubset(set(var.dims))}
+            return DataArray._from_parts(var, coords, var.attrs, key)
+        if key in self._coords:
+            return self._coord_dataarray(key)
+        raise KeyError(key)
+
+    def __setitem__(self, key, value):
+        if isinstance(value, DataArray):
+            self._variables[key] = Variable(value.dims, value.data,
+                                            value.attrs)
+            for ck, cv in value._coords.items():
+                if ck not in self._coords:
+                    self._coords[ck] = cv
+        elif isinstance(value, Variable):
+            self._variables[key] = value
+        elif isinstance(value, tuple) and len(value) in (2, 3):
+            dims, data = value[0], value[1]
+            attrs = value[2] if len(value) == 3 else None
+            self._variables[key] = Variable(dims, as_array(data), attrs)
+        elif np.isscalar(value) or (hasattr(value, 'ndim')
+                                    and np.ndim(value) == 0):
+            self._variables[key] = Variable((), as_array(value))
+        else:
+            raise TypeError(
+                'cannot assign %r to a Dataset variable; use '
+                '(dims, data) or a DataArray' % type(value))
+        # validate shapes
+        var = self._variables[key]
+        sizes = self.sizes
+        for d, s in zip(var.dims, var.shape):
+            if sizes.get(d, s) != s:
+                del self._variables[key]
+                raise ValueError(
+                    'variable %r conflicts on dim %r' % (key, d))
+
+    def __delitem__(self, key):
+        if key in self._variables:
+            del self._variables[key]
+        elif key in self._coords:
+            del self._coords[key]
+        else:
+            raise KeyError(key)
+
+    def __contains__(self, key):
+        return key in self._variables or key in self._coords
+
+    def __iter__(self):
+        return iter(self._variables)
+
+    def __len__(self):
+        return len(self._variables)
+
+    def keys(self):
+        return self._variables.keys()
+
+    def items(self):
+        return ((k, self[k]) for k in self._variables)
+
+    def values(self):
+        return (self[k] for k in self._variables)
+
+    # -- structural ops ----------------------------------------------------------------
+    def copy(self, deep=True):
+        ds = Dataset(attrs=dict(self.attrs))
+        ds._coords = {k: v.copy(deep) for k, v in self._coords.items()}
+        ds._variables = {k: v.copy(deep) for k, v in self._variables.items()}
+        return ds
+
+    def isel(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        ds = Dataset(attrs=self.attrs)
+        for k, v in self._coords.items():
+            sub = {d: i for d, i in indexers.items() if d in v.dims}
+            ds._coords[k] = v.isel(sub) if sub else v
+        for k, v in self._variables.items():
+            sub = {d: i for d, i in indexers.items() if d in v.dims}
+            ds._variables[k] = v.isel(sub) if sub else v
+        return ds
+
+    def sel(self, indexers=None, method=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        isel_kw = {}
+        for d, label in indexers.items():
+            if d not in self._coords:
+                raise KeyError('no coordinate for dimension %r' % d)
+            isel_kw[d] = _sel_to_isel(self._coords[d], label, method)
+        return self.isel(isel_kw)
+
+    def transpose(self, *dims):
+        ds = Dataset(attrs=self.attrs)
+        ds._coords = dict(self._coords)
+        for k, v in self._variables.items():
+            order = tuple(d for d in dims if d in v.dims)
+            extra = tuple(d for d in v.dims if d not in order)
+            ds._variables[k] = v.transpose(*(order + extra))
+        return ds
+
+    def squeeze(self, dim=None):
+        ds = Dataset(attrs=self.attrs)
+        for k, v in self._coords.items():
+            if dim is not None and dim in v.dims:
+                ds._coords[k] = v.isel({dim: 0})
+            elif dim is None:
+                sq = {d: 0 for d, s in zip(v.dims, v.shape)
+                      if s == 1 and self.sizes.get(d) == 1}
+                ds._coords[k] = v.isel(sq) if sq else v
+            else:
+                ds._coords[k] = v
+        for k, v in self._variables.items():
+            if dim is not None:
+                ds._variables[k] = (v.squeeze(dim) if dim in v.dims else v)
+            else:
+                sq = {d: 0 for d, s in zip(v.dims, v.shape) if s == 1}
+                ds._variables[k] = v.isel(sq) if sq else v
+        return ds
+
+    def expand_dims(self, dim, axis=0):
+        ds = Dataset(attrs=self.attrs)
+        ds._coords = dict(self._coords)
+        for k, v in self._variables.items():
+            ds._variables[k] = v.expand_dims(dim, axis)
+        if dim in ds._coords and ds._coords[dim].ndim == 0:
+            ds._coords[dim] = Variable((dim,),
+                                       ds._coords[dim].values.reshape(1))
+        return ds
+
+    def rename(self, mapping=None, **kwargs):
+        mapping = dict(mapping or {})
+        mapping.update(kwargs)
+        ds = Dataset(attrs=self.attrs)
+        for k, v in self._coords.items():
+            ds._coords[mapping.get(k, k)] = v.rename_dims(mapping)
+        for k, v in self._variables.items():
+            ds._variables[mapping.get(k, k)] = v.rename_dims(mapping)
+        return ds
+
+    def drop_vars(self, names):
+        if isinstance(names, str):
+            names = [names]
+        ds = self.copy(deep=False)
+        for n in names:
+            if n in ds._variables:
+                del ds._variables[n]
+            elif n in ds._coords:
+                del ds._coords[n]
+        return ds
+
+    def astype(self, dtype):
+        ds = self.copy(deep=False)
+        ds._variables = {k: v.astype(dtype)
+                         for k, v in self._variables.items()}
+        return ds
+
+    # -- conversions --------------------------------------------------------------------
+    def to_array(self, dim='variable'):
+        """Stack all data variables into a single DataArray."""
+        if not self._variables:
+            raise ValueError('empty dataset')
+        names = list(self._variables)
+        # Broadcast all variables to the union of dims.
+        union_dims = []
+        for v in self._variables.values():
+            for d in v.dims:
+                if d not in union_dims:
+                    union_dims.append(d)
+        sizes = self.sizes
+        shape = tuple(sizes[d] for d in union_dims)
+        use_jax = any(is_device_array(v.data)
+                      for v in self._variables.values())
+        xp = jnp if use_jax and jnp is not None else np
+        arrays = [self._variables[n].broadcast_to(union_dims, shape).data
+                  for n in names]
+        data = xp.stack([xp.asarray(a) for a in arrays], axis=0)
+        coords = {k: v for k, v in self._coords.items()}
+        coords[dim] = Variable((dim,), np.asarray(names, dtype=object)
+                               if not all(isinstance(n, str) for n in names)
+                               else np.asarray(names))
+        return DataArray._from_parts(
+            Variable((dim,) + tuple(union_dims), data), coords,
+            self.attrs, None)
+
+    def map(self, func, **kwargs):
+        ds = Dataset(attrs=self.attrs)
+        ds._coords = dict(self._coords)
+        for k in self._variables:
+            res = func(self[k], **kwargs)
+            ds._variables[k] = Variable(res.dims, res.data, res.attrs)
+            for ck, cv in res._coords.items():
+                if ck not in ds._coords:
+                    ds._coords[ck] = cv
+        return ds
+
+    def apply(self, func, **kwargs):
+        return self.map(func, **kwargs)
+
+    def merge(self, other):
+        ds = self.copy(deep=False)
+        for k, v in other._variables.items():
+            ds._variables[k] = v
+        for k, v in other._coords.items():
+            if k not in ds._coords:
+                ds._coords[k] = v
+        ds.attrs.update(other.attrs)
+        return ds
+
+    # -- arithmetic ------------------------------------------------------------------------
+    def _apply_binary(self, other, op, reflexive=False):
+        ds = Dataset(attrs={})
+        ds._coords = dict(self._coords)
+        for k, v in self._variables.items():
+            if isinstance(other, Dataset):
+                o = other._variables.get(k)
+                if o is None:
+                    continue
+            elif isinstance(other, DataArray):
+                o = other.variable
+            else:
+                o = other
+            ds._variables[k] = v._binary_op(o, op, reflexive)
+        return ds
+
+    # -- reductions -------------------------------------------------------------------------
+    def _reduce_all(self, name, dim=None, **kw):
+        ds = Dataset(attrs=self.attrs)
+        for k, v in self._coords.items():
+            if dim is None or not (set(v.dims) &
+                                   ({dim} if isinstance(dim, str)
+                                    else set(dim))):
+                ds._coords[k] = v
+        for k in self._variables:
+            da = self[k]
+            if dim is not None:
+                dd = {dim} if isinstance(dim, str) else set(dim)
+                sub = tuple(d for d in da.dims if d in dd)
+                res = getattr(da, name)(dim=sub, **kw) if sub else da
+            else:
+                res = getattr(da, name)(dim=None, **kw)
+            ds._variables[k] = Variable(res.dims, res.data, res.attrs)
+        return ds
+
+    def mean(self, dim=None, **kw):
+        return self._reduce_all('mean', dim, **kw)
+
+    def std(self, dim=None, **kw):
+        return self._reduce_all('std', dim, **kw)
+
+    def var(self, dim=None, **kw):
+        return self._reduce_all('var', dim, **kw)
+
+    def min(self, dim=None, **kw):
+        return self._reduce_all('min', dim, **kw)
+
+    def max(self, dim=None, **kw):
+        return self._reduce_all('max', dim, **kw)
+
+    def sum(self, dim=None, **kw):
+        return self._reduce_all('sum', dim, **kw)
+
+    def median(self, dim=None, **kw):
+        return self._reduce_all('median', dim, **kw)
+
+    def count(self, dim=None, **kw):
+        return self._reduce_all('count', dim, **kw)
+
+    # -- laziness stubs (we are eager; XLA async dispatch provides overlap) ---
+    def persist(self):
+        return self
+
+    def compute(self):
+        return self
+
+    def chunk(self, *args, **kwargs):
+        return self
+
+    def fillna(self, value):
+        return self.map(lambda da: da.fillna(value))
+
+    def where(self, cond, other=np.nan):
+        return self.map(lambda da: da.where(
+            cond if not isinstance(cond, Dataset) else cond[da.name], other))
+
+    def __repr__(self):
+        lines = ['<nd_tpu.Dataset>']
+        lines.append('Dimensions: ' + ', '.join(
+            '%s: %d' % (d, s) for d, s in self.sizes.items()))
+        for k, v in self._coords.items():
+            lines.append('  coord %s %r %s' % (k, v.dims, v.dtype))
+        for k, v in self._variables.items():
+            lines.append('  var   %s %r %s' % (k, v.dims, v.dtype))
+        if self.attrs:
+            lines.append('Attributes: ' + ', '.join(self.attrs))
+        return '\n'.join(lines)
+
+
+# -------------------------------------------------------------------------
+# module-level functions
+# -------------------------------------------------------------------------
+
+def broadcast_variables(a, b):
+    """Broadcast two Variables against each other by dimension name."""
+    out_dims = list(a.dims)
+    for d in b.dims:
+        if d not in out_dims:
+            out_dims.append(d)
+    sizes = dict(zip(a.dims, a.shape))
+    for d, s in zip(b.dims, b.shape):
+        sizes[d] = max(sizes.get(d, s), s)
+    shape = tuple(sizes[d] for d in out_dims)
+    return (a.broadcast_to(out_dims, shape), b.broadcast_to(out_dims, shape))
+
+
+def broadcast(*objs):
+    """Broadcast DataArrays against each other."""
+    variables = [o.variable for o in objs]
+    out_dims = []
+    sizes = {}
+    for v in variables:
+        for d, s in zip(v.dims, v.shape):
+            if d not in out_dims:
+                out_dims.append(d)
+            sizes[d] = max(sizes.get(d, s), s)
+    shape = tuple(sizes[d] for d in out_dims)
+    out = []
+    for o in objs:
+        bv = o.variable.broadcast_to(out_dims, shape)
+        out.append(DataArray._from_parts(bv, o._coords, o.attrs, o.name))
+    return tuple(out)
+
+
+def _concat_variables(variables, dim, dim_exists):
+    xps = [get_xp(v.data) for v in variables]
+    xp = jnp if any(x is jnp for x in xps) else np
+    if dim_exists:
+        axis = variables[0].dims.index(dim)
+        data = xp.concatenate([xp.asarray(v.data) for v in variables],
+                              axis=axis)
+        return Variable(variables[0].dims, data, variables[0].attrs)
+    else:
+        data = xp.stack([xp.asarray(v.data) for v in variables], axis=0)
+        return Variable((dim,) + variables[0].dims, data,
+                        variables[0].attrs)
+
+
+def concat(objs, dim):
+    """Concatenate Datasets or DataArrays along a dimension.
+
+    Mirrors ``xarray.concat`` as used by the reference's split/merge
+    machinery (/root/reference/nd/utils.py:340).
+    """
+    objs = list(objs)
+    if not objs:
+        raise ValueError('nothing to concatenate')
+    if isinstance(objs[0], DataArray):
+        dim_exists = dim in objs[0].dims
+        var = _concat_variables(
+            [o.variable if dim_exists or dim not in o.dims
+             else o.variable for o in objs], dim, dim_exists)
+        coords = {}
+        for k, v in objs[0]._coords.items():
+            if dim in v.dims:
+                axis = v.dims.index(dim)
+                vals = [o._coords[k] for o in objs if k in o._coords]
+                coords[k] = Variable(
+                    v.dims, np.concatenate([c.values for c in vals],
+                                           axis=axis), v.attrs)
+            else:
+                coords[k] = v
+        if not dim_exists:
+            # collect scalar coords into the new dim
+            vals = []
+            ok = True
+            for o in objs:
+                if dim in o._coords and o._coords[dim].ndim == 0:
+                    vals.append(o._coords[dim].values)
+                else:
+                    ok = False
+                    break
+            if ok and vals:
+                coords[dim] = Variable((dim,), np.stack(vals))
+        return DataArray._from_parts(var, coords, objs[0].attrs,
+                                     objs[0].name)
+
+    # Dataset concat
+    first = objs[0]
+    ds = Dataset(attrs=dict(first.attrs))
+    for k, v in first._coords.items():
+        if dim in v.dims:
+            axis = v.dims.index(dim)
+            ds._coords[k] = Variable(
+                v.dims,
+                np.concatenate([o._coords[k].values for o in objs],
+                               axis=axis), v.attrs)
+        else:
+            ds._coords[k] = v
+    for k, v in first._variables.items():
+        if dim in v.dims:
+            ds._variables[k] = _concat_variables(
+                [o._variables[k] for o in objs], dim, True)
+        else:
+            ds._variables[k] = v
+    return ds
+
+
+def merge(objs):
+    """Merge datasets/named DataArrays into one Dataset."""
+    ds = Dataset()
+    for o in objs:
+        if isinstance(o, DataArray):
+            o = o.to_dataset()
+        for k, v in o._coords.items():
+            if k not in ds._coords:
+                ds._coords[k] = v
+        for k, v in o._variables.items():
+            ds._variables[k] = v
+        ds.attrs.update(o.attrs)
+    return ds
+
+
+def expand_variables_da(da, dim='variable'):
+    """Inverse of Dataset.to_array() (reference: utils.py:472-499)."""
+    names = [str(n) for n in np.asarray(da[dim].values)]
+    axis = da.dims.index(dim)
+    ds = Dataset(attrs=dict(da.attrs))
+    for k, v in da._coords.items():
+        if k == dim:
+            continue
+        ds._coords[k] = v
+    new_dims = tuple(d for d in da.dims if d != dim)
+    for i, n in enumerate(names):
+        key = [slice(None)] * da.ndim
+        key[axis] = i
+        ds._variables[n] = Variable(new_dims, da.data[tuple(key)])
+    return ds
+
+
+def full_like(obj, fill_value, dtype=None):
+    xp = get_xp(obj.data)
+    data = xp.full(obj.shape, fill_value,
+                   dtype=dtype or obj.dtype)
+    if isinstance(obj, DataArray):
+        return obj._replace(data)
+    raise TypeError(type(obj))
+
+
+def zeros_like(obj, dtype=None):
+    return full_like(obj, 0, dtype)
+
+
+def ones_like(obj, dtype=None):
+    return full_like(obj, 1, dtype)

@@ -1,0 +1,450 @@
+"""Coordinate reference systems, from scratch (no PROJ database).
+
+A compact CRS model covering the reference framework's usage surface
+(cf. /root/reference/nd/warp.py:71-115 ``_parse_crs`` which accepts
+pyproj/rasterio CRS, proj strings, dicts, WKT and EPSG ints). A CRS is:
+ellipsoid + datum shift + projection id + projection parameters.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from .proj import (ELLIPSOIDS, DATUM_TO_WGS84, Ellipsoid, project_forward,
+                   project_inverse, geodetic_to_geocentric,
+                   geocentric_to_geodetic, helmert_transform)
+
+__all__ = ['CRS', 'transform_coords']
+
+
+_WKT_GCS_NAMES = {
+    4326: 'WGS 84',
+    4277: 'OSGB 1936',
+}
+
+
+def _utm_params(zone, south=False):
+    p = {'proj': 'utm', 'zone': zone, 'lon_0': zone * 6 - 183,
+         'k': 0.9996, 'x_0': 500000.0, 'y_0': 10000000.0 if south else 0.0,
+         'ellps': 'WGS84', 'units': 'm'}
+    if south:
+        p['south'] = True
+    return p
+
+
+_EPSG = {
+    4326: {'proj': 'longlat', 'ellps': 'WGS84', 'datum': 'WGS84'},
+    4269: {'proj': 'longlat', 'ellps': 'GRS80', 'datum': 'NAD83'},
+    4277: {'proj': 'longlat', 'ellps': 'airy', 'datum': 'OSGB36'},
+    3395: {'proj': 'merc', 'lon_0': 0, 'k': 1, 'x_0': 0, 'y_0': 0,
+           'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    3857: {'proj': 'webmerc', 'lon_0': 0, 'x_0': 0, 'y_0': 0,
+           'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    27700: {'proj': 'tmerc', 'lat_0': 49, 'lon_0': -2, 'k': 0.9996012717,
+            'x_0': 400000, 'y_0': -100000, 'ellps': 'airy',
+            'datum': 'OSGB36', 'units': 'm'},
+}
+for _zone in range(1, 61):
+    _EPSG[32600 + _zone] = _utm_params(_zone, south=False)
+    _EPSG[32700 + _zone] = _utm_params(_zone, south=True)
+
+_PROJECTION_WKT_NAMES = {
+    'tmerc': 'Transverse_Mercator',
+    'utm': 'Transverse_Mercator',
+    'merc': 'Mercator_2SP' if False else 'Mercator_1SP',
+    'webmerc': 'Mercator_1SP',
+    'sinu': 'Sinusoidal',
+    'eqc': 'Equirectangular',
+}
+
+_WKT_NAME_TO_PROJ = {
+    'transverse_mercator': 'tmerc',
+    'mercator_1sp': 'merc',
+    'mercator_2sp': 'merc',
+    'mercator': 'merc',
+    'sinusoidal': 'sinu',
+    'equirectangular': 'eqc',
+    'mercator_auxiliary_sphere': 'webmerc',
+    'popular visualisation pseudo mercator': 'webmerc',
+    'pseudo-mercator': 'webmerc',
+}
+
+_NUMERIC_KEYS = ('lat_0', 'lon_0', 'lat_1', 'lat_2', 'lat_ts', 'k', 'k_0',
+                 'x_0', 'y_0', 'zone', 'a', 'b', 'rf')
+
+
+class CRS:
+    """A coordinate reference system.
+
+    Construct with a parameter dict (proj4-style keys) or use the
+    ``from_*`` classmethods. Instances are immutable and hashable.
+    """
+
+    def __init__(self, params=None, epsg=None):
+        if isinstance(params, CRS):
+            self._params = dict(params._params)
+            self._epsg = params._epsg
+            return
+        if isinstance(params, str):
+            other = CRS.from_string(params)
+            self._params = other._params
+            self._epsg = other._epsg
+            return
+        params = dict(params or {})
+        if 'init' in params:
+            init = params.pop('init')
+            m = re.match(r'(?i)epsg:(\d+)', init.strip())
+            if not m:
+                raise ValueError('unsupported init: %r' % init)
+            other = CRS.from_epsg(int(m.group(1)))
+            merged = dict(other._params)
+            merged.update(params)
+            self._params = merged
+            self._epsg = other._epsg
+            return
+        self._params = params
+        self._epsg = epsg
+        if epsg is None:
+            self._epsg = self._match_epsg()
+
+    def _match_epsg(self):
+        mine = self._canonical()
+        for code, p in _EPSG.items():
+            if CRS._canonical_params(p) == mine:
+                return code
+        return None
+
+    # -- constructors ---------------------------------------------------------
+    @classmethod
+    def from_epsg(cls, code):
+        code = int(code)
+        if code not in _EPSG:
+            raise ValueError('EPSG:%d is not in the built-in registry'
+                             % code)
+        return cls(dict(_EPSG[code]), epsg=code)
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(d)
+
+    @classmethod
+    def from_string(cls, s):
+        s = s.strip()
+        m = re.match(r'(?i)^(?:\+init=)?epsg:(\d+)$', s)
+        if m:
+            return cls.from_epsg(int(m.group(1)))
+        if s.upper().startswith(('PROJCS', 'GEOGCS', 'PROJCRS', 'GEOGCRS')):
+            return cls.from_wkt(s)
+        if s.startswith('+') or '=' in s:
+            return cls.from_proj4(s)
+        raise ValueError('cannot parse CRS from %r' % s)
+
+    @classmethod
+    def from_user_input(cls, value):
+        if isinstance(value, CRS):
+            return value
+        if isinstance(value, int):
+            return cls.from_epsg(value)
+        if isinstance(value, dict):
+            return cls.from_dict(value)
+        if isinstance(value, str):
+            return cls.from_string(value)
+        # duck-typing: pyproj/rasterio-like objects
+        for attr in ('to_wkt', 'wkt'):
+            if hasattr(value, attr):
+                wkt = getattr(value, attr)
+                wkt = wkt() if callable(wkt) else wkt
+                return cls.from_wkt(wkt)
+        raise ValueError('cannot interpret CRS from %r' % (value,))
+
+    @classmethod
+    def from_proj4(cls, s):
+        params = {}
+        for tok in s.split():
+            tok = tok.lstrip('+')
+            if not tok:
+                continue
+            if '=' in tok:
+                k, v = tok.split('=', 1)
+                if k in _NUMERIC_KEYS:
+                    v = float(v)
+                    if k == 'zone':
+                        v = int(v)
+                params[k] = v
+            else:
+                params[tok] = True
+        if 'init' in params:
+            return cls({'init': params.pop('init'), **params})
+        if params.get('proj') == 'utm' and 'zone' in params:
+            zone = int(params['zone'])
+            base = _utm_params(zone, south=bool(params.get('south')))
+            base.update({k: v for k, v in params.items()
+                         if k not in ('proj', 'zone', 'south')})
+            return cls(base)
+        return cls(params)
+
+    @classmethod
+    def from_wkt(cls, wkt):
+        def _find_all(pattern):
+            return re.findall(pattern, wkt, flags=re.IGNORECASE)
+
+        params = {}
+        proj_m = _find_all(r'PROJECTION\[\"([^\"]+)\"')
+        spheroid = _find_all(
+            r'SPHEROID\[\"([^\"]+)\",\s*([0-9.eE+-]+),\s*([0-9.eE+-]+)')
+        if not spheroid:
+            spheroid = _find_all(
+                r'ELLIPSOID\[\"([^\"]+)\",\s*([0-9.eE+-]+),'
+                r'\s*([0-9.eE+-]+)')
+        towgs = _find_all(r'TOWGS84\[([^\]]+)\]')
+        authority = _find_all(r'AUTHORITY\[\"EPSG\",\s*\"?(\d+)\"?\]')
+
+        if spheroid:
+            name, a, rf = spheroid[0]
+            a, rf = float(a), float(rf)
+            ell = None
+            for key, e in ELLIPSOIDS.items():
+                if abs(e.a - a) < 0.5 and (
+                        (rf == 0 and e.f == 0)
+                        or (rf != 0 and abs(1 / e.f - rf) < 1e-6)):
+                    ell = key
+                    break
+            if ell is not None:
+                params['ellps'] = ell
+            else:
+                params['a'] = a
+                if rf:
+                    params['rf'] = rf
+        gcs_names = _find_all(r'GEOGCS\[\"([^\"]+)\"')
+        if gcs_names:
+            n = gcs_names[0].lower().replace(' ', '')
+            if 'osgb' in n:
+                params['datum'] = 'OSGB36'
+            elif 'wgs' in n and '84' in n:
+                params['datum'] = 'WGS84'
+            elif 'nad83' in n:
+                params['datum'] = 'NAD83'
+        if towgs:
+            vals = [float(v) for v in towgs[0].split(',')]
+            while len(vals) < 7:
+                vals.append(0.0)
+            params['towgs84'] = tuple(vals)
+
+        if proj_m:
+            pname = proj_m[0].strip().lower()
+            proj = _WKT_NAME_TO_PROJ.get(pname)
+            if proj is None:
+                raise NotImplementedError(
+                    'WKT projection %r is not supported' % proj_m[0])
+            params['proj'] = proj
+            for pk, pv in _find_all(
+                    r'PARAMETER\[\"([^\"]+)\",\s*([0-9.eE+-]+)\]'):
+                pk = pk.strip().lower()
+                pv = float(pv)
+                key = {
+                    'central_meridian': 'lon_0',
+                    'longitude_of_center': 'lon_0',
+                    'latitude_of_origin': 'lat_0',
+                    'latitude_of_center': 'lat_0',
+                    'scale_factor': 'k',
+                    'false_easting': 'x_0',
+                    'false_northing': 'y_0',
+                    'standard_parallel_1': 'lat_ts',
+                }.get(pk)
+                if key:
+                    params[key] = pv
+            params.setdefault('units', 'm')
+        else:
+            params['proj'] = 'longlat'
+
+        epsg = int(authority[-1]) if authority else None
+        crs = cls(params)
+        if epsg is not None and crs._epsg is None:
+            crs._epsg = epsg
+        return crs
+
+    # -- introspection ------------------------------------------------------------
+    @property
+    def proj(self):
+        return self._params.get('proj', 'longlat')
+
+    @property
+    def params(self):
+        return dict(self._params)
+
+    @property
+    def ellipsoid(self):
+        if 'a' in self._params:
+            return Ellipsoid('user', self._params['a'],
+                             rf=self._params.get('rf'),
+                             b=self._params.get('b'))
+        return ELLIPSOIDS[self._params.get('ellps', 'WGS84')]
+
+    @property
+    def datum_shift(self):
+        if 'towgs84' in self._params:
+            return tuple(self._params['towgs84'])
+        datum = self._params.get('datum', 'WGS84')
+        return DATUM_TO_WGS84.get(datum, (0, 0, 0, 0, 0, 0, 0))
+
+    @property
+    def is_geographic(self):
+        return self.proj in ('longlat', 'latlong')
+
+    @property
+    def is_projected(self):
+        return not self.is_geographic
+
+    @property
+    def linear_units(self):
+        return 'degree' if self.is_geographic \
+            else self._params.get('units', 'm')
+
+    def to_epsg(self):
+        return self._epsg
+
+    def to_proj4(self):
+        parts = []
+        for k, v in sorted(self._params.items()):
+            if v is True:
+                parts.append('+%s' % k)
+            else:
+                parts.append('+%s=%s' % (k, v))
+        if 'no_defs' not in self._params:
+            parts.append('+no_defs')
+        return ' '.join(parts)
+
+    def to_dict(self):
+        return dict(self._params)
+
+    def to_wkt(self):
+        ell = self.ellipsoid
+        rf = (1.0 / ell.f) if ell.f else 0.0
+        datum = self._params.get('datum', 'WGS84')
+        towgs = ','.join('%g' % v for v in self.datum_shift)
+        gcs_auth = ''
+        gcs_code = {'WGS84': 4326, 'OSGB36': 4277, 'NAD83': 4269}.get(datum)
+        gcs_name = {'WGS84': 'WGS 84', 'OSGB36': 'OSGB 1936',
+                    'NAD83': 'NAD83'}.get(datum, 'unknown')
+        if gcs_code:
+            gcs_auth = ',AUTHORITY["EPSG","%d"]' % gcs_code
+        geogcs = ('GEOGCS["%s",DATUM["%s",SPHEROID["%s",%.9g,%.12g],'
+                  'TOWGS84[%s]],PRIMEM["Greenwich",0],'
+                  'UNIT["degree",0.0174532925199433]%s]'
+                  % (gcs_name, datum, ell.name, ell.a, rf, towgs, gcs_auth))
+        if self.is_geographic:
+            return geogcs
+        pname = _PROJECTION_WKT_NAMES.get(self.proj, self.proj)
+        par = []
+        for wk, pk in [('latitude_of_origin', 'lat_0'),
+                       ('central_meridian', 'lon_0'),
+                       ('scale_factor', 'k'),
+                       ('false_easting', 'x_0'),
+                       ('false_northing', 'y_0')]:
+            if pk in self._params or pk in ('lat_0', 'lon_0'):
+                par.append('PARAMETER["%s",%.12g]'
+                           % (wk, float(self._params.get(pk, 0.0))))
+        auth = (',AUTHORITY["EPSG","%d"]' % self._epsg) if self._epsg \
+            else ''
+        return ('PROJCS["%s",%s,PROJECTION["%s"],%s,'
+                'UNIT["metre",1]%s]'
+                % (self._name(), geogcs, pname, ','.join(par), auth))
+
+    def _name(self):
+        if self._epsg:
+            return 'EPSG:%d' % self._epsg
+        return self.proj
+
+    @property
+    def wkt(self):
+        return self.to_wkt()
+
+    # -- equality ------------------------------------------------------------------
+    @staticmethod
+    def _canonical_params(params):
+        out = {}
+        p = dict(params)
+        proj = p.get('proj', 'longlat')
+        if proj == 'latlong':
+            proj = 'longlat'
+        if proj == 'utm':
+            zone = int(p.get('zone', 0))
+            if zone:
+                base = _utm_params(zone, south=bool(p.get('south')))
+                base.update({k: v for k, v in p.items()
+                             if k not in ('proj', 'zone', 'south')})
+                p = base
+            proj = 'tmerc'
+            p.pop('zone', None)
+            p.pop('south', None)
+        out['proj'] = proj
+        if proj != 'longlat':
+            for k in ('lat_0', 'lon_0', 'x_0', 'y_0'):
+                out[k] = round(float(p.get(k, 0.0)), 9)
+            out['k'] = round(float(p.get('k', p.get('k_0', 1.0))), 12)
+        ell = ELLIPSOIDS[p['ellps']] if 'ellps' in p else (
+            Ellipsoid('user', p['a'], rf=p.get('rf'), b=p.get('b'))
+            if 'a' in p else ELLIPSOIDS['WGS84'])
+        out['a'] = round(ell.a, 6)
+        out['f'] = round(ell.f, 12)
+        datum = p.get('datum', None)
+        shift = p.get('towgs84',
+                      DATUM_TO_WGS84.get(datum or 'WGS84',
+                                         (0, 0, 0, 0, 0, 0, 0)))
+        out['towgs84'] = tuple(round(float(v), 6) for v in shift)
+        return tuple(sorted(out.items()))
+
+    def _canonical(self):
+        return CRS._canonical_params(self._params)
+
+    def __eq__(self, other):
+        try:
+            other = CRS.from_user_input(other)
+        except Exception:
+            return NotImplemented
+        return self._canonical() == other._canonical()
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    def __hash__(self):
+        return hash(self._canonical())
+
+    def __repr__(self):
+        if self._epsg:
+            return 'CRS.from_epsg(%d)' % self._epsg
+        return 'CRS(%r)' % (self._params,)
+
+
+def transform_coords(src_crs, dst_crs, x, y, xp=np):
+    """Transform coordinate arrays between two CRS.
+
+    Pure array math (numpy or jax.numpy) — usable inside jitted warp
+    pipelines. Replaces pyproj.Transformer / rasterio.warp.transform.
+    """
+    src = CRS.from_user_input(src_crs)
+    dst = CRS.from_user_input(dst_crs)
+    if src == dst:
+        return (xp.asarray(x), xp.asarray(y))
+    lon, lat = project_inverse(src.proj, x, y, src.ellipsoid, src._params,
+                               xp=xp)
+    if src.datum_shift != dst.datum_shift:
+        X, Y, Z = geodetic_to_geocentric(lon, lat, 0.0, src.ellipsoid,
+                                         xp=xp)
+        if any(src.datum_shift):
+            X, Y, Z = helmert_transform(X, Y, Z, src.datum_shift,
+                                        inverse=False, xp=xp)
+        if any(dst.datum_shift):
+            X, Y, Z = helmert_transform(X, Y, Z, dst.datum_shift,
+                                        inverse=True, xp=xp)
+        lon, lat, _ = geocentric_to_geodetic(X, Y, Z, dst.ellipsoid, xp=xp)
+    elif src.ellipsoid != dst.ellipsoid:
+        X, Y, Z = geodetic_to_geocentric(lon, lat, 0.0, src.ellipsoid,
+                                         xp=xp)
+        lon, lat, _ = geocentric_to_geodetic(X, Y, Z, dst.ellipsoid, xp=xp)
+    return project_forward(dst.proj, lon, lat, dst.ellipsoid, dst._params,
+                           xp=xp)
