@@ -1,0 +1,202 @@
+"""I/O layer: NetCDF, GeoTIFF, BEAM-DIMAP, complex<->real conversion.
+
+Parity surface of /root/reference/nd/io.py, built on this framework's
+own format parsers (h5py dimension scales, from-scratch TIFF/ENVI
+readers) — no GDAL, netCDF-C or rasterio.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+from .. import utils
+from ..core import DataArray, Dataset
+from ..core.variable import Variable
+
+__all__ = ['open_dataset', 'open_netcdf', 'open_beam_dimap',
+           'open_rasterio', 'to_netcdf', 'assemble_complex',
+           'disassemble_complex', 'add_time']
+
+
+# --------------------
+# CONVERSION FUNCTIONS
+# --------------------
+
+def disassemble_complex(ds, inplace=False):
+    """Split complex variables into ``<name>__re`` / ``<name>__im`` pairs.
+
+    Reference behavior: /root/reference/nd/io.py:26-69.
+    """
+    if isinstance(ds, DataArray):
+        name = ds.name or 'data'
+        ds = ds.to_dataset(name=name)
+
+    new_ds = ds if inplace else ds.copy(deep=False)
+    for vn in list(new_ds._variables):
+        var = new_ds._variables[vn]
+        if not np.issubdtype(np.dtype(str(var.dtype)),
+                             np.complexfloating):
+            continue
+        data = var.data
+        from ..core.variable import get_xp
+        xp = get_xp(data)
+        new_ds._variables[vn + '__re'] = Variable(
+            var.dims, xp.real(data), dict(var.attrs))
+        new_ds._variables[vn + '__im'] = Variable(
+            var.dims, xp.imag(data), dict(var.attrs))
+        del new_ds._variables[vn]
+    if not inplace:
+        return new_ds
+
+
+def assemble_complex(ds, inplace=False):
+    """Reassemble ``*_real``/``__re`` + ``*_imag``/``__im`` variable pairs
+    into complex variables (reference: io.py:72-123)."""
+    new_ds = ds if inplace else ds.copy(deep=False)
+    endings = {'re': ['_real', '__re'], 'im': ['_imag', '__im']}
+    rex = {}
+    matches = {}
+    for part, end in endings.items():
+        rex[part] = re.compile('(?P<stem>.*)(?:{})'.format('|'.join(end)))
+        matches[part] = [rex[part].match(vn) for vn in new_ds._variables]
+        matches[part] = [m for m in matches[part] if m is not None]
+
+    new_var_names = set(m.group('stem')
+                        for m in matches['re'] + matches['im'])
+
+    from ..core.variable import get_xp
+    for vn in sorted(new_var_names):
+        m_re = next((m for m in matches['re'] if m.group('stem') == vn),
+                    None)
+        m_im = next((m for m in matches['im'] if m.group('stem') == vn),
+                    None)
+        if m_re is None or m_im is None:
+            continue
+        re_var = new_ds._variables[m_re.group(0)]
+        im_var = new_ds._variables[m_im.group(0)]
+        im_b = im_var
+        if im_var.dims != re_var.dims:
+            im_b = im_var.transpose(*re_var.dims)
+        xp = get_xp(re_var.data, im_b.data)
+        data = xp.asarray(re_var.data) + 1j * xp.asarray(im_b.data)
+        new_ds._variables[vn] = Variable(re_var.dims, data,
+                                         dict(re_var.attrs))
+        del new_ds._variables[m_re.group(0)]
+        del new_ds._variables[m_im.group(0)]
+    if not inplace:
+        return new_ds
+
+
+def add_time(ds, inplace=False):
+    """Ensure the dataset has a ``time`` coordinate (from
+    ``attrs['start_date']`` if missing; reference: io.py:126-148)."""
+    result = ds if inplace else ds.copy(deep=False)
+    if 'time' not in result._coords:
+        times = np.asarray(
+            [np.datetime64(utils.str2date(ds.attrs['start_date']), 'ns')])
+        result._coords['time'] = Variable(('time',), times)
+    if not inplace:
+        return result
+
+
+# -------------
+# OPEN DATASETS
+# -------------
+
+def open_dataset(path, *args, **kwargs):
+    """Open a datacube, dispatching on the file extension.
+
+    ``.nc`` -> :func:`open_netcdf`, ``.dim`` -> :func:`open_beam_dimap`,
+    anything else -> :func:`open_rasterio`.
+    """
+    _, ext = os.path.splitext(str(path))
+    if ext == '.nc':
+        return open_netcdf(path, *args, **kwargs)
+    if ext == '.dim':
+        return open_beam_dimap(path, *args, **kwargs)
+    try:
+        return open_rasterio(path, *args, **kwargs)
+    except Exception as e:
+        raise IOError('Could not read the file: %s' % e)
+
+
+# --------------
+# FORMAT: NETCDF
+# --------------
+
+def to_netcdf(ds, path, *args, **kwargs):
+    """Write a Dataset to NetCDF, always disassembling complex variables
+    (reassembled on read via ``open_netcdf(as_complex=True)``)."""
+    from .netcdf import write_netcdf_file
+    if isinstance(ds, DataArray):
+        ds = ds.to_dataset(name=ds.name or 'data')
+    write = disassemble_complex(ds)
+    write_netcdf_file(write, path,
+                      compress=kwargs.get('compress', True),
+                      complevel=kwargs.get('complevel', 5),
+                      encoding=kwargs.get('encoding'))
+    return path
+
+
+def open_netcdf(path, as_complex=False, *args, **kwargs):
+    """Read a NetCDF file into a Dataset.
+
+    lat/lon dimensions are renamed to y/x (keeping lat/lon coords),
+    matching the reference's convention (io.py:272-275).
+    """
+    from .netcdf import open_netcdf_file
+    ds = open_netcdf_file(path,
+                          decode_cf=kwargs.get('decode_cf', True))
+    if as_complex:
+        ds = assemble_complex(ds)
+    if 'lon' in ds.sizes and 'lat' in ds.sizes:
+        lat = ds._coords.get('lat')
+        lon = ds._coords.get('lon')
+        ds = ds.rename({'lat': 'y', 'lon': 'x'})
+        if lat is not None:
+            ds._coords['lat'] = Variable(('y',), lat.data, lat.attrs)
+        if lon is not None:
+            ds._coords['lon'] = Variable(('x',), lon.data, lon.attrs)
+    return ds
+
+
+# ---------------------
+# FORMAT: RASTER (TIFF)
+# ---------------------
+
+def open_rasterio(path, *args, **kwargs):
+    """Read a GeoTIFF into a (band, y, x) DataArray.
+
+    Mirrors ``xarray.open_rasterio`` used by the reference
+    (io.py:283-284): coordinates are pixel-center positions from the
+    affine transform; attrs carry transform/crs/res/nodatavals.
+    """
+    from .geotiff import TiffFile
+    t = TiffFile(str(path))
+    data = t.read()
+    nbands, height, width = data.shape
+    transform = t.transform
+    attrs = {}
+    coords = {'band': np.arange(1, nbands + 1)}
+    if transform is not None:
+        cols = np.arange(width) + 0.5
+        rows = np.arange(height) + 0.5
+        x = transform.a * cols + transform.c
+        y = transform.e * rows + transform.f
+        coords['x'] = x
+        coords['y'] = y
+        attrs['transform'] = tuple(transform)[:6]
+        attrs['res'] = (abs(transform.a), abs(transform.e))
+    if t.crs is not None:
+        attrs['crs'] = t.crs.to_proj4()
+    if t.nodata is not None:
+        attrs['nodatavals'] = (t.nodata,) * nbands
+    attrs['is_tiled'] = int(322 in t.tags)
+    return DataArray(data, dims=('band', 'y', 'x'), coords=coords,
+                     attrs=attrs)
+
+
+from .beam_dimap import open_beam_dimap  # noqa: E402

@@ -1,0 +1,303 @@
+"""Minimal GeoTIFF reader — from scratch (no GDAL, no libtiff).
+
+Covers the subset of TIFF 6.0 + GeoTIFF used by Earth-observation
+rasters: both byte orders, strip and tile layouts, contiguous and planar
+sample organization, uncompressed / Deflate / PackBits / LZW compression,
+unsigned/signed/float/complex samples, GeoKey CRS resolution and
+ModelPixelScale / ModelTiepoint / ModelTransformation georeferencing.
+
+The reference delegates this to rasterio (``xr.open_rasterio``,
+/root/reference/nd/io.py:283-284); parity surface is
+:func:`nd_tpu.io.open_rasterio`.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..crs import Affine, CRS
+
+__all__ = ['TiffFile', 'read_geotiff']
+
+_TAG_TYPES = {
+    1: ('B', 1), 2: ('c', 1), 3: ('H', 2), 4: ('I', 4), 5: ('II', 8),
+    6: ('b', 1), 7: ('B', 1), 8: ('h', 2), 9: ('i', 4), 10: ('ii', 8),
+    11: ('f', 4), 12: ('d', 8), 16: ('Q', 8), 17: ('q', 8), 13: ('I', 4),
+}
+
+
+def _lzw_decode(data):
+    """TIFF-variant LZW decoder (MSB-first, early change)."""
+    result = bytearray()
+    CLEAR, EOI = 256, 257
+    dictionary = {}
+    next_code = 258
+    code_size = 9
+    prev = None
+    buf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def reset():
+        nonlocal dictionary, next_code, code_size, prev
+        dictionary = {i: bytes([i]) for i in range(256)}
+        next_code = 258
+        code_size = 9
+        prev = None
+
+    reset()
+    while pos < n or nbits >= code_size:
+        while nbits < code_size and pos < n:
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits < code_size:
+            break
+        code = (buf >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = dictionary[code]
+        elif code in dictionary:
+            entry = dictionary[code]
+            dictionary[next_code] = prev + entry[:1]
+            next_code += 1
+        else:
+            entry = prev + prev[:1]
+            dictionary[next_code] = entry
+            next_code += 1
+        result += entry
+        prev = entry
+        if next_code >= (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+    return bytes(result)
+
+
+def _packbits_decode(data):
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(data, compression):
+    if compression == 1:
+        return data
+    if compression in (8, 32946):
+        return zlib.decompress(data)
+    if compression == 5:
+        return _lzw_decode(data)
+    if compression == 32773:
+        return _packbits_decode(data)
+    raise IOError('unsupported TIFF compression %d' % compression)
+
+
+def _sample_dtype(fmt, bits, bo):
+    kind = {1: 'u', 2: 'i', 3: 'f', 4: 'V', 5: 'i', 6: 'c'}.get(fmt, 'u')
+    if kind == 'c':
+        return np.dtype('%sc%d' % (bo, bits // 8))
+    return np.dtype('%s%s%d' % (bo, kind, bits // 8))
+
+
+class TiffFile:
+    """A parsed single-IFD (optionally multi-band) GeoTIFF."""
+
+    def __init__(self, path):
+        with open(path, 'rb') as fh:
+            self._data = fh.read()
+        d = self._data
+        if d[:2] == b'MM':
+            self.bo = '>'
+        elif d[:2] == b'II':
+            self.bo = '<'
+        else:
+            raise IOError('not a TIFF file')
+        magic, off = struct.unpack(self.bo + 'HI', d[2:8])
+        if magic != 42:
+            raise IOError('not a classic TIFF file')
+        self.tags = self._read_ifd(off)
+
+    def _read_ifd(self, off):
+        d = self._data
+        bo = self.bo
+        n = struct.unpack(bo + 'H', d[off:off + 2])[0]
+        tags = {}
+        for i in range(n):
+            e = d[off + 2 + 12 * i: off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(bo + 'HHI', e[:8])
+            if typ not in _TAG_TYPES:
+                continue
+            fmt, sz = _TAG_TYPES[typ]
+            total = sz * cnt
+            raw = e[8:8 + total] if total <= 4 else None
+            if raw is None:
+                ptr = struct.unpack(bo + 'I', e[8:12])[0]
+                raw = d[ptr:ptr + total]
+            if typ == 2:
+                vals = raw.split(b'\0')[0].decode('latin-1')
+            elif typ in (5, 10):
+                nums = struct.unpack(bo + ('I' if typ == 5 else 'i') * 2
+                                     * cnt, raw)
+                vals = tuple(nums[2 * j] / (nums[2 * j + 1] or 1)
+                             for j in range(cnt))
+            else:
+                vals = struct.unpack(bo + fmt * cnt, raw)
+            tags[tag] = vals
+        return tags
+
+    def _tag(self, tag, default=None):
+        v = self.tags.get(tag, default)
+        if isinstance(v, tuple) and len(v) == 1:
+            return v[0]
+        return v
+
+    @property
+    def width(self):
+        return int(self._tag(256))
+
+    @property
+    def height(self):
+        return int(self._tag(257))
+
+    @property
+    def nbands(self):
+        return int(self._tag(277, 1))
+
+    @property
+    def nodata(self):
+        v = self._tag(42113)
+        if v is None:
+            return None
+        try:
+            return float(str(v).strip())
+        except ValueError:
+            return None
+
+    def read(self):
+        """Decode the raster into a (bands, height, width) array."""
+        bo = self.bo
+        width, height, nbands = self.width, self.height, self.nbands
+        bits = self.tags.get(258, (8,))
+        fmts = self.tags.get(339, (1,) * nbands)
+        compression = int(self._tag(259, 1))
+        planar = int(self._tag(284, 1))
+        predictor = int(self._tag(317, 1))
+        dtype = _sample_dtype(fmts[0], bits[0], bo)
+
+        tiled = 322 in self.tags
+        if tiled:
+            tw = int(self._tag(322))
+            th = int(self._tag(323))
+            offsets = self.tags[324]
+            counts = self.tags[325]
+        else:
+            rps = int(self._tag(278, height))
+            offsets = self.tags[273]
+            counts = self.tags[279]
+
+        nplanes = nbands if planar == 2 else 1
+        samples_per_px = 1 if planar == 2 else nbands
+        out = np.empty((nbands, height, width), dtype=dtype.newbyteorder(
+            '='))
+
+        def _apply_predictor(arr):
+            if predictor == 2:
+                np.cumsum(arr, axis=-1, dtype=arr.dtype, out=arr)
+            return arr
+
+        if tiled:
+            tiles_x = (width + tw - 1) // tw
+            tiles_y = (height + th - 1) // th
+            per_plane = tiles_x * tiles_y
+            for idx, (o, c) in enumerate(zip(offsets, counts)):
+                plane = idx // per_plane if planar == 2 else 0
+                t = idx % per_plane
+                ty, tx = divmod(t, tiles_x)
+                raw = _decompress(self._data[o:o + c], compression)
+                arr = np.frombuffer(raw, dtype=dtype)[
+                    :th * tw * samples_per_px]
+                arr = arr.reshape(th, tw, samples_per_px).copy()
+                arr = _apply_predictor(arr)
+                y0, x0 = ty * th, tx * tw
+                h = min(th, height - y0)
+                w = min(tw, width - x0)
+                if planar == 2:
+                    out[plane, y0:y0 + h, x0:x0 + w] = arr[:h, :w, 0]
+                else:
+                    for b in range(nbands):
+                        out[b, y0:y0 + h, x0:x0 + w] = arr[:h, :w, b]
+        else:
+            strips_per_plane = (height + rps - 1) // rps
+            for idx, (o, c) in enumerate(zip(offsets, counts)):
+                plane = idx // strips_per_plane if planar == 2 else 0
+                s = idx % strips_per_plane if planar == 2 else idx
+                y0 = s * rps
+                h = min(rps, height - y0)
+                raw = _decompress(self._data[o:o + c], compression)
+                arr = np.frombuffer(raw, dtype=dtype)[
+                    :h * width * samples_per_px]
+                arr = arr.reshape(h, width, samples_per_px).copy()
+                arr = _apply_predictor(arr)
+                if planar == 2:
+                    out[plane, y0:y0 + h] = arr[:, :, 0]
+                else:
+                    for b in range(nbands):
+                        out[b, y0:y0 + h] = arr[:, :, b]
+        return out
+
+    # -- georeferencing ------------------------------------------------------
+    @property
+    def transform(self):
+        if 34264 in self.tags:  # ModelTransformation (4x4, row-major)
+            m = self.tags[34264]
+            return Affine(m[0], m[1], m[3], m[4], m[5], m[7])
+        scale = self.tags.get(33550)
+        tie = self.tags.get(33922)
+        if scale and tie:
+            sx, sy = scale[0], scale[1]
+            i, j, _, x, y, _ = tie[:6]
+            return Affine(sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+        return None
+
+    @property
+    def crs(self):
+        gkd = self.tags.get(34735)
+        if not gkd:
+            return None
+        keys = {}
+        n = gkd[3]
+        for i in range(1, n + 1):
+            kid, loc, cnt, val = gkd[4 * i:4 * i + 4]
+            if loc == 0:
+                keys[kid] = val
+        # 3072: ProjectedCSTypeGeoKey; 2048: GeographicTypeGeoKey
+        code = keys.get(3072) or keys.get(2048)
+        if code and code != 32767:
+            try:
+                return CRS.from_epsg(int(code))
+            except ValueError:
+                return None
+        return None
+
+
+def read_geotiff(path):
+    """Read a GeoTIFF into (data, transform, crs, nodata)."""
+    t = TiffFile(path)
+    return t.read(), t.transform, t.crs, t.nodata

@@ -1,0 +1,308 @@
+"""NetCDF-4 read/write on top of HDF5 (h5py) — no netCDF-C dependency.
+
+NetCDF-4 files *are* HDF5 files following the dimension-scale
+convention; this module implements that convention directly so the
+framework can round-trip datacubes compatibly with files produced by
+xarray/h5netcdf (the reference's engine, /root/reference/nd/io.py:230).
+
+Supported: dimension scales (+ phony dims), CF time encoding/decoding,
+_FillValue masking, gzip compression, bool-as-int8, attribute
+coercion (CRS/Affine attrs serialized to strings/tuples).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core import DataArray, Dataset
+from ..core.variable import Variable
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+_NOT_A_VARIABLE = b'This is a netCDF dimension but not a netCDF variable'
+
+__all__ = ['open_netcdf_file', 'write_netcdf_file']
+
+
+# ---------------------------------------------------------------------------
+# CF time handling
+# ---------------------------------------------------------------------------
+
+def _decode_cf_time(values, units, calendar=None):
+    import pandas as pd
+    import re
+    m = re.match(
+        r'(?i)\s*(nanoseconds|microseconds|milliseconds|seconds|minutes'
+        r'|hours|days|weeks)\s+since\s+(.+)', str(units))
+    if not m:
+        return None
+    unit_name, epoch = m.groups()
+    unit_map = {'nanoseconds': 'ns', 'microseconds': 'us',
+                'milliseconds': 'ms', 'seconds': 's', 'minutes': 'm',
+                'hours': 'h', 'days': 'D', 'weeks': 'W'}
+    code = unit_map[unit_name.lower()]
+    epoch_ts = pd.Timestamp(epoch.strip())
+    vals = np.asarray(values)
+    deltas = pd.to_timedelta(vals.ravel().astype('float64'), unit=code)
+    out = (epoch_ts + deltas).values.reshape(vals.shape)
+    return out.astype('datetime64[ns]')
+
+
+def _encode_cf_time(values):
+    vals = np.asarray(values).astype('datetime64[ns]')
+    epoch = np.datetime64('1970-01-01T00:00:00', 'ns')
+    micros = (vals - epoch).astype('timedelta64[ns]').astype(
+        np.int64) // 1000
+    return micros, 'microseconds since 1970-01-01 00:00:00'
+
+
+# ---------------------------------------------------------------------------
+# attribute coercion
+# ---------------------------------------------------------------------------
+
+def _coerce_attr(value):
+    """Make an attribute HDF5-serializable."""
+    from ..crs import CRS, Affine
+    if isinstance(value, CRS):
+        return value.to_proj4()
+    if isinstance(value, Affine):
+        return tuple(value)
+    if isinstance(value, (list, tuple)) and value and \
+            all(isinstance(v, (int, float, np.integer, np.floating))
+                for v in value):
+        return np.asarray(value)
+    if isinstance(value, (str, bytes, int, float, np.integer, np.floating,
+                          np.ndarray, np.bool_)):
+        return value
+    return str(value)
+
+
+def _decode_attr(value):
+    if isinstance(value, bytes):
+        return value.decode('utf-8', 'replace')
+    if isinstance(value, np.ndarray) and value.ndim == 1 \
+            and value.size == 1:
+        v = value[0]
+        return v.decode() if isinstance(v, bytes) else v.item() \
+            if hasattr(v, 'item') else v
+    if isinstance(value, np.generic):
+        v = value.item()
+        return v.decode('utf-8', 'replace') if isinstance(v, bytes) else v
+    return value
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+def open_netcdf_file(path, decode_cf=True):
+    """Read a NetCDF-4/HDF5 file into a Dataset."""
+    if h5py is None:
+        raise ImportError('h5py is required for NetCDF I/O')
+    with h5py.File(path, 'r') as f:
+        dim_names = {}     # dataset-name -> dim name (for scales)
+        coord_like = set()
+        phony_count = [0]
+
+        def is_scale(obj):
+            return obj.attrs.get('CLASS') == b'DIMENSION_SCALE'
+
+        # First pass: find dimension scales
+        for name, obj in f.items():
+            if isinstance(obj, h5py.Dataset) and is_scale(obj):
+                dim_names[name] = name
+                nc_name = obj.attrs.get('NAME', b'')
+                if not (isinstance(nc_name, bytes)
+                        and nc_name.startswith(_NOT_A_VARIABLE)):
+                    coord_like.add(name)
+
+        def dims_for(obj, name):
+            if 'DIMENSION_LIST' in obj.attrs:
+                out = []
+                for i, refs in enumerate(obj.attrs['DIMENSION_LIST']):
+                    if len(refs):
+                        out.append(f[refs[0]].name.lstrip('/'))
+                    else:
+                        out.append('phony_dim_%d' % i)
+                return tuple(out)
+            if name in dim_names:
+                return (name,)
+            # fall back to phony dims keyed by size
+            out = []
+            for s in obj.shape:
+                out.append('phony_dim_%d' % phony_count[0])
+                phony_count[0] += 1
+            return tuple(out)
+
+        variables = {}
+        coords = {}
+        extra_coord_names = set()
+        for name, obj in f.items():
+            if not isinstance(obj, h5py.Dataset):
+                continue
+            attrs = {k: _decode_attr(v) for k, v in obj.attrs.items()
+                     if k not in ('CLASS', 'NAME', 'DIMENSION_LIST',
+                                  'REFERENCE_LIST', '_Netcdf4Dimid',
+                                  '_Netcdf4Coordinates')}
+            data = obj[()]
+            dims = dims_for(obj, name)
+
+            if decode_cf:
+                fill = attrs.pop('_FillValue', None)
+                scale = attrs.pop('scale_factor', None)
+                offset = attrs.pop('add_offset', None)
+                units = attrs.get('units')
+                if units and np.issubdtype(np.asarray(data).dtype,
+                                           np.number):
+                    decoded = _decode_cf_time(data, units,
+                                              attrs.get('calendar'))
+                    if decoded is not None:
+                        data = decoded
+                        attrs.pop('units', None)
+                        attrs.pop('calendar', None)
+                        fill = scale = offset = None
+                if scale is not None or offset is not None:
+                    data = data.astype('float64')
+                    if scale is not None:
+                        data = data * scale
+                    if offset is not None:
+                        data = data + offset
+                if fill is not None and np.issubdtype(
+                        data.dtype, np.floating):
+                    fv = np.asarray(fill).ravel()
+                    if fv.size and not np.isnan(fv[0]):
+                        data = np.where(data == fv[0], np.nan, data)
+                if attrs.get('dtype') == 'bool':
+                    data = data.astype(bool)
+                    attrs.pop('dtype')
+            if data.dtype.kind in ('S', 'O'):
+                try:
+                    data = np.char.decode(data.astype('S'), 'utf-8')
+                except Exception:
+                    pass
+
+            var = Variable(dims, data, attrs)
+            if name in coord_like:
+                coords[name] = var
+            else:
+                cattr = attrs.get('coordinates')
+                if cattr:
+                    extra_coord_names.update(str(cattr).split())
+                variables[name] = var
+
+        # variables referenced as CF "coordinates" become coords
+        for cname in list(extra_coord_names):
+            if cname in variables:
+                coords[cname] = variables.pop(cname)
+        for v in variables.values():
+            v.attrs.pop('coordinates', None)
+
+        ds = Dataset(attrs={k: _decode_attr(v) for k, v in f.attrs.items()})
+        ds._coords = coords
+        ds._variables = variables
+        return ds
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+def write_netcdf_file(ds, path, compress=True, complevel=5,
+                      encoding=None):
+    """Write a Dataset to a NetCDF-4/HDF5 file (atomic rename)."""
+    if h5py is None:
+        raise ImportError('h5py is required for NetCDF I/O')
+    encoding = encoding or {}
+    tmp = str(path) + '.part'
+
+    dim_sizes = ds.sizes
+
+    def _prepare(var):
+        data = np.asarray(var.values)
+        attrs = {k: _coerce_attr(v) for k, v in var.attrs.items()}
+        if np.issubdtype(data.dtype, np.datetime64):
+            data, units = _encode_cf_time(data)
+            attrs['units'] = units
+            attrs['calendar'] = 'proleptic_gregorian'
+        elif data.dtype == bool:
+            data = data.astype(np.int8)
+            attrs['dtype'] = 'bool'
+        elif data.dtype.kind == 'U':
+            data = data.astype('S')
+        elif data.dtype.kind == 'O':
+            data = np.asarray([str(x) for x in data.ravel()],
+                              dtype='S').reshape(data.shape)
+        if np.issubdtype(data.dtype, np.complexfloating):
+            raise TypeError(
+                'complex variables must be disassembled before writing '
+                '(use nd_tpu.io.to_netcdf)')
+        return data, attrs
+
+    with h5py.File(tmp, 'w') as f:
+        # 1. dimension scales (coordinate variables first)
+        created_dims = {}
+        for dname, size in dim_sizes.items():
+            if dname in ds._coords and ds._coords[dname].dims == (dname,):
+                data, attrs = _prepare(ds._coords[dname])
+                d = f.create_dataset(
+                    dname, data=data,
+                    compression='gzip' if compress else None,
+                    compression_opts=complevel if compress else None)
+                for k, v in attrs.items():
+                    d.attrs[k] = v
+            else:
+                d = f.create_dataset(dname, shape=(size,),
+                                     dtype='f4')
+                d.attrs['NAME'] = np.bytes_(
+                    _NOT_A_VARIABLE + b' %8d' % size)
+            d.make_scale(dname)
+            created_dims[dname] = d
+
+        # 2. non-dimension coordinates
+        aux_coords = {}
+        for cname, cvar in ds._coords.items():
+            if cname in created_dims:
+                continue
+            data, attrs = _prepare(cvar)
+            d = f.create_dataset(
+                cname, data=data,
+                compression='gzip' if compress and data.ndim else None,
+                compression_opts=complevel if compress and data.ndim
+                else None)
+            for k, v in attrs.items():
+                d.attrs[k] = v
+            for i, dim in enumerate(cvar.dims):
+                d.dims[i].attach_scale(created_dims[dim])
+            aux_coords[cname] = cvar
+
+        # 3. data variables
+        for vname, var in ds._variables.items():
+            data, attrs = _prepare(var)
+            enc = encoding.get(vname, {})
+            use_comp = enc.get('zlib', compress) and data.ndim > 0
+            d = f.create_dataset(
+                vname, data=data,
+                compression='gzip' if use_comp else None,
+                compression_opts=enc.get('complevel', complevel)
+                if use_comp else None)
+            # CF coordinates attribute for aux coords covering this var
+            cov = [c for c, cv in aux_coords.items()
+                   if set(cv.dims) and set(cv.dims).issubset(set(var.dims))]
+            if cov:
+                attrs.setdefault('coordinates', ' '.join(cov))
+            for k, v in attrs.items():
+                d.attrs[k] = v
+            for i, dim in enumerate(var.dims):
+                d.dims[i].attach_scale(created_dims[dim])
+
+        for k, v in ds.attrs.items():
+            if k.startswith('_nd_tpu'):
+                continue
+            f.attrs[k] = _coerce_attr(v)
+
+    os.replace(tmp, path)
