@@ -10,8 +10,21 @@ mesh-sharded (halo-exchange) parallelism instead of Cython + process
 pools.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Datacube processing is dtype-faithful: float64 cubes stay float64
+# (parity with the reference's CPU numerics). Opt out with ND_TPU_X64=0
+# for pure-f32 deployments.
+if _os.environ.get('ND_TPU_X64', '1') != '0':
+    _jax.config.update('jax_enable_x64', True)
+
 from .core import DataArray, Dataset, concat, merge
+from .algorithm import Algorithm, wrap_algorithm, parallelize
+from .io import open_dataset, to_netcdf
 
 __version__ = '0.1.0'
 
-__all__ = ['DataArray', 'Dataset', 'concat', 'merge']
+__all__ = ['DataArray', 'Dataset', 'concat', 'merge', 'Algorithm',
+           'wrap_algorithm', 'parallelize', 'open_dataset', 'to_netcdf']

@@ -1,0 +1,118 @@
+"""Time-series change detection on SAR covariance datacubes.
+
+Parity surface of /root/reference/nd/change.py (ChangeDetection ABC,
+OmnibusTest, ``omnibus`` functional wrapper). The Wishart omnibus kernel
+runs fused on the TPU (``nd_tpu.ops.change``) with a built-in chi-square
+CDF — no GSL, no OpenMP; see the kernel module for the redesign notes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .algorithm import Algorithm, wrap_algorithm
+from .core import DataArray
+from .filters import BoxcarFilter
+from .io import disassemble_complex
+from .ops.change import change_detection as _change_detection
+from .utils import requires
+
+__all__ = ['ChangeDetection', 'OmnibusTest', 'omnibus']
+
+
+class ChangeDetection(Algorithm):
+    """Abstract base class for change detection algorithms."""
+
+    njobs = 1
+
+    def __init__(self, njobs=1):
+        self.njobs = njobs
+
+
+def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
+    """Change detection after Conradsen et al. (2016).
+
+    Parameters
+    ----------
+    ds : Dataset
+        A (multilooked) dataset in covariance matrix format with
+        variables C11, C12 (complex or re/im pair), C22.
+    alpha : float (0. ... 1.), optional
+        The probability threshold (default: 0.01). A change is flagged
+        when the chi-square probability of the omnibus statistic exceeds
+        ``alpha`` — identical convention to the reference
+        (/root/reference/nd/_change.pyx:239-253).
+    ml : int, optional
+        Multilooking window size applied before testing. If None the
+        dataset is assumed to be multilooked already (default: None).
+    n : int, optional
+        The number of looks in ``ds``; ignored when ``ml`` is given
+        (default: 1).
+    njobs : int, optional
+        Kept for API parity; the device kernel parallelizes over all
+        pixels regardless.
+
+    Returns
+    -------
+    DataArray
+        Boolean change map over (y, x, time).
+    """
+    ds_m = disassemble_complex(ds)
+
+    if ml is not None:
+        ds_m = BoxcarFilter(w=ml).apply(ds_m)
+        n = ml ** 2
+
+    da = ds_m[['C11', 'C12__re', 'C12__im', 'C22']].to_array()
+    da = da.transpose('y', 'x', 'time', 'variable')
+    values = jnp.asarray(da.data)
+
+    change = _change_detection(values, alpha=float(alpha), n=int(n))
+
+    coords = {k: v for k, v in ds._coords.items()}
+    out = DataArray(np.asarray(change), dims=('y', 'x', 'time'),
+                    attrs=dict(ds.attrs), name='change')
+    for ck, cv in coords.items():
+        if set(cv.dims).issubset({'y', 'x', 'time'}):
+            out._coords[ck] = cv
+    return out
+
+
+@requires('gsl')  # capability flag: satisfied natively (chi2 on device)
+class OmnibusTest(ChangeDetection):
+    """OmnibusTest
+
+    Change detection algorithm by Conradsen et al. (2016), computed as a
+    fused TPU kernel over the full cube.
+
+    Parameters
+    ----------
+    ds : Dataset
+        A (multilooked) dataset in covariance matrix format.
+    ml : int, optional
+        Multilooking window size. By default no multilooking is
+        performed and the dataset is assumed to be multilooked.
+    n : int, optional
+        The number of looks in ``ds``. If ``ml`` is specified this
+        parameter is ignored (default: 1).
+    alpha : float (0. ... 1.), optional
+        The probability threshold (default: 0.01).
+    kwargs : dict, optional
+        Extra keyword arguments for ``ChangeDetection.__init__``.
+    """
+
+    def __init__(self, ml=None, n=1, alpha=0.01, *args, **kwargs):
+        self.ml = ml
+        self.n = n
+        self.alpha = alpha
+        super().__init__(*args, **kwargs)
+
+    def apply(self, ds):
+        return _omnibus_change_detection(ds, alpha=self.alpha,
+                                         ml=self.ml, n=self.n,
+                                         njobs=self.njobs)
+
+
+omnibus = wrap_algorithm(OmnibusTest, 'omnibus')

@@ -1,0 +1,392 @@
+"""N-dimensional noise-reduction filters over arbitrary dimension
+subsets, executing on TPU.
+
+Parity surface of /root/reference/nd/filters.py (Filter base,
+ConvolutionFilter, BoxcarFilter, GaussianFilter, NLMeansFilter and the
+functional wrappers), redesigned for device execution: the filter
+payloads are XLA convolutions / Pallas-style fused scans
+(``nd_tpu.ops``), data stays on device across the per-variable loop, and
+chunked parallelism declares its halo via ``_buffer`` exactly like the
+reference so split/apply/merge is bit-equal to the unsplit run.
+"""
+
+from __future__ import annotations
+
+from abc import abstractmethod
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .algorithm import Algorithm, wrap_algorithm, parallelize
+from .core import DataArray, Dataset
+from .core.variable import get_xp
+from .io import disassemble_complex
+from .ops.conv import convolve as _xla_convolve
+from .ops.conv import gaussian_kernel1d, separable_convolve
+from .ops.nlmeans import nlmeans as _xla_nlmeans
+from .utils import get_vars_for_dims, expand_variables, is_complex
+
+__all__ = ['Filter',
+           'ConvolutionFilter', 'convolution',
+           'BoxcarFilter', 'boxcar',
+           'GaussianFilter', 'gaussian',
+           'NLMeansFilter', 'nlmeans',
+           '_expand_kernel']
+
+
+# -----------------
+# UTILITY FUNCTIONS
+# -----------------
+
+def _expand_kernel(kernel, kernel_dims, new_dims):
+    """Reshape a kernel spanning ``kernel_dims`` to cover ``new_dims``.
+
+    Raises ValueError if ``kernel_dims`` doesn't match the kernel rank or
+    isn't a subset of ``new_dims`` (reference: filters.py:36-75).
+    """
+    if not set(new_dims).issuperset(set(kernel_dims)):
+        raise ValueError('`new_dims` must be a superset of '
+                         '`kernel_dims`.')
+    if kernel.ndim != len(kernel_dims):
+        raise ValueError('The length of `kernel_dims` must match the '
+                         'dimension of `kernel`.')
+    new_kernel_shape = np.ones(len(new_dims), dtype=int)
+    new_kernel_shape[[new_dims.index(_) for _ in kernel_dims]] = \
+        kernel.shape
+    return kernel.reshape(new_kernel_shape)
+
+
+# ----------------------
+# ABSTRACT CLASS: FILTER
+# ----------------------
+
+class Filter(Algorithm):
+    """Base class for a generic filter.
+
+    Class attributes
+    ----------------
+    per_variable : bool
+        If True the filter runs independently per variable; otherwise all
+        variables jointly determine the filter weights.
+    supports_complex : bool
+        If False, complex variables are disassembled into re/im pairs
+        before filtering (the result stays disassembled, matching the
+        reference's behavior, filters.py:132-134).
+    dims : tuple of str
+        The dimensions the filter operates over.
+    """
+
+    per_variable = True
+    supports_complex = False
+    dims = ()
+
+    @abstractmethod
+    def __init__(self, *args, **kwargs):
+        return
+
+    @parallelize
+    def apply(self, ds, inplace=False):
+        """
+        Apply the filter to the input dataset.
+
+        Parameters
+        ----------
+        ds : Dataset or DataArray
+            The input dataset
+        inplace : bool, optional
+            If True, overwrite the input data inplace (default: False).
+
+        Returns
+        -------
+        Dataset or DataArray
+            The filtered dataset
+        """
+        if inplace:
+            raise NotImplementedError('Inplace filtering is not '
+                                      'implemented for device arrays.')
+
+        orig_dims = tuple(ds.sizes)
+        ordered_dims = self.dims + tuple(d for d in orig_dims
+                                         if d not in self.dims)
+
+        convert_complex = is_complex(ds) and not self.supports_complex
+        if convert_complex:
+            ds = disassemble_complex(ds)
+
+        if isinstance(ds, DataArray):
+            vdims = ds.dims
+            axes = tuple(vdims.index(d) for d in self.dims)
+            result = ds.copy(deep=False)
+            result.data = self._filter(ds.data, axes)
+        else:
+            variables = get_vars_for_dims(ds, self.dims)
+            other_variables = get_vars_for_dims(ds, self.dims,
+                                                invert=True)
+            if self.per_variable:
+                result = ds.copy(deep=False)
+                for v in variables:
+                    vdims = ds[v].dims
+                    axes = tuple(vdims.index(d) for d in self.dims)
+                    filtered = self._filter(ds[v].data, axes)
+                    result._variables[v] = result._variables[v].__class__(
+                        vdims, filtered, ds[v].attrs)
+            else:
+                # variables form an extra axis; weights are joint.
+                joint_dims = ordered_dims + ('variable',)
+                da_ordered = ds[variables].to_array().transpose(
+                    *joint_dims)
+                axes = tuple(da_ordered.dims.index(d) for d in self.dims)
+                filtered = self._filter(da_ordered.data, axes)
+                da_filtered = da_ordered._replace(filtered)
+                result = expand_variables(da_filtered)
+                for v in result.data_vars:
+                    result._variables[v] = \
+                        result._variables[v].transpose(*ds[v].dims)
+                for v in other_variables:
+                    result._variables[v] = ds._variables[v]
+                result.attrs.update(ds.attrs)
+                for ck, cv in ds._coords.items():
+                    result._coords.setdefault(ck, cv)
+
+        return result
+
+    @abstractmethod
+    def _filter(self, arr, axes, output=None):
+        """Filter a raw array along ``axes``; returns the result.
+
+        ``output`` is accepted for API parity; if it is a numpy array the
+        result is also written into it.
+        """
+        return
+
+    def _finalize(self, result, output=None):
+        if output is not None and isinstance(output, np.ndarray):
+            output[...] = np.asarray(result)
+        return result
+
+
+# ------------------
+# CONVOLUTION FILTER
+# ------------------
+
+class ConvolutionFilter(Filter):
+    """Kernel convolution of a Dataset, on device.
+
+    Parameters
+    ----------
+    dims : tuple, optional
+        The dataset dimensions corresponding to the kernel axes
+        (default: ('y', 'x')). Length must match the kernel rank.
+    kernel : ndarray
+        The convolution kernel.
+    kwargs : dict, optional
+        Extra keyword arguments (``mode``, ``cval``) with
+        scipy.ndimage.convolve semantics.
+    """
+
+    per_variable = True
+    supports_complex = True
+    kwargs = {}
+
+    def __init__(self, dims=('y', 'x'), kernel=None, **kwargs):
+        if kernel is None:
+            kernel = np.ones([1] * len(dims))
+        self.dims = tuple(dims)
+        self.kernel = np.asarray(kernel)
+        self.kwargs = kwargs
+
+    def _parallel_dimension(self, ds):
+        """Split along the largest dimension not being filtered."""
+        extra_dims = list(set(ds.sizes) - set(self.dims))
+        if len(extra_dims) > 0:
+            return sorted(extra_dims, key=lambda d: ds.sizes[d],
+                          reverse=True)[0]
+        return sorted(ds.sizes, key=lambda d: ds.sizes[d],
+                      reverse=True)[0]
+
+    def _buffer(self, dim):
+        """Halo: half the kernel extent along the split dimension."""
+        if dim not in self.dims:
+            return 0
+        axis = self.dims.index(dim)
+        return self.kernel.shape[axis] // 2
+
+    def _filter(self, arr, axes, output=None):
+        mode = self.kwargs.get('mode', 'reflect')
+        cval = self.kwargs.get('cval', 0.0)
+        result = _xla_convolve(arr, jnp.asarray(self.kernel), axes=axes,
+                               mode=mode, cval=cval)
+        return self._finalize(result, output)
+
+
+convolution = wrap_algorithm(ConvolutionFilter, 'convolution')
+
+
+# -------------
+# BOXCAR FILTER
+# -------------
+
+class BoxcarFilter(ConvolutionFilter):
+    """A boxcar (moving average) filter.
+
+    Parameters
+    ----------
+    dims : tuple of str, optional
+        The dimensions along which to apply the filter
+        (default: ('y', 'x')).
+    w : int
+        The width of the boxcar window (odd for symmetry).
+    kwargs : dict, optional
+        Extra keyword arguments (``mode``, ``cval``).
+    """
+
+    def __init__(self, dims=('y', 'x'), w=3, **kwargs):
+        N = len(dims)
+        self.dims = tuple(dims)
+        self.w = w
+        self.kernel = np.ones((w,) * N, dtype=np.float64) / w ** N
+        self.kwargs = kwargs
+
+
+boxcar = wrap_algorithm(BoxcarFilter, 'boxcar')
+
+
+# ---------------
+# GAUSSIAN FILTER
+# ---------------
+
+class GaussianFilter(Filter):
+    """A Gaussian filter (separable device convolutions).
+
+    Parameters
+    ----------
+    dims : tuple of str, optional
+        The dimensions along which to apply the Gaussian filtering
+        (default: ('y', 'x')).
+    sigma : float or sequence of float
+        Standard deviation for the Gaussian kernel, per dimension if a
+        sequence.
+    kwargs : dict, optional
+        ``truncate`` (default 4.0), ``mode``, ``cval`` with scipy
+        semantics.
+
+    Returns
+    -------
+    Dataset
+        The filtered dataset.
+    """
+
+    def __init__(self, dims=('y', 'x'), sigma=1, **kwargs):
+        if isinstance(sigma, (int, float)):
+            sigma = [sigma] * len(dims)
+        self.dims = tuple(dims)
+        self.sigma = list(sigma)
+        self.kwargs = kwargs
+
+    def _parallel_dimension(self, ds):
+        extra_dims = list(set(ds.sizes) - set(self.dims))
+        if len(extra_dims) > 0:
+            return sorted(extra_dims, key=lambda d: ds.sizes[d],
+                          reverse=True)[0]
+        return sorted(ds.sizes, key=lambda d: ds.sizes[d],
+                      reverse=True)[0]
+
+    def _buffer(self, dim):
+        """Halo: the truncated kernel radius (4 sigma by default)."""
+        if dim not in self.dims:
+            return 0
+        axis = self.dims.index(dim)
+        sigma = self.sigma[axis]
+        truncate = self.kwargs.get('truncate', 4.0)
+        return int(truncate * sigma + 0.5)
+
+    def _filter(self, arr, axes, output=None):
+        truncate = self.kwargs.get('truncate', 4.0)
+        mode = self.kwargs.get('mode', 'reflect')
+        cval = self.kwargs.get('cval', 0.0)
+        kernels = [gaussian_kernel1d(s, truncate) for s in self.sigma]
+        if jnp.iscomplexobj(jnp.asarray(arr)):
+            arr = jnp.asarray(arr)
+            re = separable_convolve(arr.real, kernels, axes, mode, cval)
+            im = separable_convolve(arr.imag, kernels, axes, mode, cval)
+            result = re + 1j * im
+        else:
+            result = separable_convolve(arr, kernels, axes, mode, cval)
+        return self._finalize(result, output)
+
+
+gaussian = wrap_algorithm(GaussianFilter, 'gaussian')
+
+
+# ----------------------
+# NON-LOCAL MEANS FILTER
+# ----------------------
+
+class NLMeansFilter(Filter):
+    """Non-Local Means denoising (Buades et al. 2011), fused on TPU.
+
+    Buades, A., Coll, B., & Morel, J.-M. (2011). Non-Local Means
+    Denoising. Image Processing On Line, 1, 208-212.
+
+    Parameters
+    ----------
+    dims : tuple of str
+        The dataset dimensions along which to filter (up to 3).
+    r : int or sequence
+        Neighborhood search radius (per dim if a sequence).
+    sigma : float
+        Noise standard deviation.
+    h : float
+        Filtering strength.
+    f : int
+        Patch radius.
+    n_eff : float, optional
+        Desired effective sample size, or -1 to disable (default: -1).
+    """
+
+    per_variable = False
+
+    def __init__(self, dims=('y', 'x'), r=1, sigma=1, h=1, f=1, n_eff=-1):
+        if isinstance(r, (int, float)):
+            r = [r] * len(dims)
+        self.dims = tuple(dims)
+        self.r = np.array(r, dtype=np.uint32)
+        self.f = np.array([f if _ > 0 else 0 for _ in self.r],
+                          dtype=np.uint32)
+        self.sigma = sigma
+        self.h = h
+        self.n_eff = n_eff
+
+    def _parallel_dimension(self, ds):
+        extra_dims = list(set(ds.sizes) - set(self.dims))
+        if len(extra_dims) > 0:
+            return sorted(extra_dims, key=lambda d: ds.sizes[d],
+                          reverse=True)[0]
+        return sorted(ds.sizes, key=lambda d: ds.sizes[d],
+                      reverse=True)[0]
+
+    def _buffer(self, dim):
+        """Halo: r + f along split dimensions (filters.py:437-445)."""
+        if dim not in self.dims:
+            return 0
+        axis = self.dims.index(dim)
+        return int(self.r[axis] + self.f[axis])
+
+    def _filter(self, arr, axes, output=None):
+        arr = jnp.asarray(arr)
+        # Pad r and f to three dims (leading), mirroring the 4-D
+        # (d0, d1, d2, var) kernel layout.
+        ndim = arr.ndim
+        pad_before = np.zeros(4 - ndim, dtype=self.r.dtype)
+        pad_after = np.zeros(ndim - len(self.r) - 1, dtype=self.r.dtype)
+        r = np.concatenate([pad_before, self.r, pad_after])
+        f = np.concatenate([pad_before, self.f, pad_after])
+        values = arr.reshape((1,) * (4 - ndim) + arr.shape)
+        result = _xla_nlmeans(values, r, f, self.sigma, self.h,
+                              self.n_eff)
+        result = result.reshape(arr.shape)
+        return self._finalize(result, output)
+
+
+nlmeans = wrap_algorithm(NLMeansFilter, 'nlmeans')

@@ -1,0 +1,122 @@
+"""Omnibus change detection: parity vs the literal oracle, step-change
+localization, contracts."""
+
+import numpy as np
+import pytest
+
+from nd_tpu.change import ChangeDetection, OmnibusTest, omnibus
+from nd_tpu.ops.change import change_detection, omnibus_probabilities
+from nd_tpu.ops.stats import chi2_cdf
+from nd_tpu.testing import generate_test_dataset
+
+from reference_impls import (change_detection_oracle,
+                             omnibus_probability)
+
+
+def _step_change_cube(ny=8, nx=8, k=10, t_change=5, seed=0):
+    """A C2 cube with an abrupt intensity step at t_change."""
+    rng = np.random.RandomState(seed)
+    ds = generate_test_dataset(dims={'y': ny, 'x': nx, 'time': k},
+                               mean=[1, 0, 0, 1], sigma=0.1,
+                               random_seed=seed)
+    for v, m in [('C11', 5.0), ('C22', 5.0)]:
+        data = ds[v].values
+        data[:, :, t_change:] += m
+        ds[v] = (ds[v].dims, data)
+    # make diagonal entries positive and the matrix PSD-ish
+    for v in ('C11', 'C22'):
+        ds[v] = (ds[v].dims, np.abs(ds[v].values) + 0.5)
+    for v in ('C12__re', 'C12__im'):
+        ds[v] = (ds[v].dims, ds[v].values * 0.05)
+    return ds
+
+
+def test_chi2_cdf_vs_scipy():
+    from scipy.stats import chi2
+    x = np.linspace(0, 80, 200)
+    for df in (3.0, 4.0, 7.0, 16.0):
+        ref = chi2.cdf(x, df)
+        got = np.asarray(chi2_cdf(x, df))
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_omnibus_probability_vs_oracle():
+    rng = np.random.RandomState(1)
+    for n in (1, 9):
+        ts = np.abs(rng.normal(1, 0.2, size=(7, 4)))
+        ts[:, 1:3] *= 0.1
+        ref = omnibus_probability(ts, n)
+        got = float(omnibus_probabilities(ts[None, None], n=n)[0, 0])
+        np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_change_detection_vs_oracle():
+    ds = _step_change_cube()
+    values = np.stack([ds['C11'].values, ds['C12__re'].values,
+                       ds['C12__im'].values, ds['C22'].values], axis=-1)
+    alpha = 0.99
+    ref = change_detection_oracle(values, alpha=alpha, n=9)
+    got = np.asarray(change_detection(values, alpha=alpha, n=9))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_change_detection_vs_oracle_noisy():
+    """Random (non-PSD-guaranteed) data: NaN handling must match too."""
+    rng = np.random.RandomState(3)
+    values = rng.normal(1, 0.5, size=(6, 5, 8, 4))
+    for alpha in (0.5, 0.9, 0.99):
+        ref = change_detection_oracle(values, alpha=alpha, n=4)
+        got = np.asarray(change_detection(values, alpha=alpha, n=4))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_omnibus_step_change_detected():
+    ds = _step_change_cube(t_change=5)
+    result = OmnibusTest(n=9, alpha=0.9).apply(ds)
+    change = result.values
+    assert change.shape == (8, 8, 10)
+    # change detected at exactly t=5, everywhere
+    assert change[:, :, 5].all()
+    # and nowhere else
+    assert not change[:, :, :5].any()
+    assert not change[:, :, 6:].any()
+
+
+def test_omnibus_complex_input():
+    ds = _step_change_cube()
+    dsc = ds.copy()
+    dsc['C12'] = dsc['C12__re'] + 1j * dsc['C12__im']
+    del dsc['C12__re']
+    del dsc['C12__im']
+    r1 = OmnibusTest(n=9, alpha=0.99).apply(ds)
+    r2 = OmnibusTest(n=9, alpha=0.99).apply(dsc)
+    np.testing.assert_array_equal(r1.values, r2.values)
+
+
+def test_omnibus_multilook():
+    ds = _step_change_cube(ny=12, nx=12)
+    result = OmnibusTest(ml=3, alpha=0.9).apply(ds)
+    assert result.values[:, :, 5].all()
+
+
+def test_omnibus_functional_wrapper():
+    ds = _step_change_cube()
+    r1 = omnibus(ds, n=9, alpha=0.99)
+    r2 = OmnibusTest(n=9, alpha=0.99).apply(ds)
+    np.testing.assert_array_equal(r1.values, r2.values)
+
+
+def test_omnibus_output_metadata():
+    ds = _step_change_cube()
+    result = OmnibusTest(n=9, alpha=0.99).apply(ds)
+    assert result.name == 'change'
+    assert result.dims == ('y', 'x', 'time')
+    np.testing.assert_array_equal(result['time'].values,
+                                  ds['time'].values)
+    np.testing.assert_array_equal(result['y'].values, ds['y'].values)
+    assert result.attrs.get('crs') == ds.attrs.get('crs')
+
+
+def test_change_detection_is_abstract():
+    with pytest.raises(TypeError):
+        ChangeDetection(njobs=2)
