@@ -1,0 +1,98 @@
+"""FFT-based image registration on device.
+
+Replaces the reference's use of
+``skimage.registration.phase_cross_correlation``
+(/root/reference/nd/warp.py:1150) with a jnp.fft implementation
+including the single-step upsampled-DFT subpixel refinement
+(Guizar-Sicairos et al. 2008).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ['phase_cross_correlation', 'fourier_shift', 'translate']
+
+
+def _upsampled_dft(data, upsampled_region_size, upsample_factor,
+                   axis_offsets):
+    """Matrix-multiply DFT on an upsampled grid around a region."""
+    im2pi = 1j * 2 * np.pi
+    dim_properties = list(zip(data.shape, upsampled_region_size,
+                              axis_offsets))
+    for (n_items, ups_size, ax_offset) in dim_properties[::-1]:
+        kernel = ((jnp.arange(ups_size) - ax_offset)[:, None]
+                  * jnp.fft.fftfreq(n_items, upsample_factor))
+        kernel = jnp.exp(-im2pi * kernel)
+        data = jnp.tensordot(kernel, data, axes=(1, -1))
+    return data
+
+
+def phase_cross_correlation(src, ref, upsample_factor=1):
+    """Estimate the translation between two images.
+
+    Returns the (row, col) shift that must be applied to ``src`` to
+    register it onto ``ref`` — same convention as skimage.
+    """
+    src = jnp.asarray(src)
+    ref = jnp.asarray(ref)
+    src_f = jnp.fft.fft2(src)
+    ref_f = jnp.fft.fft2(ref)
+    image_product = src_f * jnp.conj(ref_f)
+    cross_correlation = jnp.fft.ifft2(image_product)
+    A = jnp.abs(cross_correlation)
+    maxima = jnp.unravel_index(jnp.argmax(A), A.shape)
+    shape = src.shape
+    midpoints = jnp.asarray([int(np.fix(s / 2)) for s in shape])
+    shifts = jnp.stack([m.astype(jnp.float64) for m in maxima])
+    shifts = jnp.where(shifts > midpoints, shifts - jnp.asarray(shape,
+                                                               shifts.dtype),
+                       shifts)
+
+    if upsample_factor > 1:
+        # refine around the integer peak with an upsampled DFT
+        upsample_factor = float(upsample_factor)
+        upsampled_region_size = int(np.ceil(upsample_factor * 1.5))
+        dftshift = np.fix(upsampled_region_size / 2.0)
+        shifts = jnp.round(shifts * upsample_factor) / upsample_factor
+        sample_region_offset = dftshift - shifts * upsample_factor
+        correlation = _upsampled_dft(
+            jnp.conj(image_product),
+            [upsampled_region_size] * 2,
+            upsample_factor, sample_region_offset).conj()
+        A = jnp.abs(correlation)
+        maxima = jnp.unravel_index(jnp.argmax(A), A.shape)
+        maxima = jnp.stack([m.astype(jnp.float64) for m in maxima]) \
+            - dftshift
+        shifts = shifts + maxima / upsample_factor
+
+    return shifts
+
+
+def fourier_shift(img, shift):
+    """Shift an image by (row, col) via the Fourier shift theorem."""
+    img = jnp.asarray(img)
+    f = jnp.fft.fft2(img)
+    fy = jnp.fft.fftfreq(img.shape[0])[:, None]
+    fx = jnp.fft.fftfreq(img.shape[1])[None, :]
+    phase = jnp.exp(-2j * np.pi * (shift[0] * fy + shift[1] * fx))
+    return jnp.real(jnp.fft.ifft2(f * phase))
+
+
+def translate(img, translation, method='bilinear'):
+    """Resample ``img`` shifted by ``translation = (dx, dy)``.
+
+    output[i, j] = input[i + dy, j + dx] — matching
+    ``skimage.transform.warp(img, AffineTransform(translation))``.
+    """
+    from .interp import map_coordinates
+    img = jnp.asarray(img)
+    H, W = img.shape[-2:]
+    ii = jnp.arange(H, dtype=jnp.float64)[:, None] + translation[1]
+    jj = jnp.arange(W, dtype=jnp.float64)[None, :] + translation[0]
+    rows = jnp.broadcast_to(ii, (H, W))
+    cols = jnp.broadcast_to(jj, (H, W))
+    out = map_coordinates(img, rows, cols, method=method, cval=np.nan)
+    return jnp.nan_to_num(out, nan=0.0)

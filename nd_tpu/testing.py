@@ -102,7 +102,9 @@ def generate_test_dataarray(dims={'y': 20, 'x': 20, 'time': 10},
     ds = generate_test_dataset(dims=dims, var=[name], mean=[mean],
                                sigma=[sigma], extent=extent,
                                random_seed=random_seed, crs=crs)
-    return ds[name]
+    da = ds[name]
+    da.attrs.update(ds.attrs)
+    return da
 
 
 def create_mock_classes(dims={'y': 50, 'x': 50, 'time': 10}):

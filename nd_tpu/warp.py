@@ -1,0 +1,827 @@
+"""Projection and warping: reprojection between CRS, resampling,
+multi-dataset alignment, time-series coregistration, and geospatial
+metadata extraction.
+
+Parity surface of /root/reference/nd/warp.py, redesigned for TPU: the
+GDAL warper call (warp.py:758 there) becomes a pure-array coordinate
+transform (``nd_tpu.crs``) followed by a device gather-interpolation
+(``nd_tpu.ops.interp``); phase-correlation coregistration runs on
+``jnp.fft`` instead of skimage. The grid convention matches the
+reference: the coordinate of pixel (row, col) is
+``transform * (col, row)`` (see get_transform, warp.py:175-199 there).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import warnings
+from collections import namedtuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .algorithm import Algorithm, parallelize, wrap_algorithm
+from .core import DataArray, Dataset
+from .core.variable import Variable, get_xp, is_device_array
+from .crs import CRS, Affine, transform_coords
+from .io import open_dataset, to_netcdf, disassemble_complex
+from .ops.fft import phase_cross_correlation, translate
+from .ops.interp import map_coordinates, grid_from_transforms
+from .utils import get_dims, get_vars_for_dims
+
+__all__ = ['Reprojection', 'reproject', 'Resample', 'resample',
+           'Alignment', 'align', 'Coregistration', 'coregister',
+           'get_crs', 'get_transform', 'get_resolution', 'get_bounds',
+           'get_extent', 'get_geometry', 'get_common_bounds',
+           'get_common_extent', 'get_common_resolution', 'nrows',
+           'ncols', '_parse_crs']
+
+BoundingBox = namedtuple('BoundingBox', ['left', 'bottom', 'right', 'top'])
+
+
+class CRSError(ValueError):
+    pass
+
+
+def _get_projection_dim_order(ds):
+    """Dimension order for projection ops: x and y last."""
+    dims = get_dims(ds)
+    extra = tuple(d for d in dims if d not in ('y', 'x'))
+    return extra + ('y', 'x')
+
+
+def _parse_crs(crs):
+    """Parse a CRS from proj-string, dict, WKT, EPSG int or CRS."""
+    try:
+        return CRS.from_user_input(crs)
+    except (ValueError, NotImplementedError) as e:
+        raise CRSError('Could not parse CRS: {} ({})'.format(crs, e))
+
+
+def get_crs(ds, format='crs'):
+    """Extract the CRS from a dataset.
+
+    Resolution order (reference: warp.py:118-168): ``attrs['crs']`` ->
+    ``attrs['coordinate_system_string']`` -> attributes of a SNAP-style
+    ``crs`` data variable.
+
+    Parameters
+    ----------
+    ds : Dataset or DataArray
+    format : str {'crs', 'proj', 'dict', 'wkt'}
+    """
+    crs = None
+    if 'crs' in ds.attrs:
+        crs = _parse_crs(ds.attrs['crs'])
+    elif 'coordinate_system_string' in ds.attrs:
+        crs = _parse_crs(ds.attrs['coordinate_system_string'])
+    elif isinstance(ds, Dataset) and 'crs' in ds.data_vars:
+        for attr_val in ds['crs'].attrs.values():
+            for candidate in (attr_val,
+                              attr_val[0] if isinstance(
+                                  attr_val, (list, tuple, np.ndarray))
+                              and len(attr_val) else None):
+                if candidate is None:
+                    continue
+                try:
+                    crs = _parse_crs(candidate)
+                    break
+                except CRSError:
+                    continue
+            if crs is not None:
+                break
+
+    if crs is None:
+        return None
+    if format == 'crs':
+        return crs
+    if format == 'proj':
+        return crs.to_proj4()
+    if format == 'dict':
+        return crs.to_dict()
+    if format == 'wkt':
+        return crs.wkt
+    raise ValueError('unknown format %r' % format)
+
+
+# ------------------------------------------
+# Geospatial parameters from coordinates
+# ------------------------------------------
+
+def get_transform(ds):
+    """The affine transform mapping (col, row) to (x, y)."""
+    if 'x' in ds.coords and 'y' in ds.coords:
+        x = np.asarray(ds.coords['x'].values, dtype=np.float64)
+        y = np.asarray(ds.coords['y'].values, dtype=np.float64)
+        resx = (x[-1] - x[0]) / (len(x) - 1)
+        resy = (y[-1] - y[0]) / (len(y) - 1)
+        return Affine(resx, 0, x[0], 0, resy, y[0])
+    return _get_transform_from_metadata(ds)
+
+
+def get_resolution(ds):
+    """The raster resolution as (x, y)."""
+    if 'x' in ds.coords and 'y' in ds.coords:
+        x = np.asarray(ds.coords['x'].values, dtype=np.float64)
+        y = np.asarray(ds.coords['y'].values, dtype=np.float64)
+        resx = abs(x[-1] - x[0]) / (len(x) - 1)
+        resy = abs(y[-1] - y[0]) / (len(y) - 1)
+        return (resx, resy)
+    return _get_resolution_from_metadata(ds)
+
+
+def get_bounds(ds):
+    """Bounding box (left, bottom, right, top) in projection coords."""
+    if 'x' in ds.coords and 'y' in ds.coords:
+        return BoundingBox(
+            left=float(np.min(ds.coords['x'].values)),
+            bottom=float(np.min(ds.coords['y'].values)),
+            right=float(np.max(ds.coords['x'].values)),
+            top=float(np.max(ds.coords['y'].values)))
+    return _get_bounds_from_metadata(ds)
+
+
+def transform_bounds(src_crs, dst_crs, left, bottom, right, top,
+                     densify_pts=21):
+    """Transform a bounding box between CRS (densified edges)."""
+    src_crs = _parse_crs(src_crs)
+    dst_crs = _parse_crs(dst_crs)
+    if src_crs == dst_crs:
+        return BoundingBox(left, bottom, right, top)
+    n = densify_pts
+    xs = np.linspace(left, right, n)
+    ys = np.linspace(bottom, top, n)
+    edge_x = np.concatenate([xs, xs, np.full(n, left),
+                             np.full(n, right)])
+    edge_y = np.concatenate([np.full(n, bottom), np.full(n, top),
+                             ys, ys])
+    tx, ty = transform_coords(src_crs, dst_crs, edge_x, edge_y, xp=np)
+    ok = np.isfinite(tx) & np.isfinite(ty)
+    return BoundingBox(float(np.min(tx[ok])), float(np.min(ty[ok])),
+                       float(np.max(tx[ok])), float(np.max(ty[ok])))
+
+
+def get_extent(ds):
+    """Extent (left, bottom, right, top) in lat/lon (EPSG:4326)."""
+    if 'lon' in ds.coords and 'lat' in ds.coords:
+        lon = np.asarray(ds.coords['lon'].values)
+        lat = np.asarray(ds.coords['lat'].values)
+        return BoundingBox(
+            left=float(np.nanmin(lon)), bottom=float(np.nanmin(lat)),
+            right=float(np.nanmax(lon)), top=float(np.nanmax(lat)))
+    src_crs = get_crs(ds)
+    if src_crs is None:
+        raise CRSError('Could not determine the CRS.')
+    return transform_bounds(src_crs, CRS.from_epsg(4326),
+                            *get_bounds(ds))
+
+
+def get_geometry(ds, crs={'init': 'epsg:4326'}):
+    """Bounding-box polygon of the dataset in the given CRS."""
+    from .vector.geometry import box, transform_geom
+    src_geometry = box(*get_bounds(ds))
+    src_crs = get_crs(ds)
+    dst_crs = _parse_crs(crs)
+
+    def project(xs, ys):
+        return transform_coords(src_crs, dst_crs, np.asarray(xs),
+                                np.asarray(ys), xp=np)
+
+    return transform_geom(project, src_geometry)
+
+
+# ---------------------------------------
+# Geospatial parameters from metadata
+# ---------------------------------------
+
+def _get_transform_from_metadata(ds):
+    if 'transform' in ds.attrs:
+        ds_trans = ds.attrs['transform']
+        if isinstance(ds_trans, Affine):
+            return ds_trans
+        return Affine(*np.asarray(ds_trans).ravel()[:6])
+    if isinstance(ds, Dataset) and 'crs' in ds.data_vars \
+            and 'i2m' in ds['crs'].attrs:
+        transf_str = ds['crs'].attrs['i2m']
+        if isinstance(transf_str, np.ndarray) and len(transf_str) == 1:
+            transf_str = transf_str[0]
+        a = list(map(float, str(transf_str).split(',')))
+        return Affine(a[0], a[2], a[4], a[1], a[3], a[5])
+    return None
+
+
+def _get_bounds_from_metadata(ds):
+    transform = _get_transform_from_metadata(ds)
+    if transform is not None:
+        ny = ds.sizes['y']
+        nx = ds.sizes['x']
+        corners = (np.array([0, 0, nx - 1, nx - 1]),
+                   np.array([0, ny - 1, 0, ny - 1]))
+        corner_x, corner_y = transform * corners
+        return BoundingBox(left=corner_x.min(), bottom=corner_y.min(),
+                           right=corner_x.max(), top=corner_y.max())
+    if 'bounds' in ds.attrs:
+        return BoundingBox(*ds.attrs['bounds'])
+    return None
+
+
+def _get_resolution_from_metadata(ds):
+    transform = _get_transform_from_metadata(ds)
+    if transform is not None:
+        return (abs(transform.a), abs(transform.e))
+    if 'res' in ds.attrs:
+        return tuple(ds.attrs['res'])
+    return None
+
+
+def get_common_bounds(datasets):
+    """Common bounding box of the datasets (in the first one's CRS)."""
+    bounds = []
+    common_crs = get_crs(datasets[0])
+    for ds in datasets:
+        ds_bounds = get_bounds(ds)
+        crs = get_crs(ds)
+        proj_bounds = transform_bounds(crs, common_crs, *ds_bounds)
+        bounds.append(proj_bounds)
+    bounds = np.array(bounds)
+    common = np.concatenate((bounds[:, :2].min(axis=0),
+                             bounds[:, 2:].max(axis=0)))
+    return BoundingBox(*common)
+
+
+def get_common_extent(datasets):
+    """Smallest lat/lon extent containing all input datasets."""
+    common_bounds = get_common_bounds(datasets)
+    common_crs = get_crs(datasets[0])
+    return transform_bounds(common_crs, CRS.from_epsg(4326),
+                            *common_bounds)
+
+
+def get_common_resolution(datasets, mode='min'):
+    """Common resolution of the datasets ('min', 'max' or 'mean')."""
+    if mode not in ['min', 'max', 'mean']:
+        raise ValueError("Unsupported mode: '{}'".format(mode))
+    crs = [get_crs(ds) for ds in datasets]
+    if not all(c == crs[0] for c in crs):
+        raise ValueError('All datasets must have the same projection.')
+    resolutions = np.array([get_resolution(ds) for ds in datasets])
+    if mode == 'min':
+        return tuple(resolutions.min(axis=0))
+    if mode == 'max':
+        return tuple(resolutions.max(axis=0))
+    return tuple(resolutions.mean(axis=0))
+
+
+def nrows(ds):
+    return ds.sizes['y']
+
+
+def ncols(ds):
+    return ds.sizes['x']
+
+
+def _add_latlon(ds, n=50):
+    """Attach sparse (y, x) lat/lon tie-point coordinates
+    (reference: warp.py:505-538)."""
+    nx = ncols(ds)
+    ny = nrows(ds)
+    src_crs = get_crs(ds)
+    dst_crs = CRS.from_epsg(4326)
+    n = min(n, nx, ny)
+    idx_x = np.linspace(0, nx - 1, n, dtype=int)
+    idx_y = np.linspace(0, ny - 1, n, dtype=int)
+    xs = np.asarray(ds.coords['x'].values)[idx_x]
+    ys = np.asarray(ds.coords['y'].values)[idx_y]
+    xgrid, ygrid = np.meshgrid(xs, ys)
+    lon, lat = transform_coords(src_crs, dst_crs, xgrid.ravel(),
+                                ygrid.ravel(), xp=np)
+    lon_sparse = np.full((ny, nx), np.nan)
+    lat_sparse = np.full((ny, nx), np.nan)
+    lon_sparse[idx_y[:, None], idx_x] = np.asarray(lon).reshape((n, n))
+    lat_sparse[idx_y[:, None], idx_x] = np.asarray(lat).reshape((n, n))
+    ds._coords['lat'] = Variable(('y', 'x'), lat_sparse)
+    ds._coords['lon'] = Variable(('y', 'x'), lon_sparse)
+
+
+def _expand_var_to_xy(da, coords):
+    """Broadcast a 1-d x or y variable onto the full (y, x) grid."""
+    if 'x' in da.dims and 'y' in da.dims:
+        return da
+    if 'x' in da.dims:
+        new_dim = 'y'
+    elif 'y' in da.dims:
+        new_dim = 'x'
+    else:
+        raise ValueError('Cannot expand the DataArray to x, y')
+    n = len(np.asarray(coords[new_dim].values))
+    xp = get_xp(da.data)
+    data = xp.broadcast_to(xp.expand_dims(da.data, 0),
+                           (n,) + da.shape)
+    out = DataArray(data, dims=(new_dim,) + da.dims, name=da.name)
+    out._coords = dict(da._coords)
+    out._coords[new_dim] = Variable((new_dim,),
+                                    np.asarray(coords[new_dim].values))
+    return out
+
+
+def _collapse_coords(coords):
+    """Drop dimensions along which a coordinate array is constant."""
+    tol = 1e-8
+    collapsed = coords
+    numeric = np.issubdtype(np.asarray(collapsed.values).dtype, np.number)
+    for d in tuple(collapsed.dims):
+        c0 = collapsed.isel({d: 0})
+        vals = np.asarray(collapsed.values)
+        v0 = np.asarray(c0.values)
+        axis = collapsed.dims.index(d)
+        v0e = np.expand_dims(v0, axis)
+        if numeric:
+            same = np.all(np.abs(np.where(np.isnan(v0e) & np.isnan(vals),
+                                          0, v0e - vals)) < tol)
+        else:
+            same = np.all(v0e == vals)
+        if same:
+            collapsed = c0
+    return collapsed
+
+
+def calculate_default_transform(src_crs, dst_crs, width, height,
+                                left, bottom, right, top,
+                                resolution=None, dst_width=None,
+                                dst_height=None):
+    """Default output grid for a reprojection.
+
+    Maps the densified source boundary into the target CRS, then picks a
+    resolution that preserves the source pixel count per axis (unless an
+    explicit resolution or output size is given). Our own replacement
+    for rasterio.warp.calculate_default_transform (warp.py:683-690 in
+    the reference).
+    """
+    dst_bounds = transform_bounds(src_crs, dst_crs, left, bottom, right,
+                                  top)
+    l, b, r, t = dst_bounds
+    if resolution is not None:
+        if np.isscalar(resolution):
+            resolution = (resolution, resolution)
+        resx, resy = resolution
+        w = int(abs((r - l) / resx)) + 1
+        h = int(abs((t - b) / resy)) + 1
+    elif dst_width is not None and dst_height is not None:
+        w, h = int(dst_width), int(dst_height)
+        resx = (r - l) / (w - 1)
+        resy = (t - b) / (h - 1)
+    else:
+        w, h = int(width), int(height)
+        resx = (r - l) / (w - 1)
+        resy = (t - b) / (h - 1)
+    transform = Affine(abs(resx), 0, l, 0, -abs(resy), t)
+    return transform, w, h
+
+
+# ------------------------------------------
+# The core reprojection engine
+# ------------------------------------------
+
+def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
+               width=None, height=None, res=None, extent=None, **kwargs):
+    """Reproject a Dataset or DataArray onto a new grid / CRS.
+
+    Accepted parameterizations match the reference (warp.py:586-869):
+    (transform + width/height), (transform + extent), (extent + res),
+    (extent + width/height), or nothing (default transform inferred).
+    Resampling method is chosen by dtype: bilinear for floats, nearest
+    for integers (NaN nodata), overridable via ``resampling=`` kwarg.
+    """
+    if src_crs is None:
+        src_crs = get_crs(ds)
+    if src_crs is None:
+        raise CRSError('Could not infer projection from input data. '
+                       'Please provide the parameter `src_crs`.')
+    src_bounds = get_bounds(ds)
+    if extent is not None:
+        extent = BoundingBox(*extent)
+
+    if dst_crs is None:
+        dst_crs = src_crs
+        if width is None and height is not None:
+            width = int(ncols(ds) * height / nrows(ds))
+        elif height is None and width is not None:
+            height = int(nrows(ds) * width / ncols(ds))
+
+    if dst_transform is not None:
+        if width is not None and height is not None:
+            pass
+        elif extent is not None:
+            width = int(abs(
+                (extent.right - extent.left) / dst_transform.a)) + 1
+            height = int(abs(
+                (extent.top - extent.bottom) / dst_transform.e)) + 1
+        else:
+            raise ValueError('Not enough information provided.')
+    elif extent is not None:
+        if res is not None:
+            if np.isscalar(res):
+                res = (res, res)
+            width = int(abs((extent.right - extent.left) / res[0])) + 1
+            height = int(abs((extent.top - extent.bottom) / res[1])) + 1
+        resx = (extent.right - extent.left) / (width - 1)
+        resy = (extent.top - extent.bottom) / (height - 1)
+        dst_transform = Affine(resx, 0, extent.left, 0, -resy,
+                               extent.top)
+    else:
+        dst_transform, width, height = calculate_default_transform(
+            src_crs, dst_crs, ncols(ds), nrows(ds), *src_bounds,
+            resolution=res, dst_width=width, dst_height=height)
+
+    src_transform = get_transform(ds)
+    src_dims = get_dims(ds)
+    dst_crs = _parse_crs(dst_crs)
+
+    # destination coordinate arrays (corner-grid convention)
+    dst_x, _ = dst_transform * (np.arange(width),
+                                np.zeros(width, dtype=int))
+    _, dst_y = dst_transform * (np.zeros(height, dtype=int),
+                                np.arange(height))
+    dst_coords = {'x': dst_x, 'y': dst_y}
+    extra_dims = set(src_dims) - {'y', 'x'}
+    for c in extra_dims:
+        if c in ds.coords:
+            dst_coords[c] = ds.coords[c]
+
+    # Pixel-coordinate grid: computed once, shared by every variable.
+    rows, cols = grid_from_transforms(dst_transform, (height, width),
+                                      src_transform, src_crs=src_crs,
+                                      dst_crs=dst_crs, xp=jnp)
+
+    resampling = kwargs.get('resampling')
+
+    def _reproject_da(da, shape):
+        coord_dims = tuple(c for c in ('y', 'x') if c in da.dims)
+        da_extra = set(da.dims) - set(coord_dims)
+        orig_order = get_dims(da)
+        ordered_extra = tuple(d for d in orig_order if d in da_extra)
+        dim_order = ordered_extra + coord_dims
+
+        if np.issubdtype(np.dtype(str(da.dtype)), np.integer):
+            method = 'nearest'
+            nodata = 0
+        else:
+            method = 'bilinear'
+            nodata = np.nan
+        if resampling is not None:
+            method = resampling
+
+        values = da.transpose(*dim_order).data
+        values = jnp.asarray(values)
+        out_dtype = values.dtype
+        if values.dtype == jnp.float16:
+            values = values.astype(jnp.float32)
+        if jnp.issubdtype(values.dtype, jnp.integer):
+            values = values.astype(jnp.float64)
+
+        if jnp.iscomplexobj(values):
+            out = (map_coordinates(values.real, rows, cols, method,
+                                   cval=np.nan)
+                   + 1j * map_coordinates(values.imag, rows, cols,
+                                          method, cval=np.nan))
+        else:
+            out = map_coordinates(values, rows, cols, method,
+                                  cval=nodata)
+        if out_dtype == jnp.float16:
+            out = out.astype(jnp.float16)
+        return out
+
+    if isinstance(ds, Dataset):
+        result = Dataset(coords=dst_coords)
+        shape = (height, width)
+
+        for v in list(ds.coords):
+            cvar = ds.coords[v]
+            if dst_crs == src_crs and v not in ds.sizes:
+                if len(cvar.dims) == 0:
+                    result._coords[v] = Variable((), cvar.values)
+                elif cvar.dims in (('x',), ('y',)):
+                    expanded = _expand_var_to_xy(cvar, ds.coords)
+                    reproj = DataArray(
+                        np.asarray(_reproject_da(expanded, shape)),
+                        dims=('y', 'x'),
+                        coords={'y': dst_y, 'x': dst_x})
+                    collapsed = _collapse_coords(reproj)
+                    result._coords[v] = Variable(collapsed.dims,
+                                                 collapsed.values)
+            if not set(cvar.dims).issuperset({'x', 'y'}):
+                continue
+            result._coords[v] = Variable(
+                ('y', 'x'), np.asarray(_reproject_da(cvar, shape)))
+
+        for v in ds.data_vars:
+            vdims = _get_projection_dim_order(ds[v])
+            common = set(vdims).intersection(ds[v].dims)
+            if set(ds[v].dims) == set(vdims) \
+                    or set(ds[v].dims) == {'y', 'x'}:
+                proj_dims = tuple(d for d in vdims if d in ds[v].dims)
+                result[v] = (proj_dims, _reproject_da(ds[v], shape))
+                result._variables[v] = \
+                    result._variables[v].transpose(*get_dims(ds[v]))
+            elif common == {'x'} or common == {'y'}:
+                result[v] = (vdims, _reproject_da(
+                    _expand_var_to_xy(ds[v], ds.coords), shape))
+            else:
+                result[v] = (ds[v].dims, ds[v].data)
+    else:
+        shape = (height, width)
+        dst_dims = _get_projection_dim_order(ds)
+        proj_dims = tuple(d for d in dst_dims if d in ds.dims or
+                          d in ('y', 'x'))
+        result = DataArray(_reproject_da(ds, shape), dims=proj_dims,
+                           coords=dst_coords, name=ds.name)
+        result = result.transpose(*get_dims(ds))
+
+    result.attrs.update(ds.attrs)
+    result.attrs['transform'] = tuple(dst_transform)[:6]
+    result.attrs['crs'] = dst_crs.to_proj4()
+    result.attrs['coordinate_system_string'] = dst_crs.wkt
+    result.attrs['lines'] = nrows(result)
+    result.attrs['samples'] = ncols(result)
+    result.attrs['res'] = (abs(dst_transform.a), abs(dst_transform.e))
+    result.attrs['bounds'] = tuple(get_bounds(result))
+
+    _add_latlon(result)
+    return result
+
+
+# ------------------------------------------
+# Algorithms
+# ------------------------------------------
+
+class Reprojection(Algorithm):
+    """Reprojection of a dataset to the given CRS and extent.
+
+    Parameters
+    ----------
+    target : Dataset or DataArray, optional
+        A reference dataset to whose grid the input will be aligned.
+    src_crs : CRS-like, optional
+        CRS of the input data (default: infer).
+    dst_crs : CRS-like, optional
+        The output CRS (``crs`` is an accepted alias).
+    crs : CRS-like, optional
+        Alias for dst_crs.
+    extent : tuple, optional
+        Output extent (left, bottom, right, top).
+    res : tuple, optional
+        Output resolution.
+    width, height : int, optional
+        Output raster size.
+    transform : Affine, optional
+        Output transform (requires width and height or extent).
+    **kwargs : dict, optional
+        Extra arguments (e.g. ``resampling='nearest'``).
+    """
+
+    def __init__(self, target=None, src_crs=None, dst_crs=None, crs=None,
+                 extent=None, res=None, width=None, height=None,
+                 transform=None, **kwargs):
+        if target is not None:
+            for param, value in [('dst_crs', dst_crs),
+                                 ('transform', transform),
+                                 ('width', width), ('height', height),
+                                 ('extent', extent), ('res', res)]:
+                if value is not None:
+                    warnings.warn('`{}` is ignored if `target` is '
+                                  'specified.'.format(param))
+            dst_crs = get_crs(target)
+            transform = get_transform(target)
+            width = ncols(target)
+            height = nrows(target)
+            res = extent = None
+        elif transform is not None and (width is None or height is None):
+            raise ValueError('If `transform` is given, you must also '
+                             'specify the `width` and `height` '
+                             'arguments.')
+        elif extent is not None and res is None and \
+                (width is None or height is None):
+            raise ValueError('Need to provide either `width` and '
+                             '`height` or resolution when specifying '
+                             'the extent.')
+
+        self.src_crs = None if src_crs is None else _parse_crs(src_crs)
+        if crs is not None and dst_crs is not None:
+            warnings.warn('`crs` is ignored if `dst_crs` is specified.')
+        self.dst_crs = _parse_crs(dst_crs if dst_crs is not None else crs)
+        self.extent = extent
+        self.res = res
+        self.width = width
+        self.height = height
+        if transform is not None and not isinstance(transform, Affine):
+            transform = Affine(*tuple(transform)[:6])
+        self.transform = transform
+        self.kwargs = kwargs
+
+    def _buffer(self, dim):
+        return 0
+
+    def _parallel_dimension(self, ds):
+        return 'time'
+
+    @parallelize
+    def apply(self, ds):
+        """Apply the projection to a dataset.
+
+        Parameters
+        ----------
+        ds : Dataset
+            The input dataset.
+
+        Returns
+        -------
+        Dataset
+            The reprojected dataset.
+        """
+        return _reproject(ds, src_crs=self.src_crs, dst_crs=self.dst_crs,
+                          dst_transform=self.transform, width=self.width,
+                          height=self.height, res=self.res,
+                          extent=self.extent, **self.kwargs)
+
+
+reproject = wrap_algorithm(Reprojection, 'reproject')
+
+
+class Resample(Algorithm):
+    """Resample a dataset to the given resolution or size.
+
+    Parameters
+    ----------
+    res : float or tuple, optional
+        The desired resolution in dataset coordinates.
+    width : int, optional
+        Output width (ignored if res given; height inferred if absent).
+    height : int, optional
+        Output height (ignored if res given; width inferred if absent).
+    **kwargs : dict, optional
+        Extra arguments (e.g. ``resampling=``).
+    """
+
+    def __init__(self, res=None, width=None, height=None, **kwargs):
+        self.res = res
+        self.width = width
+        self.height = height
+        self.kwargs = kwargs
+
+    @parallelize
+    def apply(self, ds):
+        """Resample the dataset.
+
+        Parameters
+        ----------
+        ds : Dataset or DataArray
+            The input dataset
+
+        Returns
+        -------
+        Dataset or DataArray
+            The resampled dataset.
+        """
+        return _reproject(ds, width=self.width, height=self.height,
+                          res=self.res, **self.kwargs)
+
+
+resample = wrap_algorithm(Resample, 'resample')
+
+
+class Alignment(Algorithm):
+    """Align a list of datasets onto one common coordinate grid.
+
+    Parameters
+    ----------
+    target : Dataset, optional
+        Align with respect to this dataset's grid.
+    crs : CRS-like, optional
+        Output CRS (default: CRS of the first dataset).
+    extent : tuple, optional
+        Output bounds (default: the common bounds of all datasets).
+    """
+
+    def __init__(self, target=None, crs=None, extent=None):
+        self.target = target
+        self.crs = crs
+        self.extent = extent
+
+    def apply(self, datasets, path):
+        """Reproject datasets onto the common grid and stream each to
+        ``<path>/<name>_aligned.nc``.
+
+        Parameters
+        ----------
+        datasets : str, list of str, or list of Dataset
+            A glob expression, file list, or opened datasets.
+        path : str
+            Output directory.
+        """
+        if isinstance(datasets, str):
+            datasets = glob.glob(datasets)
+        if len(datasets) == 0:
+            raise ValueError('No files found!')
+
+        products = datasets
+        if isinstance(datasets[0], str):
+            product_names = [os.path.splitext(os.path.split(_)[1])[0]
+                             for _ in products]
+            datasets = [open_dataset(d, as_complex=False)
+                        for d in datasets]
+        else:
+            product_names = ['data{}'.format(i)
+                             for i in range(len(datasets))]
+
+        os.makedirs(path, exist_ok=True)
+        extent = self.extent if self.extent is not None \
+            else get_common_bounds(datasets)
+        res = get_common_resolution(datasets)
+        crs = self.crs if self.crs is not None else get_crs(datasets[0])
+
+        proj = Reprojection(dst_crs=crs, extent=extent, res=res)
+        for name, ds in zip(product_names, products):
+            outfile = os.path.join(path, name + '_aligned.nc')
+            if isinstance(ds, str):
+                ds = open_dataset(ds, as_complex=False)
+            aligned = proj.apply(ds)
+            to_netcdf(aligned, outfile)
+            del aligned
+
+
+align = wrap_algorithm(Alignment, 'align')
+
+
+# --------------
+# COREGISTRATION
+# --------------
+
+class Coregistration(Algorithm):
+    """Coregister a time series of images to a master image.
+
+    Translation-only registration: per time step, the shift against the
+    reference slice is estimated by FFT phase correlation (on device)
+    and corrected by resampling.
+
+    Parameters
+    ----------
+    reference : int, optional
+        Time index of the master image (default: 0).
+    upsampling : int, optional
+        Subpixel upsampling factor for shift estimation (default: 10).
+    """
+
+    def __init__(self, reference=0, upsampling=10):
+        self.reference = reference
+        self.upsampling = upsampling
+
+    def apply(self, ds):
+        """Coregister the dataset.
+
+        Parameters
+        ----------
+        ds : Dataset
+            The input dataset.
+
+        Returns
+        -------
+        Dataset
+            The coregistered dataset.
+        """
+        return _coregister(ds, reference=self.reference,
+                           upsampling=self.upsampling)
+
+
+def _coregister(ds, reference, upsampling, order=None):
+    ref_var = 'C11'
+    ds_new = disassemble_complex(ds)
+    ref = jnp.asarray(ds_new.isel(time=reference)[ref_var].data)
+    datavars = get_vars_for_dims(ds_new, ['time', 'x', 'y'])
+    k = ds_new.sizes['time']
+
+    new_data = {v: np.array(ds_new[v].transpose('time', 'y', 'x').values)
+                for v in datavars}
+    for t in range(k):
+        if t == reference:
+            continue
+        src = ds_new.isel(time=t)
+        shift = phase_cross_correlation(
+            jnp.asarray(src[ref_var].data), ref,
+            upsample_factor=upsampling)
+        shift = np.asarray(shift)
+        translation = (shift[1], shift[0])
+        for v in datavars:
+            shifted = translate(jnp.asarray(src[v].data), translation)
+            new_data[v][t] = np.asarray(shifted)
+
+    for v in datavars:
+        dims = ds_new[v].dims
+        da = DataArray(new_data[v], dims=('time', 'y', 'x'))
+        ds_new._variables[v] = Variable(
+            ('time', 'y', 'x'), da.data).transpose(*dims)
+    return ds_new
+
+
+coregister = wrap_algorithm(Coregistration, 'coregister')
