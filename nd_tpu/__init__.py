@@ -23,8 +23,16 @@ if _os.environ.get('ND_TPU_X64', '1') != '0':
 from .core import DataArray, Dataset, concat, merge
 from .algorithm import Algorithm, wrap_algorithm, parallelize
 from .io import open_dataset, to_netcdf
+from . import utils  # noqa: F401
+from . import filters  # noqa: F401
+from . import change  # noqa: F401
+from . import warp  # noqa: F401
+from . import tiling  # noqa: F401
+from .tiling import auto_merge
+from . import accessors  # noqa: F401  (registers .nd / .filter)
 
 __version__ = '0.1.0'
 
 __all__ = ['DataArray', 'Dataset', 'concat', 'merge', 'Algorithm',
-           'wrap_algorithm', 'parallelize', 'open_dataset', 'to_netcdf']
+           'wrap_algorithm', 'parallelize', 'open_dataset', 'to_netcdf',
+           'auto_merge']

@@ -1,0 +1,70 @@
+"""Polygon rasterization on device.
+
+Replaces ``rasterio.features.rasterize`` / ``geometry_mask``
+(/root/reference/nd/vector.py:158-183): pixel-center containment is
+evaluated as a vectorized even-odd crossing test over all polygon edges
+at once — O(pixels x edges) fused array work on the VPU instead of a
+scanline loop on the host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ['polygon_mask', 'rasterize_values']
+
+
+def _edges_of(geom):
+    """Stack all rings of a Polygon/MultiPolygon into edge arrays."""
+    from ..vector.geometry import MultiPolygon, Polygon
+    rings = []
+    if isinstance(geom, Polygon):
+        rings = [geom.exterior.as_array()] + \
+            [h.as_array() for h in geom.interiors]
+    elif isinstance(geom, MultiPolygon):
+        for g in geom.geoms:
+            rings.append(g.exterior.as_array())
+            rings.extend(h.as_array() for h in g.interiors)
+    else:
+        raise TypeError('cannot rasterize %r' % type(geom))
+    p0 = np.concatenate([r[:-1] for r in rings], axis=0)
+    p1 = np.concatenate([r[1:] for r in rings], axis=0)
+    return p0, p1
+
+
+def polygon_mask(geom, xs, ys):
+    """Boolean (len(ys), len(xs)) mask of pixel centers inside ``geom``.
+
+    Even-odd rule; holes in polygons are excluded automatically.
+    """
+    p0, p1 = _edges_of(geom)
+    X = jnp.asarray(xs)[None, :, None]           # (1, nx, 1)
+    Y = jnp.asarray(ys)[:, None, None]           # (ny, 1, 1)
+    x0 = jnp.asarray(p0[:, 0])[None, None, :]    # (1, 1, E)
+    y0 = jnp.asarray(p0[:, 1])[None, None, :]
+    x1 = jnp.asarray(p1[:, 0])[None, None, :]
+    y1 = jnp.asarray(p1[:, 1])[None, None, :]
+
+    cond = (y0 <= Y) != (y1 <= Y)
+    denom = jnp.where(y1 == y0, 1.0, y1 - y0)
+    xint = x0 + (Y - y0) / denom * (x1 - x0)
+    crossings = jnp.sum(cond & (X < xint), axis=-1)
+    return (crossings % 2) == 1
+
+
+def rasterize_values(geom_value_pairs, xs, ys, fill=0, dtype=None):
+    """Burn (geometry, value) pairs onto a grid, later pairs on top.
+
+    Mirrors rasterio.features.rasterize semantics (last geometry wins).
+    """
+    values = [v for _, v in geom_value_pairs]
+    dtype = dtype or np.result_type(*(np.asarray(v).dtype
+                                      for v in values)) \
+        if values else (dtype or np.float64)
+    out = jnp.full((len(ys), len(xs)), fill, dtype=dtype)
+    for geom, value in geom_value_pairs:
+        mask = polygon_mask(geom, xs, ys)
+        out = jnp.where(mask, jnp.asarray(value, dtype), out)
+    return out

@@ -203,6 +203,60 @@ def all_algorithms(parent=None):
     return sorted(set(found.values()), key=lambda c: c.__name__)
 
 
+def random_polygon(x=0, y=0, radius=1, irregularity=0.5, n=10,
+                   random_seed=None):
+    """A random simple polygon around (x, y)
+    (reference: testing.py:264-312)."""
+    rng = np.random.RandomState(random_seed)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    radii = radius * (1 + irregularity * (rng.uniform(size=n) - 0.5))
+    xs = x + radii * np.cos(angles)
+    ys = y + radii * np.sin(angles)
+    from .vector.geometry import Polygon
+    return Polygon(zip(xs, ys))
+
+
+def generate_test_polygons(n=10, extent=(-10.0, 50.0, 0.0, 60.0),
+                           random_seed=None):
+    """Random, pairwise non-overlapping polygons inside ``extent``."""
+    rng = np.random.RandomState(random_seed)
+    lon_min, lat_min, lon_max, lat_max = extent
+    # place polygons on a jittered grid to guarantee non-overlap
+    grid = int(np.ceil(np.sqrt(n)))
+    cw = (lon_max - lon_min) / grid
+    ch = (lat_max - lat_min) / grid
+    polys = []
+    cells = [(i, j) for i in range(grid) for j in range(grid)]
+    rng.shuffle(cells)
+    for (i, j) in cells[:n]:
+        cx = lon_min + (j + 0.5) * cw
+        cy = lat_min + (i + 0.5) * ch
+        polys.append(random_polygon(
+            cx, cy, radius=0.35 * min(cw, ch), n=8,
+            random_seed=rng.randint(2 ** 31)))
+    return polys
+
+
+def generate_test_geodataframe(n=10, extent=(-10.0, 50.0, 0.0, 60.0),
+                               crs='epsg:4326', random_seed=None):
+    """A random polygon table with categorical/float/int/date columns
+    (reference: testing.py:353-369)."""
+    import pandas as pd
+    rng = np.random.RandomState(random_seed)
+    polys = generate_test_polygons(n=n, extent=extent,
+                                   random_seed=random_seed)
+    df = pd.DataFrame({
+        'category': rng.choice(['forest', 'water', 'urban'], n),
+        'float': rng.uniform(0, 1, n),
+        'integer': rng.randint(0, 100, n),
+        'date': pd.to_datetime('2020-01-01')
+        + pd.to_timedelta(rng.randint(0, 3, n), unit='D'),
+    })
+    df['geometry'] = polys
+    df.attrs['crs'] = CRS.from_user_input(crs)
+    return df
+
+
 def assert_equal_files(f1, f2):
     """Assert two files are byte-identical (md5)."""
     def _md5(path):

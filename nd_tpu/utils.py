@@ -456,6 +456,13 @@ def apply(ds, fn, signature=None, njobs=1):
         result = _apply_da(ds)
     else:
         result = ds.map(_apply_da)
+        # prune coordinates whose dimensions were consumed by fn
+        live_dims = set()
+        for v in result._variables.values():
+            live_dims |= set(v.dims)
+        result._coords = {
+            k: v for k, v in result._coords.items()
+            if set(v.dims).issubset(live_dims)}
 
     if isinstance(result, DataArray) and 'var' in result.dims:
         result = expand_variables(result, dim='var')

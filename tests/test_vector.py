@@ -1,0 +1,110 @@
+"""Vector tests: geometry ops, shapefile reading, device rasterization."""
+
+import numpy as np
+import pytest
+
+from nd_tpu.testing import (generate_test_dataset,
+                            generate_test_geodataframe)
+from nd_tpu.vector import (Point, Polygon, box, rasterize, read_file,
+                           read_shapefile)
+from nd_tpu.vector.geometry import MultiPolygon, shape, mapping
+
+
+def test_polygon_basics():
+    p = box(0, 0, 2, 2)
+    assert p.bounds == (0, 0, 2, 2)
+    assert np.isclose(p.area, 4)
+    assert p.contains(Point(1, 1))
+    assert not p.contains(Point(3, 1))
+
+
+def test_polygon_with_hole():
+    p = Polygon([(0, 0), (4, 0), (4, 4), (0, 4)],
+                holes=[[(1, 1), (3, 1), (3, 3), (1, 3)]])
+    assert p.contains(Point(0.5, 0.5))
+    assert not p.contains(Point(2, 2))
+    assert np.isclose(p.area, 16 - 4)
+
+
+def test_polygon_intersects():
+    a = box(0, 0, 2, 2)
+    b = box(1, 1, 3, 3)
+    c = box(5, 5, 6, 6)
+    assert a.intersects(b)
+    assert not a.intersects(c)
+
+
+def test_geojson_mapping_roundtrip():
+    p = box(0, 0, 2, 2)
+    m = mapping(p)
+    p2 = shape(m)
+    assert p2.bounds == p.bounds
+
+
+def test_read_reference_shapefile():
+    geoms, records, crs = read_shapefile(
+        '/root/reference/data/labels.shp')
+    assert len(geoms) == len(records)
+    assert len(geoms) > 0
+    assert all(g.geom_type in ('Polygon', 'MultiPolygon')
+               for g in geoms if g is not None)
+
+
+def test_read_file_with_clip():
+    df = read_file('/root/reference/data/labels.shp')
+    assert 'geometry' in df.columns
+    full = len(df)
+    g0 = df['geometry'][0]
+    clipped = read_file('/root/reference/data/labels.shp',
+                        clip=box(*g0.bounds))
+    assert 1 <= len(clipped) <= full
+
+
+def test_rasterize_numeric():
+    ds = generate_test_dataset(dims={'y': 40, 'x': 40, 'time': 3})
+    df = generate_test_geodataframe(n=5, random_seed=1)
+    raster = rasterize(df, ds, columns=['float'])
+    assert 'float' in raster.data_vars
+    assert raster['float'].dims == ('y', 'x', 'time')
+    assert raster.sizes['y'] == 40
+    vals = np.asarray(raster['float'].values)
+    assert (vals != 0).any()
+
+
+def test_rasterize_categorical_encoding():
+    ds = generate_test_dataset(dims={'y': 40, 'x': 40, 'time': 3})
+    df = generate_test_geodataframe(n=6, random_seed=2)
+    raster = rasterize(df, ds, columns=['category'])
+    var = raster._variables['category']
+    assert 'legend' in var.attrs
+    legend = dict(var.attrs['legend'])
+    assert legend[0] is None
+    vals = np.asarray(raster['category'].values)
+    assert vals.max() >= 1
+
+
+def test_rasterize_date_field():
+    ds = generate_test_dataset(dims={'y': 30, 'x': 30, 'time': 3})
+    df = generate_test_geodataframe(n=6, random_seed=3)
+    raster = rasterize(df, ds, columns=['integer'], date_field='date')
+    n_dates = len(np.unique(np.asarray(df['date'].values)))
+    assert raster.sizes['time'] == n_dates
+
+
+def test_rasterize_values_inside_polygon():
+    """Pixels at a polygon's centroid carry its burned value."""
+    ds = generate_test_dataset(dims={'y': 50, 'x': 50, 'time': 2})
+    df = generate_test_geodataframe(n=4, random_seed=4)
+    raster = rasterize(df, ds, columns=['integer'])
+    ys = np.asarray(ds['y'].values)
+    xs = np.asarray(ds['x'].values)
+    burned = np.asarray(raster['integer'].isel(time=0).values)
+    hits = 0
+    for _, row in df.iterrows():
+        c = row['geometry'].centroid
+        i = int(np.argmin(np.abs(ys - c.y)))
+        j = int(np.argmin(np.abs(xs - c.x)))
+        if row['geometry'].contains(Point(xs[j], ys[i])):
+            assert burned[i, j] == row['integer']
+            hits += 1
+    assert hits >= 2
