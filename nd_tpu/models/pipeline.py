@@ -1,0 +1,169 @@
+"""Flagship end-to-end pipelines.
+
+``SARChangePipeline`` is the framework's flagship model: the full SAR
+processing chain (multilook -> Wishart omnibus change statistics ->
+feature extraction -> classifier head) expressed as a single jittable
+program that shards over a device mesh:
+
+  - the multilook convolution runs under ``shard_map`` with explicit
+    ICI halo exchange (nd_tpu.parallel.halo),
+  - the per-pixel change statistics and the classifier loss are
+    data-parallel over the (y, x) mesh axes; XLA inserts the gradient
+    reductions.
+
+This is the program benchmarked by ``bench.py`` and compile-checked by
+``__graft_entry__`` (single-chip forward + N-device training step).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.change import change_detection, omnibus_probabilities
+from ..ops.conv import convolve
+from ..parallel.halo import halo_pad, halo_trim
+
+__all__ = ['SARChangePipeline', 'multilook', 'change_features']
+
+
+def multilook(values, w=3):
+    """Boxcar multilook of a (y, x, time, 4) covariance stack."""
+    kernel = jnp.ones((w, w), values.dtype) / (w * w)
+    return convolve(values, kernel, axes=(0, 1), mode='reflect')
+
+
+def change_features(values, n=1):
+    """Per-pixel features from a (y, x, time, 4) covariance stack.
+
+    Returns (y, x, F): temporal mean/std of the diagonal channels, the
+    mean cross-channel coherence, and the omnibus probability of the
+    full series.
+    """
+    c11 = values[..., 0]
+    c22 = values[..., 3]
+    eps = jnp.asarray(1e-12, values.dtype)
+    ratio = c11 / (c22 + eps)
+    coh = jnp.sqrt(values[..., 1] ** 2 + values[..., 2] ** 2) \
+        / (jnp.sqrt(jnp.abs(c11 * c22)) + eps)
+    prob = omnibus_probabilities(values, n=n)
+    feats = [c11.mean(-1), c11.std(-1), c22.mean(-1), c22.std(-1),
+             ratio.mean(-1), coh.mean(-1),
+             jnp.nan_to_num(prob, nan=0.0)]
+    return jnp.stack(feats, axis=-1)
+
+
+class SARChangePipeline:
+    """Multilook + omnibus change detection + classifier head.
+
+    Parameters
+    ----------
+    ml : int, optional
+        Multilook window (default 3).
+    n : int, optional
+        Looks already present in the input (default 1; the multilook
+        multiplies this by ml**2).
+    alpha : float, optional
+        Change threshold (default 0.9).
+    n_classes : int, optional
+        Classifier classes (default 2).
+    lr : float, optional
+        SGD learning rate for the classifier head (default 0.05).
+    """
+
+    N_FEATURES = 7
+
+    def __init__(self, ml=3, n=1, alpha=0.9, n_classes=2, lr=0.05):
+        self.ml = ml
+        self.n = n
+        self.alpha = alpha
+        self.n_classes = n_classes
+        self.lr = lr
+
+    # -- initialization ------------------------------------------------------
+    def init_params(self, seed=0):
+        key = jax.random.PRNGKey(seed)
+        w = jax.random.normal(
+            key, (self.N_FEATURES, self.n_classes), jnp.float32) * 0.1
+        b = jnp.zeros((self.n_classes,), jnp.float32)
+        return {'w': w, 'b': b}
+
+    # -- forward (inference) -------------------------------------------------
+    def forward(self, values):
+        """values (y, x, time, 4) -> boolean change map (y, x, time).
+
+        The jittable single-chip forward step (graft entry)."""
+        looked = multilook(values, self.ml)
+        return change_detection(looked, alpha=self.alpha,
+                                n=self.n * self.ml ** 2)
+
+    # -- training ---------------------------------------------------------------
+    def loss(self, params, values, labels):
+        """Masked cross-entropy of the classifier head over change
+        features; ``values`` are already multilooked."""
+        feats = change_features(values, n=self.n * self.ml ** 2)
+        logits = jnp.dot(feats, params['w'],
+                         preferred_element_type=jnp.float32) \
+            + params['b']
+        logp = jax.nn.log_softmax(logits)
+        onehot = jax.nn.one_hot(labels, self.n_classes,
+                                dtype=logits.dtype)
+        mask = (labels >= 0).astype(logits.dtype)
+        ll = jnp.sum(logp * onehot, axis=-1) * mask
+        return -jnp.sum(ll) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def train_step(self, params, values, labels, mesh=None):
+        """One full training step: sharded multilook (halo exchange over
+        the mesh) + data-parallel loss/gradients + SGD update.
+
+        When ``mesh`` is None the step runs single-device.
+        """
+        if mesh is not None:
+            looked = self._sharded_multilook(values, mesh)
+        else:
+            looked = multilook(values, self.ml)
+        loss, grads = jax.value_and_grad(self.loss)(params, looked,
+                                                    labels)
+        params = jax.tree_util.tree_map(
+            lambda p, g: p - self.lr * g, params, grads)
+        return params, loss
+
+    def _sharded_multilook(self, values, mesh):
+        w = self.ml
+        halo = w // 2
+        kernel = jnp.ones((w, w), values.dtype) / (w * w)
+
+        def local(x):
+            x = halo_pad(x, 'y', 0, halo, mode='symmetric')
+            x = halo_pad(x, 'x', 1, halo, mode='symmetric')
+            y = convolve(x, kernel, axes=(0, 1), mode='reflect')
+            y = halo_trim(y, 0, halo)
+            return halo_trim(y, 1, halo)
+
+        spec = P('y', 'x', None, None)
+        return jax.shard_map(local, mesh=mesh, in_specs=spec,
+                             out_specs=spec)(values)
+
+    # -- full sharded step, jitted over the mesh ---------------------------------
+    def make_sharded_step(self, mesh):
+        """A jitted training step with mesh-sharded inputs.
+
+        Inputs: values P(y, x, None, None), labels P(y, x); parameters
+        replicated. XLA partitions the feature/loss computation over the
+        pixel grid and all-reduces the gradients over ICI.
+        """
+        data_sharding = NamedSharding(mesh, P('y', 'x', None, None))
+        label_sharding = NamedSharding(mesh, P('y', 'x'))
+        replicated = NamedSharding(mesh, P())
+
+        step = partial(self.train_step, mesh=mesh)
+        return jax.jit(
+            step,
+            in_shardings=(replicated, data_sharding, label_sharding),
+        ), data_sharding, label_sharding

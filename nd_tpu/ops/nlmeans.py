@@ -124,8 +124,12 @@ def nlmeans(arr, r, f, sigma, h, n_eff=-1.0):
         return ((wsum + w, wsq + w * w, jnp.maximum(wmax, w),
                  out + w[..., None] * vals), None)
 
-    zero = jnp.zeros(D, dtype)
-    init = (zero, zero, zero, jnp.zeros(D + (nvars,), dtype))
+    center = lax.dynamic_slice(P, (pad[0], pad[1], pad[2], 0),
+                               D + (nvars,))
+    # derive the init from the data so the carry keeps the same
+    # device-varying type as the body outputs under shard_map
+    zero = center[..., 0] * 0
+    init = (zero, zero, zero, center * 0)
     (wsum, wsq, wmax, out), _ = lax.scan(body, init, jnp.asarray(offsets))
 
     if n_eff < 0:
@@ -134,7 +138,5 @@ def nlmeans(arr, r, f, sigma, h, n_eff=-1.0):
         w_self = find_weight_vectorized(wsum, wsq,
                                         jnp.asarray(n_eff, dtype))
     total = wsum + w_self
-    center = lax.dynamic_slice(P, (pad[0], pad[1], pad[2], 0),
-                               D + (nvars,))
     out = (out + w_self[..., None] * center) / total[..., None]
     return out

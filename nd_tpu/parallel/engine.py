@@ -1,0 +1,180 @@
+"""Mesh-sharded execution of datacube algorithms.
+
+This is the device-level counterpart of ``Algorithm.apply(njobs=...)``:
+instead of chunking on the host, the cube is sharded over a named device
+mesh; windowed filters get their halos over the interconnect
+(``nd_tpu.parallel.halo``), pixelwise kernels (change detection,
+classification) are plainly data-parallel via NamedSharding and XLA's
+partitioner. Results are bit-equal to single-device execution — the
+multi-chip analogue of the reference's parallel==serial test contract
+(SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core import DataArray, Dataset
+from ..core.variable import Variable
+from .halo import shard_apply
+from .mesh import get_mesh
+
+__all__ = ['apply_sharded', 'shard_dataset', 'sharded_change_detection']
+
+# numpy.pad-style boundary modes of each filter kernel family;
+# scipy.ndimage 'reflect' (used by convolution filters) is numpy
+# 'symmetric', the NLMeans _idx convention is numpy 'reflect'.
+_SCIPY_TO_NP = {'reflect': 'symmetric', 'mirror': 'reflect',
+                'nearest': 'edge', 'constant': 'constant',
+                'wrap': 'wrap'}
+
+
+def _fit_mesh_to_dims(mesh, ds, dims, halos):
+    """Shrink mesh axes that don't fit the data (shard >= halo rule)."""
+    shape = []
+    names = []
+    for name in mesh.axis_names:
+        n = mesh.shape[name]
+        if name in dims:
+            size = ds.sizes[name]
+            halo = halos.get(name, 0)
+            max_shards = max(1, size // max(2 * halo, 1))
+            n = min(n, max_shards, size)
+        shape.append(n)
+        names.append(name)
+    devices = np.asarray(mesh.devices).reshape(-1)
+    total = int(np.prod(shape))
+    return jax.sharding.Mesh(
+        devices[:total].reshape(shape), tuple(names))
+
+
+def _filter_pad_mode(algo):
+    from ..filters import ConvolutionFilter, GaussianFilter, NLMeansFilter
+    if isinstance(algo, NLMeansFilter):
+        return 'reflect'
+    mode = getattr(algo, 'kwargs', {}).get('mode', 'reflect')
+    return _SCIPY_TO_NP.get(mode, 'symmetric')
+
+
+def apply_sharded(algo, ds, mesh=None):
+    """Apply a Filter algorithm sharded across the device mesh.
+
+    The mesh axes named after dataset dims are sharded; the filter's
+    ``_buffer(dim)`` supplies the halo per axis. Non-filter
+    (batch) dims stay replicated within each shard's slab.
+
+    Parameters
+    ----------
+    algo : nd_tpu.filters.Filter
+    ds : Dataset or DataArray
+    mesh : jax.sharding.Mesh, optional
+
+    Returns
+    -------
+    Same type as ``ds``, equal to ``algo.apply(ds)``.
+    """
+    from ..filters import Filter
+    from ..io import disassemble_complex
+    from ..utils import get_vars_for_dims, expand_variables, is_complex
+
+    if not isinstance(algo, Filter):
+        raise TypeError('apply_sharded expects a Filter algorithm; use '
+                        'sharded_change_detection or NamedSharding for '
+                        'pixelwise ops.')
+
+    mesh = mesh if mesh is not None else get_mesh()
+    halos = {d: int(algo._buffer(d)) for d in mesh.axis_names}
+    shard_dims = [d for d in mesh.axis_names
+                  if d in ds.sizes and d in algo.dims]
+    mesh = _fit_mesh_to_dims(mesh, ds, shard_dims, halos)
+    mode = _filter_pad_mode(algo)
+
+    convert_complex = is_complex(ds) and not algo.supports_complex
+    if convert_complex:
+        ds = disassemble_complex(ds)
+
+    def _run(arr, dims):
+        axes = tuple(dims.index(d) for d in algo.dims)
+        sharded_axes = {d: (dims.index(d), halos.get(d, 0))
+                        for d in shard_dims if d in dims}
+        if not sharded_axes:
+            return algo._filter(jnp.asarray(arr), axes)
+        return shard_apply(lambda x: algo._filter(x, axes),
+                           jnp.asarray(arr), mesh, sharded_axes,
+                           mode=mode)
+
+    if isinstance(ds, DataArray):
+        out = ds.copy(deep=False)
+        out.data = _run(ds.data, ds.dims)
+        return out
+
+    if algo.per_variable:
+        result = ds.copy(deep=False)
+        for v in get_vars_for_dims(ds, algo.dims):
+            filtered = _run(ds[v].data, ds[v].dims)
+            result._variables[v] = Variable(ds[v].dims, filtered,
+                                            ds[v].attrs)
+        return result
+
+    # joint-variable path (NLMeans)
+    orig_dims = tuple(ds.sizes)
+    ordered = algo.dims + tuple(d for d in orig_dims
+                                if d not in algo.dims) + ('variable',)
+    variables = get_vars_for_dims(ds, algo.dims)
+    other = get_vars_for_dims(ds, algo.dims, invert=True)
+    da = ds[variables].to_array().transpose(*ordered)
+    filtered = _run(da.data, da.dims)
+    result = expand_variables(da._replace(filtered))
+    for v in result.data_vars:
+        result._variables[v] = result._variables[v].transpose(
+            *ds[v].dims)
+    for v in other:
+        result._variables[v] = ds._variables[v]
+    result.attrs.update(ds.attrs)
+    for ck, cv in ds._coords.items():
+        result._coords.setdefault(ck, cv)
+    return result
+
+
+def shard_dataset(ds, mesh=None, dims=('y', 'x')):
+    """Place dataset variables on the mesh with NamedSharding.
+
+    Pixelwise kernels applied afterwards are partitioned automatically
+    by XLA (no halo needed).
+    """
+    mesh = mesh if mesh is not None else get_mesh()
+    out = ds.copy(deep=False)
+    for v, var in ds._variables.items():
+        spec = P(*[d if (d in dims and d in mesh.axis_names) else None
+                   for d in var.dims])
+        sharding = NamedSharding(mesh, spec)
+        out._variables[v] = Variable(
+            var.dims, jax.device_put(jnp.asarray(var.data), sharding),
+            var.attrs)
+    return out
+
+
+def sharded_change_detection(ds, alpha=0.01, ml=None, n=1, mesh=None):
+    """Omnibus change detection data-parallel over the mesh.
+
+    The (y, x) pixel grid is sharded; the time axis stays on-shard
+    (the per-pixel scan needs the full series — SURVEY §5,
+    long-context note). Multilook halos ride the halo engine.
+    """
+    from ..change import _omnibus_change_detection
+    from ..filters import BoxcarFilter
+
+    mesh = mesh if mesh is not None else get_mesh()
+
+    work = ds
+    if ml is not None:
+        # halo-correct multilook across the mesh
+        work = apply_sharded(BoxcarFilter(w=ml), ds, mesh=mesh)
+        n = ml ** 2
+
+    sharded = shard_dataset(work, mesh, dims=('y', 'x'))
+    return _omnibus_change_detection(sharded, alpha=alpha, ml=None, n=n)
