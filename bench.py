@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Measures the framework's headline metric (BASELINE.json): Mpix/s/chip
+for NLMeans + OmnibusTest on a synthetic Sentinel-1 C2 cube, with
+change-map parity against the native single-core reference
+implementation. ``vs_baseline`` is the speedup of the TPU path over the
+single-core CPU baseline (target: >= 50x).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+Extra per-config throughputs are reported in "detail".
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _make_cube(ny, nx, k, seed=0):
+    """Synthetic S1 dual-pol C2 covariance cube (f32, PSD per pixel)."""
+    rng = np.random.RandomState(seed)
+    c11 = np.abs(rng.normal(1.0, 0.25, size=(ny, nx, k))) + 0.3
+    c22 = np.abs(rng.normal(1.0, 0.25, size=(ny, nx, k))) + 0.3
+    # |c12|^2 < c11*c22 keeps determinants positive
+    mag = 0.4 * np.sqrt(c11 * c22) * rng.uniform(0, 1, size=(ny, nx, k))
+    phase = rng.uniform(0, 2 * np.pi, size=(ny, nx, k))
+    c12r = mag * np.cos(phase)
+    c12i = mag * np.sin(phase)
+    # abrupt backscatter change half-way through the series
+    c11[:, :, k // 2:] *= 2.5
+    c22[:, :, k // 2:] *= 2.5
+    cube = np.stack([c11, c12r, c12i, c22], axis=-1)
+    return cube.astype(np.float32)
+
+
+def _sync(out):
+    """Force completion: fetch one element to the host (some remote
+    backends treat block_until_ready as a no-op)."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+    return out
+
+
+def _time(fn, *args, reps=4, warmup=1):
+    for _ in range(warmup):
+        out = _sync(fn(*args))
+    # queue all reps, then drain — amortizes host<->device round-trip
+    # latency so the figure reflects device throughput
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(reps)]
+    for o in outs:
+        _sync(o)
+    return (time.perf_counter() - t0) / reps, outs[-1]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import nd_tpu  # noqa: F401
+    from nd_tpu.ops.change import change_detection
+    from nd_tpu.ops.conv import convolve
+    from nd_tpu.ops.nlmeans import nlmeans
+
+    backend = jax.default_backend()
+    on_accel = backend != 'cpu'
+
+    # ---- benchmark cube ------------------------------------------------
+    NY, NX, K = (1024, 1024, 12) if on_accel else (256, 256, 8)
+    cube = _make_cube(NY, NX, K)
+    mpix = NY * NX * K / 1e6
+    cube_d = jnp.asarray(cube)
+
+    detail = {'backend': backend, 'shape': [NY, NX, K]}
+
+    # ---- NLMeans (r=1, f=1 spatial, joint over 4 channels) -------------
+    r = (1, 1, 0)
+    f = (1, 1, 0)
+    sigma, h = 2.0, 3.0
+
+    nl_in = jnp.transpose(cube_d, (0, 1, 2, 3))  # (y, x, t, 4)
+
+    @jax.jit
+    def run_nlmeans(x):
+        return nlmeans(x, r, f, sigma, h, -1.0)
+
+    t_nl, _ = _time(run_nlmeans, nl_in)
+    detail['nlmeans_mpix_s'] = round(mpix / t_nl, 2)
+
+    # ---- Omnibus change detection --------------------------------------
+    alpha = 0.99
+    looks = 9
+
+    stat_dtype = 'float32' if on_accel else 'float64'
+
+    @jax.jit
+    def run_omnibus(x):
+        return change_detection(x, alpha=alpha, n=looks,
+                                stat_dtype=stat_dtype)
+
+    t_om, change_map = _time(run_omnibus, cube_d)
+    detail['omnibus_mpix_s'] = round(mpix / t_om, 2)
+
+    # ---- secondary configs ---------------------------------------------
+    k3 = jnp.ones((3, 3), jnp.float32) / 9
+
+    @jax.jit
+    def run_boxcar(x):
+        return convolve(x, k3, axes=(0, 1), mode='reflect')
+
+    t_bx, _ = _time(run_boxcar, cube_d)
+    detail['boxcar_mpix_s'] = round(mpix / t_bx, 2)
+
+    from nd_tpu.ops.conv import gaussian_kernel1d, separable_convolve
+    g1 = jnp.asarray(gaussian_kernel1d(1.5), jnp.float32)
+
+    @jax.jit
+    def run_gauss(x):
+        return separable_convolve(x, [g1, g1], axes=(0, 1))
+
+    t_gs, _ = _time(run_gauss, cube_d)
+    detail['gaussian_mpix_s'] = round(mpix / t_gs, 2)
+
+    # ---- headline: NLMeans + Omnibus combined --------------------------
+    combined_mpix_s = mpix * 2 / (t_nl + t_om)
+
+    # ---- single-core CPU baseline (native C++ kernels) -----------------
+    base_mpix_s = None
+    parity = None
+    try:
+        from nd_tpu._native import (change_detection_native,
+                                    nlmeans_native)
+        by, bx = (128, 128)
+        small = cube[:by, :bx]
+        small_mpix = by * bx * K / 1e6
+
+        t0 = time.perf_counter()
+        nlmeans_native(np.ascontiguousarray(small), r, f, sigma, h,
+                       -1.0, nthreads=1)
+        t_nl_cpu = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        change_cpu = change_detection_native(small, alpha, n=looks,
+                                             nthreads=1)
+        t_om_cpu = time.perf_counter() - t0
+
+        base_mpix_s = small_mpix * 2 / (t_nl_cpu + t_om_cpu)
+
+        # parity: boolean change map vs native reference
+        sub = np.asarray(change_map)[:by, :bx]
+        parity = float((sub != change_cpu).mean())
+        detail['cpu_1core_mpix_s'] = round(base_mpix_s, 3)
+        detail['change_map_mismatch_rate'] = parity
+    except Exception as e:  # pragma: no cover
+        detail['baseline_error'] = str(e)
+
+    vs_baseline = (combined_mpix_s / base_mpix_s) if base_mpix_s \
+        else None
+
+    result = {
+        'metric': 'Mpix/s/chip: NLMeans + OmnibusTest on S1 cube; '
+                  'change-map parity <=1e-5',
+        'value': round(combined_mpix_s, 2),
+        'unit': 'Mpix/s',
+        'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
+        'detail': detail,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == '__main__':
+    main()

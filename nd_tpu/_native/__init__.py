@@ -1,0 +1,117 @@
+"""Native (C++) runtime components.
+
+The compute hot path of this framework is XLA/Pallas on the TPU; this
+package provides the native *host-side* components: multi-threaded C++
+reference kernels (NLMeans, omnibus change detection with a built-in
+chi-square CDF) used as the CPU benchmark baseline, as oracles, and as a
+fallback when no accelerator is present. Compiled on first use with the
+system toolchain (g++ -O3 -fopenmp) and bound via ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, 'libnd_native.so')
+_SOURCES = ['nlmeans.cpp', 'change.cpp']
+_LOCK = threading.Lock()
+_LIB = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build():
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
+    cmd = ['g++', '-O3', '-march=native', '-fopenmp', '-shared',
+           '-fPIC', '-std=c++17', '-o', _LIB_PATH] + srcs
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not os.path.exists(_LIB_PATH) or any(
+                os.path.getmtime(os.path.join(_HERE, s))
+                > os.path.getmtime(_LIB_PATH) for s in _SOURCES):
+            try:
+                _build()
+            except (OSError, subprocess.CalledProcessError) as e:
+                raise NativeUnavailable(
+                    'could not build native library: %s' % e)
+        lib = ctypes.CDLL(_LIB_PATH)
+        i64 = ctypes.c_int64
+        dbl = ctypes.c_double
+        for suffix, ptr in (('f32', ctypes.POINTER(ctypes.c_float)),
+                            ('f64', ctypes.POINTER(ctypes.c_double))):
+            fn = getattr(lib, 'nd_nlmeans_' + suffix)
+            fn.restype = None
+            fn.argtypes = [ptr, ptr] + [i64] * 10 + [dbl] * 3 \
+                + [ctypes.c_int]
+            fc = getattr(lib, 'nd_change_' + suffix)
+            fc.restype = None
+            fc.argtypes = [ptr, ctypes.POINTER(ctypes.c_uint8),
+                           i64, i64, i64, dbl, dbl, ctypes.c_int]
+        _LIB = lib
+        return lib
+
+
+def available():
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def nlmeans_native(arr, r, f, sigma, h, n_eff=-1.0, nthreads=1):
+    """NLMeans over a 4-D (d0, d1, d2, var) array on the host CPU."""
+    lib = _load()
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype == np.float32:
+        fn = lib.nd_nlmeans_f32
+        cptr = ctypes.POINTER(ctypes.c_float)
+    elif arr.dtype == np.float64:
+        fn = lib.nd_nlmeans_f64
+        cptr = ctypes.POINTER(ctypes.c_double)
+    else:
+        arr = arr.astype(np.float64)
+        fn = lib.nd_nlmeans_f64
+        cptr = ctypes.POINTER(ctypes.c_double)
+    out = np.empty_like(arr)
+    d0, d1, d2, nv = arr.shape
+    r = [int(v) for v in r]
+    f = [int(v) for v in f]
+    fn(arr.ctypes.data_as(cptr), out.ctypes.data_as(cptr),
+       d0, d1, d2, nv, r[0], r[1], r[2], f[0], f[1], f[2],
+       float(sigma), float(h), float(n_eff), int(nthreads))
+    return out
+
+
+def change_detection_native(values, alpha, n=1, nthreads=1):
+    """Omnibus change detection over (y, x, time, 4) on the host CPU."""
+    lib = _load()
+    values = np.ascontiguousarray(values)
+    if values.dtype == np.float32:
+        fn = lib.nd_change_f32
+        cptr = ctypes.POINTER(ctypes.c_float)
+    else:
+        values = values.astype(np.float64)
+        fn = lib.nd_change_f64
+        cptr = ctypes.POINTER(ctypes.c_double)
+    ny, nx, k, _ = values.shape
+    out = np.zeros((ny, nx, k), dtype=np.uint8)
+    fn(values.ctypes.data_as(cptr),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+       ny, nx, k, float(alpha), float(n), int(nthreads))
+    return out.astype(bool)

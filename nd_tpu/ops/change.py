@@ -79,6 +79,57 @@ def _window_probability(csum, logdet, negcnt, j, n, dtype):
     return P1 + omega2 * (P2 - P1)
 
 
+def omnibus_rho(j, n):
+    """rho coefficient per window length (host-side, float64)."""
+    j = np.asarray(j, np.float64)
+    return 1 - (2 * _P ** 2 - 1) / (6 * (j - 1) * _P) \
+        * (j / n - 1 / (n * j))
+
+
+def omnibus_thresholds(k, n, alpha):
+    """Per-window-length z-thresholds equivalent to ``P(z) > alpha``.
+
+    The chi-square probability P(z) = P1 + omega2 (P2 - P1) depends on
+    the pixel only through z: rho, f and omega2 are functions of the
+    window length j and the look count n alone. The decision
+    ``P(z) > alpha`` is therefore equivalent to ``z > z*(j)`` with the
+    threshold solved once on the host in float64 — removing the
+    incomplete-gamma evaluation from the device kernel entirely (it
+    dominated the fused kernel's runtime) while making the decisions
+    *more* accurate than f32 igamma.
+
+    Returns an array of length k+1; entries j < 2 are +inf.
+    """
+    from scipy.stats import chi2 as _chi2
+    out = np.full(k + 1, np.inf)
+    for j in range(2, k + 1):
+        rho = float(omnibus_rho(j, n))
+        f = (j - 1) * _P ** 2
+        omega2 = (_P ** 2 * (_P ** 2 - 1) / (24 * rho ** 2)
+                  * (j / n ** 2 - 1 / (n * j) ** 2)
+                  - _P ** 2 * (j - 1) / 4 * (1 - 1 / rho) ** 2)
+
+        def prob(z):
+            p1 = _chi2.cdf(z, f)
+            p2 = _chi2.cdf(z, f + 4)
+            return p1 + omega2 * (p2 - p1)
+
+        lo, hi = 0.0, 1.0
+        while prob(hi) <= alpha and hi < 1e12:
+            hi *= 2
+        if prob(hi) <= alpha:
+            out[j] = np.inf
+            continue
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if prob(mid) > alpha:
+                hi = mid
+            else:
+                lo = mid
+        out[j] = hi
+    return out
+
+
 def omnibus_probabilities(values, n=1):
     """Omnibus probability of the full series per pixel.
 
@@ -97,9 +148,15 @@ def omnibus_probabilities(values, n=1):
                                dtype)
 
 
-@partial(jax.jit, static_argnames=('n',))
-def change_detection(values, alpha, n=1):
+@partial(jax.jit, static_argnames=('alpha', 'n', 'stat_dtype'))
+def change_detection(values, alpha, n=1, stat_dtype=jnp.float64):
     """Iterative omnibus change-point detection.
+
+    TPU note: the body is written entirely with broadcast compares and
+    masked reductions — no gathers or scatters, which XLA lowers
+    serially on TPU. Interval statistics over [l, l+j) are masked sums
+    ``sum_t x[t] * (l <= t < l+j)``; the change flags are set with a
+    one-hot comparison against the jump target.
 
     Parameters
     ----------
@@ -110,6 +167,10 @@ def change_detection(values, alpha, n=1):
         Decision threshold on the chi-square probability.
     n : int
         Number of looks.
+    stat_dtype : dtype, optional
+        Accumulation dtype for the test statistic (default float64 for
+        boolean parity with the CPU reference; use float32 for maximum
+        throughput).
 
     Returns
     -------
@@ -119,28 +180,36 @@ def change_detection(values, alpha, n=1):
     values = jnp.asarray(values)
     if not jnp.issubdtype(values.dtype, jnp.floating):
         values = values.astype(jnp.float32)
-    dtype = values.dtype
+    try:
+        sdtype = jnp.dtype(stat_dtype)
+        if sdtype == jnp.float64 and not jax.config.jax_enable_x64:
+            sdtype = jnp.float32
+    except TypeError:
+        sdtype = values.dtype
     ny, nx, k, _ = values.shape
     nf = float(n)
 
-    # ---- prefix sums over time (one extra leading zero) ----------------
-    def _prefix(x):
-        return jnp.concatenate(
-            [jnp.zeros(x.shape[:-1] + (1,), x.dtype),
-             jnp.cumsum(x, axis=-1)], axis=-1)
+    chans = [values[..., c].astype(sdtype) for c in range(4)]  # (y,x,k)
+    dets = (chans[0] * chans[3] - chans[1] ** 2 - chans[2] ** 2)
+    logdet_t = jnp.log(jnp.abs(dets))
+    neg_t = (dets < 0).astype(sdtype)
+    stacked = jnp.stack(chans + [logdet_t, neg_t], axis=-1)  # (y,x,k,6)
 
-    chans = [ _prefix(values[..., c]) for c in range(4) ]          # (y,x,k+1)
-    dets = (values[..., 0] * values[..., 3]
-            - values[..., 1] ** 2 - values[..., 2] ** 2)
-    logdet_p = _prefix(jnp.log(jnp.abs(dets)))
-    negcnt_p = _prefix((dets < 0).astype(dtype))
+    tt = jnp.arange(k)[None, None, :]                  # time index
+    jj = jnp.arange(k + 1)[None, None, :]              # window length
+    jf = jj.astype(sdtype)
 
-    jj = jnp.arange(k + 1)                                        # window len
-    jf = jj.astype(dtype)
-
-    def _gather(prefix, idx):
-        # prefix: (y,x,k+1); idx: (y,x,k+1) int -> same shape gather
-        return jnp.take_along_axis(prefix, idx, axis=-1)
+    # Host-precomputed per-window-length constants: the chi-square
+    # decision becomes a z-threshold compare (no igamma on device).
+    z_thresh = jnp.asarray(omnibus_thresholds(k, n, float(alpha)),
+                           sdtype)[None, None, :]
+    with np.errstate(divide='ignore', invalid='ignore'):
+        rho_j = omnibus_rho(np.arange(k + 1), nf)
+    rho_j = jnp.asarray(np.nan_to_num(rho_j, nan=1.0, posinf=1.0,
+                                      neginf=1.0), sdtype)[None, None, :]
+    logj = jnp.asarray(
+        np.log(np.maximum(np.arange(k + 1), 1)),
+        sdtype)[None, None, :]
 
     def cond(state):
         i, l, active, result = state
@@ -148,42 +217,57 @@ def change_detection(values, alpha, n=1):
 
     def body(state):
         i, l, active, result = state
-        lc = l[..., None]                                         # (y,x,1)
-        hi = jnp.clip(lc + jj[None, None, :], 0, k)               # (y,x,k+1)
-        lo = jnp.broadcast_to(lc, hi.shape)
-        csum = tuple(_gather(c, hi) - _gather(c, lo) for c in chans)
-        logdet = _gather(logdet_p, hi) - _gather(logdet_p, lo)
-        negcnt = (_gather(negcnt_p, hi)
-                  - _gather(negcnt_p, lo)).astype(jnp.int32)
+        lc = l[..., None]                              # (y,x,1)
+        ge_l = (tt >= lc)                              # (y,x,k)
 
-        probs = _window_probability(csum, logdet, negcnt,
-                                    jf[None, None, :], nf, dtype)
-        # (y,x,k+1): probs[..., j] = omnibus over ts[l:l+j]
+        # Window sums: S[..., j] = sum_t x[..., t] over t in [l, l+j),
+        # as a masked broadcast-reduce (XLA fuses the (y,x,t,j) product
+        # into the reduction loop; no gathers).
+        lt = ((tt - lc)[..., :, None]
+              < jj[..., None, :]).astype(sdtype)
 
-        rem = k - l                                               # (y,x)
-        # global test: window length = k - l
-        p_glob = jnp.take_along_axis(probs, rem[..., None],
-                                     axis=-1)[..., 0]
-        active = jnp.logical_and(active, p_glob > alpha)
+        def window_sums(x):
+            m = jnp.where(ge_l, x, 0)
+            return jnp.sum(m[..., :, None] * lt, axis=-2)
 
-        # marginal tests: first j in [2, k-l] with prob > alpha
-        valid = jnp.logical_and(jj[None, None, :] >= 2,
-                                jj[None, None, :] <= rem[..., None])
-        hit = jnp.logical_and(probs > alpha, valid)
+        c11 = window_sums(stacked[..., 0])
+        c12r = window_sums(stacked[..., 1])
+        c12i = window_sums(stacked[..., 2])
+        c22 = window_sums(stacked[..., 3])
+        logdet = window_sums(stacked[..., 4])
+        odd_neg = (window_sums(stacked[..., 5])
+                   .astype(jnp.int32) % 2) == 1
+
+        det_of_sum = c11 * c22 - c12r ** 2 - c12i ** 2
+        log_prod = jnp.where(odd_neg, jnp.nan, logdet)
+        logQ = nf * (_P * jf * logj + log_prod
+                     - jf * jnp.log(det_of_sum))
+        z = -2 * rho_j * logQ                          # (y,x,k+1)
+
+        rem = k - l                                    # (y,x)
+        # hits: z above the per-length threshold (NaN never hits)
+        hit_all = z > z_thresh
+        # global test: window length = k - l (one-hot, no gather)
+        p_glob_hit = jnp.any(
+            jnp.logical_and(jj == rem[..., None], hit_all), axis=-1)
+        active = jnp.logical_and(active, p_glob_hit)
+
+        # marginal tests: first j in [2, k-l] with a hit
+        valid = jnp.logical_and(jj >= 2, jj <= rem[..., None])
+        hit = jnp.logical_and(hit_all, valid)
         any_hit = jnp.any(hit, axis=-1)
-        j_first = jnp.argmax(hit, axis=-1)                        # first True
+        j_first = jnp.argmax(hit, axis=-1)             # first True
         # r = j - 1 on a hit; k - l - 1 when the scan comes up dry
         r = jnp.where(any_hit, j_first - 1, rem - 1)
         r = jnp.maximum(r, 1).astype(l.dtype)
 
-        set_mask = jnp.logical_and(active, any_hit)               # (y,x)
-        pos = jnp.clip(l + r, 0, k - 1)
-        upd = jnp.zeros_like(result).at[
-            jnp.arange(ny)[:, None], jnp.arange(nx)[None, :], pos
-        ].set(set_mask)
+        set_mask = jnp.logical_and(active, any_hit)    # (y,x)
+        pos = l + r                                    # (y,x)
+        upd = jnp.logical_and(tt == pos[..., None],
+                              set_mask[..., None])
         result = jnp.logical_or(result, upd)
 
-        l = jnp.where(active, l + r, l)
+        l = jnp.where(active, pos, l)
         active = jnp.logical_and(active, l < k - 1)
         return (i + 1, l, active, result)
 
