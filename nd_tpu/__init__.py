@@ -29,10 +29,16 @@ from . import change  # noqa: F401
 from . import warp  # noqa: F401
 from . import tiling  # noqa: F401
 from .tiling import auto_merge
+from . import tracing  # noqa: F401
 from . import accessors  # noqa: F401  (registers .nd / .filter)
+
+try:
+    from .visualize import to_rgb, write_video
+except ImportError:  # pragma: no cover - cv2/imageio optional
+    to_rgb = write_video = None
 
 __version__ = '0.1.0'
 
 __all__ = ['DataArray', 'Dataset', 'concat', 'merge', 'Algorithm',
            'wrap_algorithm', 'parallelize', 'open_dataset', 'to_netcdf',
-           'auto_merge']
+           'auto_merge', 'to_rgb', 'write_video']

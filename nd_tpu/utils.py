@@ -208,8 +208,16 @@ def xr_split(ds, dim, chunks, buffer=0):
     The overlap (``buffer``) is the halo needed by windowed kernels —
     the host-level analogue of the device-level halo exchange in
     ``nd_tpu.parallel.halo``.
+
+    The chunk count is clamped so that every chunk is at least
+    ``buffer + 1`` wide (fewer chunks than requested may be yielded);
+    otherwise the trim-and-concat merge could not reconstruct the
+    original array.
     """
     n = ds.sizes[dim]
+    max_chunks = max(1, n // (buffer + 1)) if buffer > 0 \
+        else max(1, min(chunks, n))
+    chunks = max(1, min(chunks, max_chunks))
     chunksize = int(np.ceil(n / chunks))
     for i in range(chunks):
         low = max(i * chunksize - buffer, 0)

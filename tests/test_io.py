@@ -1,0 +1,175 @@
+"""I/O tests: format readers, complex conversion, round-trips (mirrors
+the reference's test_open.py / test_convert.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nd_tpu import io as ndio
+from nd_tpu.core import DataArray, Dataset
+from nd_tpu.testing import assert_equal_data, generate_test_dataset
+
+DATA = '/root/reference/data'
+
+
+@pytest.fixture
+def ds():
+    return generate_test_dataset(dims={'y': 12, 'x': 10, 'time': 4})
+
+
+# ---------------------------------------------------------------------------
+# complex <-> re/im conversion
+# ---------------------------------------------------------------------------
+
+def test_disassemble_assemble_roundtrip(ds):
+    dsc = ds.copy()
+    dsc['C12'] = dsc['C12__re'] + 1j * dsc['C12__im']
+    del dsc['C12__re']
+    del dsc['C12__im']
+    dis = ndio.disassemble_complex(dsc)
+    assert 'C12__re' in dis.data_vars and 'C12__im' in dis.data_vars
+    assert 'C12' not in dis.data_vars
+    back = ndio.assemble_complex(dis)
+    assert 'C12' in back.data_vars
+    np.testing.assert_allclose(back['C12'].values, dsc['C12'].values)
+
+
+def test_assemble_complex_real_imag_suffixes(ds):
+    """*_real/*_imag pairs (SNAP convention) are also assembled."""
+    ds2 = Dataset(coords={'y': np.arange(4)})
+    ds2['band_real'] = (('y',), np.arange(4.0))
+    ds2['band_imag'] = (('y',), np.arange(4.0) * 2)
+    out = ndio.assemble_complex(ds2)
+    assert 'band' in out.data_vars
+    assert np.iscomplexobj(out['band'].values)
+
+
+def test_assemble_complex_unpaired(ds):
+    """A __re without matching __im is left untouched."""
+    ds2 = Dataset(coords={'y': np.arange(3)})
+    ds2['lonely__re'] = (('y',), np.arange(3.0))
+    out = ndio.assemble_complex(ds2)
+    assert 'lonely__re' in out.data_vars
+
+
+def test_disassemble_dataarray():
+    da = DataArray(np.ones(4) + 1j * np.ones(4), dims=('y',),
+                   name='v')
+    out = ndio.disassemble_complex(da)
+    assert isinstance(out, Dataset)
+    assert 'v__re' in out.data_vars
+
+
+def test_add_time():
+    ds = Dataset(coords={'y': np.arange(3)},
+                 attrs={'start_date': '02-DEC-2018 06:54:06'})
+    out = ndio.add_time(ds)
+    assert 'time' in out.coords
+    assert np.asarray(out['time'].values).astype(
+        'datetime64[D]')[0] == np.datetime64('2018-12-02')
+
+
+# ---------------------------------------------------------------------------
+# NetCDF round-trips
+# ---------------------------------------------------------------------------
+
+def test_netcdf_roundtrip(tmp_path, ds):
+    p = str(tmp_path / 'cube.nc')
+    ndio.to_netcdf(ds, p)
+    back = ndio.open_netcdf(p)
+    assert_equal_data(back, ds, rtol=1e-12)
+    np.testing.assert_array_equal(back['time'].values,
+                                  ds['time'].values)
+    assert back.attrs['crs'] == ds.attrs['crs']
+
+
+def test_netcdf_complex_roundtrip(tmp_path, ds):
+    dsc = ds.copy()
+    dsc['C12'] = dsc['C12__re'] + 1j * dsc['C12__im']
+    del dsc['C12__re']
+    del dsc['C12__im']
+    p = str(tmp_path / 'complex.nc')
+    ndio.to_netcdf(dsc, p)
+    back = ndio.open_netcdf(p, as_complex=True)
+    assert 'C12' in back.data_vars
+    np.testing.assert_allclose(back['C12'].values, dsc['C12'].values)
+
+
+def test_netcdf_bool_roundtrip(tmp_path):
+    ds = Dataset(coords={'y': np.arange(5)})
+    ds['mask'] = (('y',), np.array([True, False, True, True, False]))
+    p = str(tmp_path / 'bool.nc')
+    ndio.to_netcdf(ds, p)
+    back = ndio.open_netcdf(p)
+    assert back['mask'].dtype == bool
+    np.testing.assert_array_equal(back['mask'].values,
+                                  ds['mask'].values)
+
+
+def test_netcdf_2d_coord_roundtrip(tmp_path):
+    ds = Dataset(coords={'y': np.arange(4), 'x': np.arange(3)})
+    ds._coords['lat'] = __import__(
+        'nd_tpu.core.variable', fromlist=['Variable']).Variable(
+        ('y', 'x'), np.random.rand(4, 3))
+    ds['v'] = (('y', 'x'), np.random.rand(4, 3))
+    p = str(tmp_path / '2dcoord.nc')
+    ndio.to_netcdf(ds, p)
+    back = ndio.open_netcdf(p)
+    assert 'lat' in back.coords
+    assert back._coords['lat'].dims == ('y', 'x')
+    np.testing.assert_allclose(back._coords['lat'].values,
+                               ds._coords['lat'].values)
+
+
+# ---------------------------------------------------------------------------
+# bundled reference products
+# ---------------------------------------------------------------------------
+
+def test_open_reference_netcdf():
+    ds = ndio.open_dataset(os.path.join(DATA, 'slc.nc'))
+    assert ds.sizes == {'y': 206, 'x': 500}
+    assert {'C11', 'C22', 'C12_real', 'C12_imag'} <= set(ds.data_vars)
+    assert 'lat' in ds.coords and 'lon' in ds.coords
+
+
+def test_open_reference_netcdf_as_complex():
+    ds = ndio.open_netcdf(os.path.join(DATA, 'slc.nc'),
+                          as_complex=True)
+    assert 'C12' in ds.data_vars
+    assert np.iscomplexobj(ds['C12'].values)
+
+
+def test_open_reference_geotiff():
+    da = ndio.open_dataset(os.path.join(DATA, 'slc.tif'))
+    assert da.dims == ('band', 'y', 'x')
+    assert da.shape == (4, 206, 500)
+    nc = ndio.open_netcdf(os.path.join(DATA, 'slc.nc'))
+    # the NetCDF decodes _FillValue=0 to NaN; the TIFF carries raw 0s
+    tif_vals = da.isel(band=0).values
+    nc_vals = nc['C11'].values
+    finite = np.isfinite(nc_vals)
+    np.testing.assert_array_equal(tif_vals[finite], nc_vals[finite])
+    assert (tif_vals[~finite] == 0).all()
+
+
+def test_open_reference_beam_dimap():
+    ds = ndio.open_dataset(os.path.join(DATA, 'slc.dim'))
+    assert ds.sizes['lat'] == 206 and ds.sizes['lon'] == 500
+    assert 'C12' in ds.data_vars  # assembled by default
+    assert 'time' in ds.coords
+    assert ds.attrs['orbit_direction'] in ('ASCENDING', 'DESCENDING')
+
+
+def test_open_beam_dimap_metadata_only():
+    ds = ndio.open_beam_dimap(os.path.join(DATA, 'slc.dim'),
+                              read_data=False)
+    assert len(ds.data_vars) == 0
+    assert ds.attrs['ncols'] == 500
+
+
+def test_open_dataset_unknown_extension(tmp_path):
+    p = str(tmp_path / 'garbage.xyz')
+    open(p, 'w').write('not a raster')
+    with pytest.raises(IOError):
+        ndio.open_dataset(p)
