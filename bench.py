@@ -83,14 +83,23 @@ def main():
     f = (1, 1, 0)
     sigma, h = 2.0, 3.0
 
-    nl_in = jnp.transpose(cube_d, (0, 1, 2, 3))  # (y, x, t, 4)
+    nl_in = cube_d  # (y, x, t, 4)
+
+    from nd_tpu.ops.nlmeans_pallas import (nlmeans_spatial_pallas,
+                                           supports_pallas)
+    use_pallas = supports_pallas()
+    detail_kernel = 'pallas' if use_pallas else 'xla'
 
     @jax.jit
     def run_nlmeans(x):
+        if use_pallas:
+            return nlmeans_spatial_pallas(x, r[:2], f[:2], sigma, h,
+                                          -1.0)
         return nlmeans(x, r, f, sigma, h, -1.0)
 
     t_nl, _ = _time(run_nlmeans, nl_in)
     detail['nlmeans_mpix_s'] = round(mpix / t_nl, 2)
+    detail['nlmeans_kernel'] = detail_kernel
 
     # ---- Omnibus change detection --------------------------------------
     alpha = 0.99

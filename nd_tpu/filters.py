@@ -383,10 +383,34 @@ class NLMeansFilter(Filter):
         r = np.concatenate([pad_before, self.r, pad_after])
         f = np.concatenate([pad_before, self.f, pad_after])
         values = arr.reshape((1,) * (4 - ndim) + arr.shape)
-        result = _xla_nlmeans(values, r, f, self.sigma, self.h,
-                              self.n_eff)
+        result = self._nlmeans_4d(values, r, f)
         result = result.reshape(arr.shape)
         return self._finalize(result, output)
+
+    def _nlmeans_4d(self, values, r, f):
+        """Dispatch the 4-D kernel: fused Pallas tile kernel on TPU for
+        the spatial (2-D) pattern, XLA scan otherwise."""
+        from .ops.nlmeans_pallas import (nlmeans_spatial_pallas,
+                                         supports_pallas)
+        active = [i for i in range(3) if r[i] > 0]
+        if supports_pallas() and values.dtype == jnp.float32:
+            if active and set(active) <= {0, 1} and r[2] == 0 \
+                    and f[2] == 0:
+                return nlmeans_spatial_pallas(
+                    values, (int(r[0]), int(r[1])),
+                    (int(f[0]), int(f[1])), self.sigma, self.h,
+                    self.n_eff)
+            if active and set(active) <= {1, 2} and r[0] == 0 \
+                    and f[0] == 0:
+                # rotate the batched axis to the back for the kernel
+                rotated = jnp.transpose(values, (1, 2, 0, 3))
+                out = nlmeans_spatial_pallas(
+                    rotated, (int(r[1]), int(r[2])),
+                    (int(f[1]), int(f[2])), self.sigma, self.h,
+                    self.n_eff)
+                return jnp.transpose(out, (2, 0, 1, 3))
+        return _xla_nlmeans(values, r, f, self.sigma, self.h,
+                            self.n_eff)
 
 
 nlmeans = wrap_algorithm(NLMeansFilter, 'nlmeans')
