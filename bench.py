@@ -105,7 +105,9 @@ def main():
     alpha = 0.99
     looks = 9
 
-    stat_dtype = 'float32' if on_accel else 'float64'
+    # float64 statistics: change decisions match the f64 CPU reference
+    # exactly (f32 is ~3x faster at ~1e-5 disagreement — see docs)
+    stat_dtype = 'float64'
 
     @jax.jit
     def run_omnibus(x):

@@ -196,20 +196,10 @@ def change_detection(values, alpha, n=1, stat_dtype=jnp.float64):
     stacked = jnp.stack(chans + [logdet_t, neg_t], axis=-1)  # (y,x,k,6)
 
     tt = jnp.arange(k)[None, None, :]                  # time index
-    jj = jnp.arange(k + 1)[None, None, :]              # window length
-    jf = jj.astype(sdtype)
 
-    # Host-precomputed per-window-length constants: the chi-square
+    # Host-precomputed per-window-length thresholds: the chi-square
     # decision becomes a z-threshold compare (no igamma on device).
-    z_thresh = jnp.asarray(omnibus_thresholds(k, n, float(alpha)),
-                           sdtype)[None, None, :]
-    with np.errstate(divide='ignore', invalid='ignore'):
-        rho_j = omnibus_rho(np.arange(k + 1), nf)
-    rho_j = jnp.asarray(np.nan_to_num(rho_j, nan=1.0, posinf=1.0,
-                                      neginf=1.0), sdtype)[None, None, :]
-    logj = jnp.asarray(
-        np.log(np.maximum(np.arange(k + 1), 1)),
-        sdtype)[None, None, :]
+    z_thresh_table = omnibus_thresholds(k, n, float(alpha))
 
     def cond(state):
         i, l, active, result = state
@@ -218,51 +208,54 @@ def change_detection(values, alpha, n=1, stat_dtype=jnp.float64):
     def body(state):
         i, l, active, result = state
         lc = l[..., None]                              # (y,x,1)
-        ge_l = (tt >= lc)                              # (y,x,k)
+        ge_l = (tt >= lc).astype(sdtype)               # (y,x,k)
 
-        # Window sums: S[..., j] = sum_t x[..., t] over t in [l, l+j),
-        # as a masked broadcast-reduce (XLA fuses the (y,x,t,j) product
-        # into the reduction loop; no gathers).
-        lt = ((tt - lc)[..., :, None]
-              < jj[..., None, :]).astype(sdtype)
+        # t-space formulation: the window [l, t] (inclusive) has length
+        # j_t = t - l + 1; its channel sums are cumulative sums of the
+        # l-masked series — O(k) work per iteration instead of the
+        # O(k^2) per-window reductions, and the global test is simply
+        # the t = k-1 entry (no per-pixel indexing anywhere).
+        def csum(x):
+            return jnp.cumsum(x * ge_l, axis=-1)
 
-        def window_sums(x):
-            m = jnp.where(ge_l, x, 0)
-            return jnp.sum(m[..., :, None] * lt, axis=-2)
+        c11 = csum(stacked[..., 0])
+        c12r = csum(stacked[..., 1])
+        c12i = csum(stacked[..., 2])
+        c22 = csum(stacked[..., 3])
+        logdet = csum(stacked[..., 4])
+        odd_neg = (csum(stacked[..., 5]).astype(jnp.int32) % 2) == 1
 
-        c11 = window_sums(stacked[..., 0])
-        c12r = window_sums(stacked[..., 1])
-        c12i = window_sums(stacked[..., 2])
-        c22 = window_sums(stacked[..., 3])
-        logdet = window_sums(stacked[..., 4])
-        odd_neg = (window_sums(stacked[..., 5])
-                   .astype(jnp.int32) % 2) == 1
-
+        jt = (tt - lc + 1).astype(sdtype)              # window length
         det_of_sum = c11 * c22 - c12r ** 2 - c12i ** 2
         log_prod = jnp.where(odd_neg, jnp.nan, logdet)
-        logQ = nf * (_P * jf * logj + log_prod
-                     - jf * jnp.log(det_of_sum))
-        z = -2 * rho_j * logQ                          # (y,x,k+1)
+        logQ = nf * (_P * jt * jnp.log(jt) + log_prod
+                     - jt * jnp.log(det_of_sum))
+        rho_t = 1 - (2 * _P ** 2 - 1) / (6 * (jt - 1) * _P) \
+            * (jt / nf - 1 / (nf * jt))
+        z = -2 * rho_t * logQ                          # (y,x,k)
 
-        rem = k - l                                    # (y,x)
-        # hits: z above the per-length threshold (NaN never hits)
-        hit_all = z > z_thresh
-        # global test: window length = k - l (one-hot, no gather)
-        p_glob_hit = jnp.any(
-            jnp.logical_and(jj == rem[..., None], hit_all), axis=-1)
-        active = jnp.logical_and(active, p_glob_hit)
+        # per-length threshold shifted into t-space: accumulate the
+        # small host table with scalar one-hot compares (no 4-D temp)
+        jt_i = tt - lc + 1                             # (y,x,k) int
+        thresh_t = jnp.full(jt_i.shape, jnp.inf, sdtype)
+        for j in range(2, k + 1):
+            tj = float(z_thresh_table[j])
+            if np.isfinite(tj):
+                thresh_t = jnp.where(jt_i == j, jnp.asarray(tj, sdtype),
+                                     thresh_t)
 
-        # marginal tests: first j in [2, k-l] with a hit
-        valid = jnp.logical_and(jj >= 2, jj <= rem[..., None])
-        hit = jnp.logical_and(hit_all, valid)
-        any_hit = jnp.any(hit, axis=-1)
-        j_first = jnp.argmax(hit, axis=-1)             # first True
-        # r = j - 1 on a hit; k - l - 1 when the scan comes up dry
-        r = jnp.where(any_hit, j_first - 1, rem - 1)
-        r = jnp.maximum(r, 1).astype(l.dtype)
+        hit = jnp.logical_and(z > thresh_t, tt >= lc + 1)  # j >= 2
+
+        # global test over ts[l:] is the t = k-1 entry
+        active = jnp.logical_and(active, hit[..., k - 1])
+
+        any_hit = jnp.any(hit, axis=-1)                # guaranteed when
+        t_first = jnp.argmax(hit, axis=-1)             # active
+        # change point at l + r = t_first; dry scans jump to k-1
+        pos = jnp.where(any_hit, t_first, k - 1).astype(l.dtype)
+        pos = jnp.maximum(pos, l + 1)
 
         set_mask = jnp.logical_and(active, any_hit)    # (y,x)
-        pos = l + r                                    # (y,x)
         upd = jnp.logical_and(tt == pos[..., None],
                               set_mask[..., None])
         result = jnp.logical_or(result, upd)

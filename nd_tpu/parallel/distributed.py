@@ -1,0 +1,93 @@
+"""Multi-host execution over DCN (jax.distributed).
+
+The reference's multi-node story was the filesystem (NetCDF tiles +
+dask, SURVEY §2.3); here a pod slice is driven with one process per
+host: ICI carries the halo exchanges inside the slice
+(``nd_tpu.parallel.halo``) and DCN carries only process coordination.
+Each host loads its own tile files and contributes them to a global
+sharded cube without ever materializing the full array on one host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+__all__ = ['initialize', 'process_info', 'global_mesh',
+           'cube_from_process_tiles', 'host_local_slices']
+
+
+def initialize(coordinator_address=None, num_processes=None,
+               process_id=None, **kwargs):
+    """Initialize multi-process JAX (idempotent).
+
+    On cloud TPU pods the arguments are auto-detected; pass them
+    explicitly elsewhere.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            **kwargs)
+    except RuntimeError as e:  # already initialized
+        if 'already' not in str(e).lower():
+            raise
+
+
+def process_info():
+    """(process_index, process_count, local_device_count)."""
+    return (jax.process_index(), jax.process_count(),
+            jax.local_device_count())
+
+
+def global_mesh(axis_names=('y', 'x'), shape=None):
+    """A mesh over ALL devices of all processes.
+
+    The y axis is laid out across processes (DCN boundary), the x axis
+    across the local devices (ICI) by default, so halo ppermutes along x
+    stay on-slice and only the y-halo crosses hosts.
+    """
+    devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        local = jax.local_device_count()
+        shape = (n // local, local)
+    dev_array = np.asarray(devices).reshape(shape)
+    return jax.sharding.Mesh(dev_array, axis_names)
+
+
+def host_local_slices(mesh, global_shape, dims=('y', 'x')):
+    """The slice of the global cube this process is responsible for.
+
+    Returns a dict dim -> slice for loading only the local tile from
+    the tile store (nd_tpu.tiling) on each host.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = P(*dims)
+    sharding = NamedSharding(mesh, spec)
+    # union of this process's addressable shards
+    dummy = jax.ShapeDtypeStruct(tuple(global_shape), np.float32)
+    idx_map = sharding.addressable_devices_indices_map(
+        tuple(global_shape))
+    lo = [min(sl[d].start or 0 for sl in idx_map.values())
+          for d in range(len(global_shape))]
+    hi = [max(sl[d].stop if sl[d].stop is not None
+              else global_shape[d] for sl in idx_map.values())
+          for d in range(len(global_shape))]
+    return {dim: slice(lo[i], hi[i]) for i, dim in enumerate(dims)}
+
+
+def cube_from_process_tiles(local_array, mesh, global_shape,
+                            dims=('y', 'x')):
+    """Assemble a globally sharded array from per-process local tiles.
+
+    ``local_array`` is this process's slice (as returned by
+    :func:`host_local_slices`); no host ever holds the full cube.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    extra = len(global_shape) - len(dims)
+    spec = P(*(list(dims) + [None] * extra))
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_array), tuple(global_shape))
