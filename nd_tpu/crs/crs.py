@@ -54,8 +54,8 @@ for _zone in range(1, 61):
 _PROJECTION_WKT_NAMES = {
     'tmerc': 'Transverse_Mercator',
     'utm': 'Transverse_Mercator',
-    'merc': 'Mercator_2SP' if False else 'Mercator_1SP',
-    'webmerc': 'Mercator_1SP',
+    'merc': 'Mercator_1SP',
+    'webmerc': 'Popular_Visualisation_Pseudo_Mercator',
     'sinu': 'Sinusoidal',
     'eqc': 'Equirectangular',
 }
@@ -69,6 +69,7 @@ _WKT_NAME_TO_PROJ = {
     'equirectangular': 'eqc',
     'mercator_auxiliary_sphere': 'webmerc',
     'popular visualisation pseudo mercator': 'webmerc',
+    'popular_visualisation_pseudo_mercator': 'webmerc',
     'pseudo-mercator': 'webmerc',
 }
 

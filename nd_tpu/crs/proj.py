@@ -381,7 +381,7 @@ def geocentric_to_geodetic(X, Y, Z, ell, xp=np):
     p = xp.sqrt(X * X + Y * Y)
     # Bowring's method with iterations
     lat = xp.arctan2(Z, p * (1 - ell.e2))
-    for _ in range(6):
+    for _ in range(10):
         s = xp.sin(lat)
         N = ell.a / xp.sqrt(1 - ell.e2 * s * s)
         h = p / xp.cos(lat) - N

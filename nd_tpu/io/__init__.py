@@ -17,8 +17,8 @@ from ..core import DataArray, Dataset
 from ..core.variable import Variable
 
 __all__ = ['open_dataset', 'open_netcdf', 'open_beam_dimap',
-           'open_rasterio', 'to_netcdf', 'assemble_complex',
-           'disassemble_complex', 'add_time']
+           'open_rasterio', 'to_netcdf', 'to_geotiff',
+           'assemble_complex', 'disassemble_complex', 'add_time']
 
 
 # --------------------
@@ -197,6 +197,48 @@ def open_rasterio(path, *args, **kwargs):
     attrs['is_tiled'] = int(322 in t.tags)
     return DataArray(data, dims=('band', 'y', 'x'), coords=coords,
                      attrs=attrs)
+
+
+def to_geotiff(ds, path, nodata=None, compress=True):
+    """Write a Dataset/DataArray to a GeoTIFF.
+
+    A Dataset writes one band per (y, x) variable; a DataArray writes
+    its (possibly banded) raster directly. Geo-metadata is taken from
+    the object (``nd_tpu.warp.get_transform`` / ``get_crs``).
+    """
+    from ..crs import Affine
+    from ..warp import get_crs, get_transform
+    from .geotiff import write_geotiff
+
+    transform = get_transform(ds)
+    if transform is not None:
+        # the framework's transform maps pixel index -> coordinate
+        # (corner-grid convention); GeoTIFF anchors the transform at
+        # the outer corner of pixel (0, 0) with centers at +0.5
+        transform = transform * Affine.translation(-0.5, -0.5)
+    crs = get_crs(ds)
+    if isinstance(ds, Dataset):
+        from ..utils import get_vars_for_dims
+        variables = get_vars_for_dims(ds, ('y', 'x'))
+        bands = []
+        for v in variables:
+            da = ds[v].transpose('y', 'x', *[
+                d for d in ds[v].dims if d not in ('y', 'x')])
+            vals = np.asarray(da.values)
+            vals = vals.reshape(vals.shape[0], vals.shape[1], -1)
+            for b in range(vals.shape[2]):
+                bands.append(vals[:, :, b])
+        data = np.stack(bands, axis=0)
+    else:
+        da = ds
+        order = [d for d in ('band',) if d in da.dims] + ['y', 'x']
+        extra = [d for d in da.dims if d not in order]
+        da = da.transpose(*(extra + order))
+        data = np.asarray(da.values)
+        data = data.reshape((-1,) + data.shape[-2:])
+    write_geotiff(path, data, transform=transform, crs=crs,
+                  nodata=nodata, compress=compress)
+    return path
 
 
 from .beam_dimap import open_beam_dimap  # noqa: E402

@@ -301,3 +301,160 @@ def read_geotiff(path):
     """Read a GeoTIFF into (data, transform, crs, nodata)."""
     t = TiffFile(path)
     return t.read(), t.transform, t.crs, t.nodata
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+_DTYPE_TO_SAMPLE = {
+    'u': 1, 'i': 2, 'f': 3, 'c': 6,
+}
+
+
+def write_geotiff(path, data, transform=None, crs=None, nodata=None,
+                  compress=True):
+    """Write a (bands, height, width) or (height, width) array as a
+    GeoTIFF (little-endian, band-sequential strips, optional Deflate).
+
+    A writing capability the reference lacks (it only reads rasters via
+    GDAL); enables raster export without any GDAL dependency.
+    """
+    data = np.asarray(data)
+    if data.ndim == 2:
+        data = data[None]
+    nbands, height, width = data.shape
+    dt = data.dtype
+    if dt == np.float16:
+        data = data.astype(np.float32)
+        dt = data.dtype
+    if dt == bool:
+        data = data.astype(np.uint8)
+        dt = data.dtype
+    sample_format = _DTYPE_TO_SAMPLE.get(dt.kind)
+    if sample_format is None:
+        raise TypeError('cannot write dtype %r' % dt)
+    bits = dt.itemsize * 8
+
+    bo = '<'
+    entries = []          # (tag, type, count, value-bytes or int)
+    extra = bytearray()   # out-of-line data, offset fixed later
+
+    def add(tag, typ, values, fmt):
+        if isinstance(values, (int, float)):
+            values = [values]
+        count = len(values)
+        packed = struct.pack(bo + fmt * count, *values)
+        if len(packed) <= 4:
+            entries.append((tag, typ, count,
+                            packed + b'\0' * (4 - len(packed))))
+        else:
+            entries.append((tag, typ, count, ('extra', len(extra))))
+            extra.extend(packed)
+
+    def add_ascii(tag, text):
+        raw = text.encode('latin-1') + b'\0'
+        if len(raw) <= 4:
+            entries.append((tag, 2, len(raw),
+                            raw + b'\0' * (4 - len(raw))))
+        else:
+            entries.append((tag, 2, len(raw), ('extra', len(extra))))
+            extra.extend(raw)
+
+    # compress each band as one strip
+    strips = []
+    for b in range(nbands):
+        raw = np.ascontiguousarray(data[b]).astype(
+            dt.newbyteorder('<')).tobytes()
+        strips.append(zlib.compress(raw, 6) if compress else raw)
+
+    add(256, 4, width, 'I')
+    add(257, 4, height, 'I')
+    add(258, 3, [bits] * nbands, 'H')
+    add(259, 3, 8 if compress else 1, 'H')
+    add(262, 3, 1, 'H')
+    # strip offsets resolved later: use placeholder entry index
+    strip_off_index = len(entries)
+    add(273, 4, [0] * nbands, 'I')
+    add(277, 3, nbands, 'H')
+    add(278, 4, height, 'I')
+    add(279, 4, [len(s) for s in strips], 'I')
+    add(284, 3, 2, 'H')  # planar
+    add(339, 3, [sample_format] * nbands, 'H')
+
+    if transform is not None:
+        t = transform if isinstance(transform, Affine) \
+            else Affine(*tuple(transform)[:6])
+        if t.b == 0 and t.d == 0:
+            add(33550, 12, [abs(t.a), abs(t.e), 0.0], 'd')
+            add(33922, 12, [0.0, 0.0, 0.0, t.c, t.f, 0.0], 'd')
+        else:
+            add(34264, 12, [t.a, t.b, 0.0, t.c,
+                            t.d, t.e, 0.0, t.f,
+                            0.0, 0.0, 0.0, 0.0,
+                            0.0, 0.0, 0.0, 1.0], 'd')
+
+    if crs is not None:
+        crs = CRS.from_user_input(crs)
+        code = crs.to_epsg()
+        keys = [(1024, 0, 1, 2 if crs.is_geographic else 1),
+                (1025, 0, 1, 1)]
+        if code is not None:
+            if crs.is_geographic:
+                keys.append((2048, 0, 1, code))
+            else:
+                keys.append((3072, 0, 1, code))
+        gkd = [1, 1, 0, len(keys)]
+        for k in keys:
+            gkd.extend(k)
+        add(34735, 3, gkd, 'H')
+
+    if nodata is not None:
+        add_ascii(42113, repr(float(nodata)))
+
+    entries.sort(key=lambda e: e[0])
+    strip_off_index = next(i for i, e in enumerate(entries)
+                           if e[0] == 273)
+
+    header_size = 8
+    ifd_size = 2 + len(entries) * 12 + 4
+    extra_offset = header_size + ifd_size
+    data_offset = extra_offset + len(extra)
+
+    # resolve strip offsets
+    offsets = []
+    pos = data_offset
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    packed = struct.pack(bo + 'I' * nbands, *offsets)
+    if len(packed) <= 4:
+        entries[strip_off_index] = (
+            273, 4, nbands, packed + b'\0' * (4 - len(packed)))
+    else:
+        entries[strip_off_index] = (273, 4, nbands,
+                                    ('extra', len(extra)))
+        extra.extend(packed)
+        data_offset = extra_offset + len(extra)
+        offsets = []
+        pos = data_offset
+        for s in strips:
+            offsets.append(pos)
+            pos += len(s)
+        struct.pack_into(bo + 'I' * nbands, extra,
+                         len(extra) - 4 * nbands, *offsets)
+
+    with open(path, 'wb') as fh:
+        fh.write(b'II*\0' + struct.pack(bo + 'I', 8))
+        fh.write(struct.pack(bo + 'H', len(entries)))
+        for tag, typ, count, val in entries:
+            fh.write(struct.pack(bo + 'HHI', tag, typ, count))
+            if isinstance(val, tuple):
+                fh.write(struct.pack(bo + 'I',
+                                     extra_offset + val[1]))
+            else:
+                fh.write(val)
+        fh.write(struct.pack(bo + 'I', 0))  # no next IFD
+        fh.write(bytes(extra))
+        for s in strips:
+            fh.write(s)

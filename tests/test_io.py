@@ -173,3 +173,39 @@ def test_open_dataset_unknown_extension(tmp_path):
     open(p, 'w').write('not a raster')
     with pytest.raises(IOError):
         ndio.open_dataset(p)
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF writing
+# ---------------------------------------------------------------------------
+
+def test_geotiff_write_roundtrip(tmp_path, ds):
+    from nd_tpu import warp
+    p = str(tmp_path / 'out.tif')
+    ndio.to_geotiff(ds.isel(time=0), p)
+    back = ndio.open_rasterio(p)
+    assert back.shape[0] == 4  # one band per variable
+    np.testing.assert_allclose(back.isel(band=0).values,
+                               ds['C11'].isel(time=0).values,
+                               rtol=1e-6)
+    assert warp.get_transform(back).almost_equals(
+        warp.get_transform(ds), precision=1e-9)
+    from nd_tpu.testing import assert_equal_crs
+    assert_equal_crs(warp.get_crs(back), warp.get_crs(ds))
+
+
+def test_geotiff_write_dataarray(tmp_path, ds):
+    p = str(tmp_path / 'da.tif')
+    ndio.to_geotiff(ds['C11'].isel(time=0), p, nodata=0.0)
+    back = ndio.open_rasterio(p)
+    assert back.shape == (1, 12, 10)
+    assert back.attrs['nodatavals'] == (0.0,)
+
+
+def test_geotiff_reread_reference_after_rewrite(tmp_path):
+    """read -> write -> read round-trip of the bundled product."""
+    da = ndio.open_rasterio(os.path.join(DATA, 'slc.tif'))
+    p = str(tmp_path / 'rewrite.tif')
+    ndio.to_geotiff(da, p)
+    back = ndio.open_rasterio(p)
+    np.testing.assert_array_equal(back.values, da.values)
