@@ -137,6 +137,26 @@ def main():
     t_gs, _ = _time(run_gauss, cube_d)
     detail['gaussian_mpix_s'] = round(mpix / t_gs, 2)
 
+    # ---- reprojection (warp config) ------------------------------------
+    try:
+        from nd_tpu.testing import generate_test_dataset
+        from nd_tpu.warp import Reprojection
+        wds = generate_test_dataset(
+            dims={'y': NY // 2, 'x': NX // 2, 'time': 4})
+        for v in list(wds.data_vars):
+            wds[v] = (wds[v].dims,
+                      wds[v].values.astype(np.float32))
+        proj = Reprojection(crs='epsg:3395')
+        proj.apply(wds)  # warm up (compiles)
+        t0 = time.perf_counter()
+        out = proj.apply(wds)
+        _sync(out['C11'].data)
+        t_rp = time.perf_counter() - t0
+        wp = (NY // 2) * (NX // 2) * 4 * 4 / 1e6
+        detail['reproject_mpix_s'] = round(wp / t_rp, 2)
+    except Exception as e:  # pragma: no cover
+        detail['reproject_error'] = str(e)
+
     # ---- headline: NLMeans + Omnibus combined --------------------------
     combined_mpix_s = mpix * 2 / (t_nl + t_om)
 

@@ -1,0 +1,86 @@
+"""Checkpoint / resume for device-resident state.
+
+Two layers (SURVEY §5: the reference's only checkpoint mechanism is the
+NetCDF tile store, which nd_tpu.tiling keeps):
+
+  - ``save_params`` / ``load_params``: lightweight .npz snapshots of any
+    pytree of arrays (classifier heads, pipeline state) — dependency
+    free, host-side.
+  - ``Checkpointer``: orbax-backed versioned checkpoints with retention,
+    for long-running sharded training where per-host async saving
+    matters.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+
+__all__ = ['save_params', 'load_params', 'Checkpointer']
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return flat, treedef
+
+
+def save_params(params, path):
+    """Save a pytree of arrays to an .npz file (atomic rename)."""
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    arrays = {('arr_%d' % i): np.asarray(a) for i, a in enumerate(flat)}
+    tmp = str(path) + '.part'
+    np.savez(tmp, __treedef__=np.array(str(treedef)), **arrays)
+    # np.savez appends .npz to the filename it creates
+    os.replace(tmp + '.npz' if not tmp.endswith('.npz') else tmp,
+               path)
+    return path
+
+
+def load_params(path, like=None):
+    """Load a pytree saved by :func:`save_params`.
+
+    ``like`` supplies the tree structure (e.g. freshly initialized
+    params); without it a flat list of arrays is returned.
+    """
+    with np.load(path, allow_pickle=False) as data:
+        n = len([k for k in data.files if k.startswith('arr_')])
+        flat = [data['arr_%d' % i] for i in range(n)]
+    if like is None:
+        return flat
+    treedef = jax.tree_util.tree_structure(like)
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+class Checkpointer:
+    """Versioned checkpoints via orbax (step-indexed, retained N)."""
+
+    def __init__(self, directory, max_to_keep=3):
+        import orbax.checkpoint as ocp
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
+        self._mgr = ocp.CheckpointManager(self._dir, options=options)
+
+    def save(self, step, state):
+        import orbax.checkpoint as ocp
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def restore(self, step=None, like=None):
+        import orbax.checkpoint as ocp
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        if like is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(like))
+        return self._mgr.restore(step)
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def close(self):
+        self._mgr.close()

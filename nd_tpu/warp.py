@@ -13,6 +13,7 @@ reference: the coordinate of pixel (row, col) is
 
 from __future__ import annotations
 
+import functools
 import glob
 import os
 import warnings
@@ -384,6 +385,16 @@ def calculate_default_transform(src_crs, dst_crs, width, height,
 # The core reprojection engine
 # ------------------------------------------
 
+@functools.lru_cache(maxsize=1)
+def _gather_jit():
+    import jax
+    return jax.jit(map_coordinates,
+                   static_argnames=('method', 'cval'))
+
+
+def _jitted_gather(values, rows, cols, method, cval):
+    return _gather_jit()(values, rows, cols, method=method, cval=cval)
+
 def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                width=None, height=None, res=None, extent=None, **kwargs):
     """Reproject a Dataset or DataArray onto a new grid / CRS.
@@ -450,10 +461,18 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
         if c in ds.coords:
             dst_coords[c] = ds.coords[c]
 
-    # Pixel-coordinate grid: computed once, shared by every variable.
+    # Pixel-coordinate grid: computed once on the host in float64
+    # (vectorized numpy; TPUs emulate f64 slowly), then shipped to the
+    # device at gather precision. f32 fractional pixel coordinates are
+    # exact to ~2^-10 px for rasters under 16k pixels per side.
     rows, cols = grid_from_transforms(dst_transform, (height, width),
                                       src_transform, src_crs=src_crs,
-                                      dst_crs=dst_crs, xp=jnp)
+                                      dst_crs=dst_crs, xp=np)
+    coord_dtype = np.float32 if max(height, width) < 16384 \
+        and max(ds.sizes.get('y', 1), ds.sizes.get('x', 1)) < 16384 \
+        else np.float64
+    rows = jnp.asarray(np.asarray(rows, coord_dtype))
+    cols = jnp.asarray(np.asarray(cols, coord_dtype))
 
     resampling = kwargs.get('resampling')
 
@@ -482,13 +501,12 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
             values = values.astype(jnp.float64)
 
         if jnp.iscomplexobj(values):
-            out = (map_coordinates(values.real, rows, cols, method,
-                                   cval=np.nan)
-                   + 1j * map_coordinates(values.imag, rows, cols,
-                                          method, cval=np.nan))
+            out = (_jitted_gather(values.real, rows, cols, method,
+                                  np.nan)
+                   + 1j * _jitted_gather(values.imag, rows, cols,
+                                         method, np.nan))
         else:
-            out = map_coordinates(values, rows, cols, method,
-                                  cval=nodata)
+            out = _jitted_gather(values, rows, cols, method, nodata)
         if out_dtype == jnp.float16:
             out = out.astype(jnp.float16)
         return out

@@ -93,3 +93,28 @@ def test_graft_entry():
 def test_graft_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_save_load_params(tmp_path):
+    from nd_tpu.models.checkpoint import save_params, load_params
+    pipe = SARChangePipeline()
+    params = pipe.init_params()
+    p = str(tmp_path / 'params.npz')
+    save_params(params, p)
+    back = load_params(p, like=params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]),
+                                      np.asarray(back[k]))
+
+
+def test_orbax_checkpointer(tmp_path):
+    from nd_tpu.models.checkpoint import Checkpointer
+    pipe = SARChangePipeline()
+    params = jax.tree_util.tree_map(np.asarray, pipe.init_params())
+    ck = Checkpointer(str(tmp_path / 'ckpt'), max_to_keep=2)
+    ck.save(0, params)
+    ck.save(1, params)
+    assert ck.latest_step() == 1
+    back = ck.restore(like=params)
+    np.testing.assert_array_equal(back['w'], params['w'])
+    ck.close()
