@@ -1123,6 +1123,7 @@ def concat(objs, dim):
 
     # Dataset concat
     first = objs[0]
+    dim_exists = dim in first.sizes
     ds = Dataset(attrs=dict(first.attrs))
     for k, v in first._coords.items():
         if dim in v.dims:
@@ -1137,8 +1138,25 @@ def concat(objs, dim):
         if dim in v.dims:
             ds._variables[k] = _concat_variables(
                 [o._variables[k] for o in objs], dim, True)
+        elif not dim_exists:
+            # concatenating along a NEW dimension: stack and append it
+            stacked = _concat_variables(
+                [o._variables[k] for o in objs], dim, False)
+            # new dim goes last (xarray puts it first; appending keeps
+            # the (y, x, time) cube convention natural)
+            order = v.dims + (dim,)
+            ds._variables[k] = stacked.transpose(*order)
         else:
             ds._variables[k] = v
+    if not dim_exists:
+        # collect scalar coords of the concat dim if every input has one
+        vals = []
+        for o in objs:
+            cv = o._coords.get(dim)
+            if cv is not None and cv.ndim == 0:
+                vals.append(cv.values)
+        if len(vals) == len(objs) and vals:
+            ds._coords[dim] = Variable((dim,), np.stack(vals))
     return ds
 
 

@@ -1,0 +1,39 @@
+"""Integration tests: the example pipelines run end-to-end."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, '/root/repo/examples')
+
+
+def test_sar_change_pipeline(tmp_path):
+    from sar_change_pipeline import main
+    change = main(outdir=str(tmp_path), subset=64)
+    per_t = np.asarray(change.values).sum(axis=(0, 1))
+    # the synthetic step at t=3 must be detected in the central patch
+    assert per_t[:3].sum() == 0
+    assert per_t[3:5].sum() > 50
+    assert (tmp_path / 'change.nc').exists()
+    assert (tmp_path / 'change_t3.tif').exists()
+
+
+def test_forest_classification():
+    from forest_classification import main
+    pred = main()
+    assert set(pred.dims) == {'y', 'x'}
+
+
+def test_concat_new_dim_dataset():
+    """Regression: Dataset concat along a new dim must stack variables
+    (it used to silently keep only the first element)."""
+    from nd_tpu import concat
+    from nd_tpu.testing import generate_test_dataset
+    parts = [generate_test_dataset(dims={'y': 5, 'x': 4},
+                                   random_seed=i) for i in range(3)]
+    out = concat(parts, 'time')
+    assert out.sizes['time'] == 3
+    assert out['C11'].dims == ('y', 'x', 'time')
+    np.testing.assert_allclose(
+        out['C11'].isel(time=1).values, parts[1]['C11'].values)
