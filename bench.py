@@ -105,9 +105,9 @@ def main():
     alpha = 0.99
     looks = 9
 
-    # float64 statistics: change decisions match the f64 CPU reference
-    # exactly (f32 is ~3x faster at ~1e-5 disagreement — see docs)
-    stat_dtype = 'float64'
+    # 'mixed': input-precision channel sums (the reference kernel's own
+    # convention) + f64 statistic math — reference-exact decisions
+    stat_dtype = 'mixed'
 
     @jax.jit
     def run_omnibus(x):

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from .algorithm import Algorithm, wrap_algorithm, parallelize
 from .core import DataArray, Dataset
-from .core.variable import get_xp
 from .io import disassemble_complex
 from .ops.conv import convolve as _xla_convolve
 from .ops.conv import gaussian_kernel1d, separable_convolve

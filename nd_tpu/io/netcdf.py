@@ -16,7 +16,7 @@ import os
 
 import numpy as np
 
-from ..core import DataArray, Dataset
+from ..core import Dataset
 from ..core.variable import Variable
 
 try:

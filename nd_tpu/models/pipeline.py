@@ -23,7 +23,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.change import change_detection, omnibus_probabilities

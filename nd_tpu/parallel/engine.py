@@ -53,7 +53,7 @@ def _fit_mesh_to_dims(mesh, ds, dims, halos):
 
 
 def _filter_pad_mode(algo):
-    from ..filters import ConvolutionFilter, GaussianFilter, NLMeansFilter
+    from ..filters import NLMeansFilter
     if isinstance(algo, NLMeansFilter):
         return 'reflect'
     mode = getattr(algo, 'kwargs', {}).get('mode', 'reflect')

@@ -12,8 +12,6 @@ radius — the same correctness contract as ``Algorithm._buffer``.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax

@@ -14,7 +14,6 @@ the reference (tiling.py:96-100 there).
 from __future__ import annotations
 
 import glob
-import itertools
 import os
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial

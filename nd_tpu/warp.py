@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .algorithm import Algorithm, parallelize, wrap_algorithm
 from .core import DataArray, Dataset
-from .core.variable import Variable, get_xp, is_device_array
+from .core.variable import Variable, get_xp
 from .crs import CRS, Affine, transform_coords
 from .io import open_dataset, to_netcdf, disassemble_complex
 from .ops.fft import phase_cross_correlation, translate

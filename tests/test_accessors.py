@@ -87,3 +87,31 @@ def test_accessor_on_dataarray(ds):
     assert da.nd.dims == da.dims
     out = da.filter.boxcar(w=3)
     assert out.sizes == da.sizes
+
+
+def test_nd_to_video(tmp_path, ds):
+    p = str(tmp_path / 'v.gif')
+    ds.nd.to_video(p, fps=2)
+    import os
+    assert os.path.getsize(p) > 0
+
+
+def test_nd_coregister():
+    ds2 = generate_test_dataset(dims={'y': 32, 'x': 32, 'time': 3})
+    out = ds2.nd.coregister(reference=0, upsampling=5)
+    assert out.sizes == ds2.sizes
+
+
+def test_nd_tile(tmp_path, ds):
+    ds.nd.tile(str(tmp_path), chunks={'y': 8})
+    import os
+    assert len(os.listdir(tmp_path)) == 2
+
+
+def test_nd_classify():
+    from nd_tpu.testing import create_mock_classes
+    from sklearn.linear_model import LogisticRegression
+    dsm, labels = create_mock_classes(dims={'y': 20, 'x': 20,
+                                            'time': 2})
+    pred = dsm.nd.classify(LogisticRegression(max_iter=100), labels)
+    assert set(pred.dims) == {'y', 'x', 'time'}
