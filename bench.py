@@ -117,6 +117,20 @@ def main():
     t_om, change_map = _time(run_omnibus, cube_d)
     detail['omnibus_mpix_s'] = round(mpix / t_om, 2)
 
+    # fast (f32 Pallas) mode, reported separately
+    try:
+        from nd_tpu.ops.change_pallas import supports_pallas
+        if supports_pallas():
+            @jax.jit
+            def run_omnibus_fast(x):
+                return change_detection(x, alpha=alpha, n=looks,
+                                        stat_dtype='float32')
+
+            t_of, _ = _time(run_omnibus_fast, cube_d)
+            detail['omnibus_fast_mpix_s'] = round(mpix / t_of, 2)
+    except Exception as e:  # pragma: no cover
+        detail['omnibus_fast_error'] = str(e)
+
     # ---- secondary configs ---------------------------------------------
     k3 = jnp.ones((3, 3), jnp.float32) / 9
 

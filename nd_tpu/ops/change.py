@@ -183,6 +183,13 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed'):
     values = jnp.asarray(values)
     if not jnp.issubdtype(values.dtype, jnp.floating):
         values = values.astype(jnp.float32)
+    if stat_dtype in ('float32', jnp.float32):
+        # fast mode: the fused Pallas kernel is bit-identical to the
+        # f32 XLA path and ~2x faster (and compiles ~30x faster)
+        from .change_pallas import (change_detection_pallas,
+                                    supports_pallas)
+        if supports_pallas():
+            return change_detection_pallas(values, alpha, n=n)
     mixed = (stat_dtype == 'mixed')
     if mixed:
         # channel accumulation in the INPUT precision (the reference

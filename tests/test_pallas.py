@@ -28,3 +28,25 @@ def test_pallas_nlmeans_n_eff():
     got = np.asarray(nlmeans_spatial_pallas(
         arr, (2, 2), (1, 1), 2.0, 2.0, 4.0, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('shape,alpha,n', [
+    ((48, 40, 8), 0.99, 9),
+    ((16, 24, 6), 0.9, 4),
+    ((20, 130, 12), 0.99, 9),
+])
+def test_pallas_omnibus_matches_xla_f32(shape, alpha, n):
+    from nd_tpu.ops.change import change_detection
+    from nd_tpu.ops.change_pallas import change_detection_pallas
+    rng = np.random.RandomState(0)
+    ny, nx, k = shape
+    cube = np.abs(rng.normal(1, 0.3, size=(ny, nx, k, 4))) \
+        .astype(np.float32)
+    cube[..., 1:3] *= 0.2
+    cube[:, :, k // 2:, 0] += 2.0
+    cube[:, :, k // 2:, 3] += 2.0
+    ref = np.asarray(change_detection(cube, alpha=alpha, n=n,
+                                      stat_dtype='float32'))
+    got = np.asarray(change_detection_pallas(cube, alpha=alpha, n=n,
+                                             interpret=True))
+    np.testing.assert_array_equal(got, ref)
