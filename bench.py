@@ -107,15 +107,29 @@ def main():
 
     # 'mixed': input-precision channel sums (the reference kernel's own
     # convention) + f64 statistic math — reference-exact decisions
-    stat_dtype = 'mixed'
+    from nd_tpu.ops.change import change_detection_hybrid
+    from nd_tpu.ops.change_pallas import supports_pallas
 
     @jax.jit
     def run_omnibus(x):
         return change_detection(x, alpha=alpha, n=looks,
-                                stat_dtype=stat_dtype)
+                                stat_dtype='mixed')
+    detail['omnibus_kernel'] = 'xla-mixed'
 
     t_om, change_map = _time(run_omnibus, cube_d)
     detail['omnibus_mpix_s'] = round(mpix / t_om, 2)
+
+    # hybrid mode (Pallas + exact f64 patching, host-delivered result —
+    # what OmnibusTest uses on TPU); includes its host transfers
+    if supports_pallas():
+        change_detection_hybrid(cube_d, alpha=alpha, n=looks,
+                                values_host=cube)  # warm up
+        t0 = time.perf_counter()
+        hybrid_map = change_detection_hybrid(cube_d, alpha=alpha,
+                                             n=looks,
+                                             values_host=cube)
+        t_hy = time.perf_counter() - t0
+        detail['omnibus_hybrid_mpix_s'] = round(mpix / t_hy, 2)
 
     # fast (f32 Pallas) mode, reported separately
     try:

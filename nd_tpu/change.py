@@ -69,7 +69,16 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
     da = da.transpose('y', 'x', 'time', 'variable')
     values = jnp.asarray(da.data)
 
-    change = _change_detection(values, alpha=float(alpha), n=int(n))
+    from .ops.change import change_detection_hybrid
+    from .ops.change_pallas import supports_pallas
+    if supports_pallas():
+        # fused Pallas kernel + exact float64 patching of the rare
+        # near-margin pixels — exact decisions at fast-mode speed
+        change = change_detection_hybrid(values, alpha=float(alpha),
+                                         n=int(n))
+    else:
+        change = _change_detection(values, alpha=float(alpha),
+                                   n=int(n))
 
     coords = {k: v for k, v in ds._coords.items()}
     out = DataArray(np.asarray(change), dims=('y', 'x', 'time'),

@@ -35,7 +35,8 @@ from jax import lax
 
 from .stats import chi2_cdf
 
-__all__ = ['omnibus_probabilities', 'change_detection', 'omnibus_z']
+__all__ = ['omnibus_probabilities', 'change_detection',
+           'change_detection_hybrid', 'omnibus_z']
 
 _P = 2.0  # dual-pol covariance matrices are 2x2
 
@@ -289,4 +290,139 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed'):
             jnp.ones((ny, nx), bool),
             jnp.zeros((ny, nx, k), bool))
     _, _, _, result = lax.while_loop(cond, body, init)
+    return result
+
+
+def change_detection_hybrid(values, alpha, n=1, margin_eps=1e-3,
+                            nthreads=0, values_host=None,
+                            return_device=False):
+    """Exact change detection at fast-mode speed (TPU only).
+
+    Runs the fused f32 Pallas kernel, which also reports each pixel's
+    smallest relative decision margin |z - threshold|/|threshold| over
+    every comparison its scan made. Pixels whose margin is below
+    ``margin_eps`` — the only ones whose f32 decisions could differ
+    from float64 (f32 z carries ~1e-6 relative error; the default
+    margin keeps a ~1000x safety factor) — are recomputed exactly with
+    the native float64 CPU kernel and patched in. Typical cubes flag a
+    small fraction of pixels, so throughput is essentially the Pallas
+    kernel's.
+
+    Host-driven (not jittable); ``OmnibusTest`` uses it automatically
+    on TPU.
+
+    Parameters
+    ----------
+    values : array (y, x, time, 4)
+        Device or host array; pass ``values_host`` alongside a device
+        array to avoid a device->host copy for the patch step.
+    return_device : bool, optional
+        Return the (patched) device array instead of numpy.
+    """
+    from .change_pallas import change_detection_pallas, supports_pallas
+
+    if not supports_pallas():
+        out = change_detection(values, alpha=alpha, n=n)
+        return out if return_device else np.asarray(out)
+
+    if values_host is None and isinstance(values, np.ndarray):
+        values_host = values
+    values_dev = jnp.asarray(values, jnp.float32)
+    k = values_dev.shape[2]
+
+    packed, margin, rest = _packed_fast_kernel(float(alpha), int(n),
+                                               int(k))(values_dev)
+    packed_np = np.asarray(packed)                      # ~4 MB d2h
+    margin_np = np.asarray(margin)                      # ~4 MB d2h
+    nbits = min(k, 31)
+    result = ((packed_np[..., None]
+               >> np.arange(nbits)[None, None, :]) & 1).astype(bool)
+    if k > 31:
+        result = np.concatenate(
+            [result, np.asarray(rest).astype(bool)], axis=-1)
+
+    suspect = ~(margin_np > margin_eps)                 # incl. NaN
+    n_suspect = int(suspect.sum())
+
+    if n_suspect:
+        if values_host is None:
+            values_host = np.asarray(values_dev)        # fallback d2h
+        ys, xs = np.nonzero(suspect)
+        series = np.asarray(values_host, np.float32)[ys, xs] \
+            .astype(np.float64)                         # (m, k, 4)
+        try:
+            from .._native import change_detection_native
+            patched = change_detection_native(
+                series[:, None], alpha, n=n,
+                nthreads=nthreads or min(8, n_suspect // 64 + 1))[:, 0]
+        except Exception:
+            # pure-python exact fallback (slow; native lib missing)
+            patched = np.stack([
+                _single_pixel_exact(series[i], alpha, n)
+                for i in range(n_suspect)])
+        result[ys, xs] = patched
+
+    if return_device:
+        return jnp.asarray(result)
+    return result
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _packed_fast_kernel(alpha, n, k):
+    """Cached jit: Pallas fast kernel + bit-packing of the change flags
+    (only ~8 bytes/pixel cross the host link)."""
+    from .change_pallas import change_detection_pallas
+
+    @jax.jit
+    def run(v):
+        flags, margin = change_detection_pallas(v, alpha, n=n,
+                                                return_margin=True)
+        weights = jnp.asarray(2 ** np.arange(min(k, 31)), jnp.int32)
+        packed = jnp.sum(
+            flags[..., :31].astype(jnp.int32) * weights, axis=-1)
+        rest = flags[..., 31:] if k > 31 else jnp.zeros((), jnp.int8)
+        return packed, margin, rest
+
+    return run
+
+
+def _single_pixel_exact(ts, alpha, n):
+    """Float64 exact scan for one pixel (patch-step fallback)."""
+    k = ts.shape[0]
+    thresholds = omnibus_thresholds(k, n, float(alpha))
+
+    def z_of(l, j):
+        seg = ts[l:l + j]
+        dets = (seg[:, 0] * seg[:, 3] - seg[:, 1] ** 2
+                - seg[:, 2] ** 2)
+        s = seg.sum(axis=0)
+        det_sum = s[0] * s[3] - s[1] ** 2 - s[2] ** 2
+        with np.errstate(divide='ignore', invalid='ignore'):
+            logp = np.sum(np.log(np.abs(dets)))
+            if (dets < 0).sum() % 2 == 1:
+                logp = np.nan
+            logq = n * (_P * j * np.log(j) + logp
+                        - j * np.log(det_sum))
+        rho = float(omnibus_rho(j, n))
+        return -2 * rho * logq
+
+    result = np.zeros(k, dtype=bool)
+    l = 0
+    while True:
+        if not (z_of(l, k - l) > thresholds[k - l]):
+            break
+        r = None
+        for j in range(2, k - l + 1):
+            r = j - 1
+            if z_of(l, j) > thresholds[j]:
+                result[l + r] = True
+                break
+        if r is None:
+            break
+        l += r
+        if l >= k - 1:
+            break
     return result

@@ -41,8 +41,13 @@ def supports_pallas():
     return jax.default_backend() == 'tpu' and pltpu is not None
 
 
-def _kernel(in_ref, out_ref, l_ref, active_ref, *, k, nf, thresholds):
-    """in_ref (k, 4, TY, TX) f32 -> out_ref (k, TY, TX) bool(int8)."""
+def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
+            thresholds):
+    """in_ref (k, 4, TY, TX) f32 -> out_ref (k, TY, TX) flags and
+    margin_ref (TY, TX): the smallest relative |z - threshold| over
+    every comparison the pixel's scan actually made — pixels with tiny
+    margins are the only ones whose f32 decisions could differ from
+    float64 (consumed by the hybrid exact mode)."""
     dtype = jnp.float32
     tile = in_ref[:]                               # (k, 4, TY, TX)
     ty, tx = tile.shape[2], tile.shape[3]
@@ -62,6 +67,7 @@ def _kernel(in_ref, out_ref, l_ref, active_ref, *, k, nf, thresholds):
         * jnp.float32(1.0)
 
     out_ref[:] = jnp.zeros((k, ty, tx), jnp.float32)
+    margin_ref[:] = jnp.full((ty, tx), jnp.float32(np.inf))
     l_ref[:] = jnp.zeros((ty, tx), jnp.float32)
     active_ref[:] = jnp.ones((ty, tx), jnp.float32)
 
@@ -106,6 +112,22 @@ def _kernel(in_ref, out_ref, l_ref, active_ref, *, k, nf, thresholds):
                 thresh = jnp.where(jt == float(j), thr[j], thresh)
 
         hit = jnp.logical_and(z > thresh, tt >= l[None] + 1.0)
+
+        # decision margin: min relative |z - thresh| over the windows
+        # this (still-active) pixel actually evaluated. NaN z counts as
+        # a hard decision (NaN is sign-exact), so it keeps margin inf.
+        rel = jnp.abs(z - thresh) / jnp.maximum(jnp.abs(thresh), 1.0)
+        rel = jnp.where(
+            jnp.logical_and(tt >= l[None] + 1.0,
+                            jnp.logical_and(jnp.isfinite(thresh),
+                                            jnp.isfinite(z))),
+            rel, jnp.float32(np.inf))
+        round_margin = jnp.min(rel, axis=0)
+        margin_ref[:] = jnp.where(active,
+                                  jnp.minimum(margin_ref[:],
+                                              round_margin),
+                                  margin_ref[:])
+
         active = jnp.logical_and(active, hit[k - 1])
 
         # first hit = min-reduce of masked f32 indices (no argmax);
@@ -129,7 +151,8 @@ def _kernel(in_ref, out_ref, l_ref, active_ref, *, k, nf, thresholds):
                                   jnp.float32(0.0))
 
 
-def change_detection_pallas(values, alpha, n=1, interpret=False):
+def change_detection_pallas(values, alpha, n=1, interpret=False,
+                            return_margin=False):
     """Fast (f32) omnibus change detection as a fused Pallas kernel.
 
     Same decision rule as :func:`nd_tpu.ops.change.change_detection`
@@ -152,17 +175,22 @@ def change_detection_pallas(values, alpha, n=1, interpret=False):
     kernel = functools.partial(_kernel, k=k, nf=float(n),
                                thresholds=thresholds)
 
-    out = pl.pallas_call(
+    out, margin = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((k, ny_pad, nx_pad),
-                                       jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, ny_pad, nx_pad), jnp.float32),
+            jax.ShapeDtypeStruct((ny_pad, nx_pad), jnp.float32),
+        ),
         grid=grid,
         in_specs=[pl.BlockSpec((k, 4, ty, tx),
                                lambda i, j: (i * 0, j * 0, i, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((k, ty, tx),
-                               lambda i, j: (i * 0, i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((k, ty, tx), lambda i, j: (i * 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, tx), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((ty, tx), jnp.float32),
             pltpu.VMEM((ty, tx), jnp.float32),
@@ -171,4 +199,7 @@ def change_detection_pallas(values, alpha, n=1, interpret=False):
     )(data)
 
     out = out[:, :ny, :nx]
-    return jnp.transpose(out, (1, 2, 0)) > 0.5
+    result = jnp.transpose(out, (1, 2, 0)) > 0.5
+    if return_margin:
+        return result, margin[:ny, :nx]
+    return result
