@@ -69,31 +69,51 @@ def _kernel(refs, out_ref, *, ry, rx, fy, fx, sigma, h, n_eff,
 
     # Unrolled offset loop with ref-based accumulators: each
     # iteration's temporaries die at the ref store, keeping the Mosaic
-    # VMEM stack flat.
-    for dy, dx in itertools.product(range(-ry, ry + 1),
-                                    range(-rx, rx + 1)):
-        if dy == 0 and dx == 0:
-            continue
-        a1 = in_ref[:, :, p_y - fy:p_y + ty + fy,
-                    p_x - fx:p_x + tx + fx]
-        a2 = in_ref[:, :, p_y + dy - fy:p_y + dy + ty + fy,
-                    p_x + dx - fx:p_x + dx + tx + fx]
-        sq = jnp.sum((a1 - a2) ** 2, axis=1)   # (t, ty+2fy, tx+2fx)
+    # VMEM stack flat. Patch distances are symmetric —
+    # dsq(p, p+D) == dsq(q, q-D) at q = p+D — so each unordered offset
+    # pair is computed once over a D-extended window and reused for
+    # both directions, halving the dominant sq/patch work.
+    half = [(dy, dx) for dy, dx in
+            itertools.product(range(-ry, ry + 1), range(-rx, rx + 1))
+            if (dy, dx) > (0, 0)]
+    for dy, dx in half:
+        # the "left" pixel q of each evaluated pair (q, q+D) ranges
+        # over o (forward) and o-D (backward): rows [-dy, ty),
+        # cols [-max(dx,0), tx - min(dx,0))
+        ey0 = -max(dy, 0)
+        ey1 = -min(dy, 0)
+        ex0 = -max(dx, 0)
+        ex1 = -min(dx, 0)
+        a1 = in_ref[:, :,
+                    p_y + ey0 - fy:p_y + ty + ey1 + fy,
+                    p_x + ex0 - fx:p_x + tx + ex1 + fx]
+        a2 = in_ref[:, :,
+                    p_y + ey0 + dy - fy:p_y + ty + ey1 + dy + fy,
+                    p_x + ex0 + dx - fx:p_x + tx + ex1 + dx + fx]
+        sq = jnp.sum((a1 - a2) ** 2, axis=1)
         # patch sum over the (2f+1) window: separable static shifts
-        acc_y = sq[:, 0:ty, :]
+        hy = ty + ey1 - ey0
+        acc_y = sq[:, 0:hy, :]
         for u in range(1, 2 * fy + 1):
-            acc_y = acc_y + sq[:, u:u + ty, :]
-        patch = acc_y[:, :, 0:tx]
+            acc_y = acc_y + sq[:, u:u + hy, :]
+        hx = tx + ex1 - ex0
+        patch = acc_y[:, :, 0:hx]
         for v in range(1, 2 * fx + 1):
-            patch = patch + acc_y[:, :, v:v + tx]
-        dsq = patch * inv_norm
-        w = jnp.exp(-jnp.maximum(dsq - two_sigma2, 0) * inv_h2)
-        vals = in_ref[:, :, p_y + dy:p_y + dy + ty,
-                      p_x + dx:p_x + dx + tx]
-        wsum_ref[:] = wsum_ref[:] + w
-        wsq_ref[:] = wsq_ref[:] + w * w
-        wmax_ref[:] = jnp.maximum(wmax_ref[:], w)
-        out_ref[:] = out_ref[:] + w[:, None] * vals
+            patch = patch + acc_y[:, :, v:v + hx]
+        # patch[r, c] = dsq between pixels (ey0+r, ex0+c) and
+        # (ey0+r+dy, ex0+c+dx) in tile-output coordinates
+        dsq_fwd = patch[:, -ey0:ty - ey0, -ex0:tx - ex0] * inv_norm
+        dsq_bwd = patch[:, -ey0 - dy:ty - ey0 - dy,
+                        -ex0 - dx:tx - ex0 - dx] * inv_norm
+        for ddy, ddx, dsq in ((dy, dx, dsq_fwd),
+                              (-dy, -dx, dsq_bwd)):
+            w = jnp.exp(-jnp.maximum(dsq - two_sigma2, 0) * inv_h2)
+            vals = in_ref[:, :, p_y + ddy:p_y + ddy + ty,
+                          p_x + ddx:p_x + ddx + tx]
+            wsum_ref[:] = wsum_ref[:] + w
+            wsq_ref[:] = wsq_ref[:] + w * w
+            wmax_ref[:] = jnp.maximum(wmax_ref[:], w)
+            out_ref[:] = out_ref[:] + w[:, None] * vals
 
     wsum = wsum_ref[:]
     wmax = wmax_ref[:]
