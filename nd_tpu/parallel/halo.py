@@ -162,8 +162,11 @@ def shard_apply(fn, arr, mesh, sharded_axes, mode='symmetric', cval=0.0,
             y = halo_trim(y, axis, halo)
         return y
 
+    # check_vma=False: Pallas kernels inside the shard can't annotate
+    # their outputs' varying mesh axes; equality with the unsharded
+    # kernel is covered by the parallel==serial test suite instead.
     sharded = jax.shard_map(local_fn, mesh=mesh, in_specs=spec,
-                            out_specs=spec)
+                            out_specs=spec, check_vma=False)
     out = sharded(padded)
 
     # remove the divisibility padding
