@@ -102,3 +102,42 @@ def test_auto_merge_meta_variables(tmp_path, ds):
     merged = auto_merge(opened, meta_variables=['orbit'])
     assert 'orbit' in merged
     assert 'legend' in merged._variables['orbit'].attrs
+
+
+def test_reproject_then_tile_merge_roundtrip(tmp_path):
+    """BASELINE config 5: reprojection + tile/merge of a multi-tile
+    cube — the merged mosaic equals the unsplit reprojection."""
+    from nd_tpu.warp import Reprojection
+
+    ds = generate_test_dataset(dims={'y': 40, 'x': 36, 'time': 3})
+    proj = Reprojection(crs='epsg:3395')
+    whole = proj.apply(ds)
+
+    tile(whole, str(tmp_path), chunks={'y': 16, 'x': 16})
+    merged = auto_merge(str(tmp_path) + '/*.nc')
+    for v in ds.data_vars:
+        np.testing.assert_allclose(
+            merged[v].transpose(*whole[v].dims).values,
+            whole[v].values, rtol=1e-6, equal_nan=True)
+
+
+def test_map_over_tiles_change_detection(tmp_path):
+    """Omnibus change detection distributed over disk tiles matches the
+    whole-cube result (pixelwise op: buffer 0)."""
+    from nd_tpu.change import OmnibusTest
+
+    ds = generate_test_dataset(dims={'y': 24, 'x': 24, 'time': 6},
+                               mean=[1, 0, 0, 1], sigma=0.1)
+    for v in ('C11', 'C22'):
+        ds[v] = (ds[v].dims, np.abs(ds[v].values) + 0.5)
+    algo = OmnibusTest(n=9, alpha=0.9)
+    whole = algo.apply(ds)
+
+    tile(ds, str(tmp_path), chunks={'y': 8})
+    result = map_over_tiles(
+        str(tmp_path) + '/*.nc',
+        lambda d: algo.apply(d).to_dataset(name='change'))
+    np.testing.assert_array_equal(
+        np.asarray(result['change'].transpose('y', 'x', 'time').values)
+        .astype(bool),
+        np.asarray(whole.values))
