@@ -59,8 +59,24 @@ def _time(fn, *args, reps=4, warmup=1):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: repeated bench runs skip the
+    # (minutes-long) remote TPU compiles
+    try:
+        cache_dir = os.environ.get(
+            'ND_TPU_COMPILE_CACHE',
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_cache'))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0)
+    except Exception:
+        pass
 
     import nd_tpu  # noqa: F401
     from nd_tpu.ops.change import change_detection
