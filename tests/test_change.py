@@ -120,3 +120,44 @@ def test_omnibus_output_metadata():
 def test_change_detection_is_abstract():
     with pytest.raises(TypeError):
         ChangeDetection(njobs=2)
+
+
+def test_change_detection_long_series():
+    """k > 31 exercises the multi-word bit packing and deep scans."""
+    rng = np.random.RandomState(7)
+    k = 36
+    values = np.abs(rng.normal(1, 0.2, size=(6, 5, k, 4))) \
+        .astype(np.float32)
+    values[..., 1:3] *= 0.2
+    values[:, :, 12:, 0] *= 3.0
+    values[:, :, 24:, 3] *= 0.3
+    from reference_impls import change_detection_oracle
+    ref = change_detection_oracle(values.astype(np.float64),
+                                  alpha=0.95, n=9)
+    got = np.asarray(change_detection(values, alpha=0.95, n=9,
+                                      stat_dtype='float64'))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hybrid_cpu_fallback():
+    """On CPU the hybrid helper falls back to the exact device path."""
+    from nd_tpu.ops.change import change_detection_hybrid
+    rng = np.random.RandomState(1)
+    values = np.abs(rng.normal(1, 0.2, size=(8, 8, 6, 4))) \
+        .astype(np.float32)
+    values[..., 1:3] *= 0.2
+    out = change_detection_hybrid(values, alpha=0.9, n=9)
+    ref = np.asarray(change_detection(values, alpha=0.9, n=9))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_single_pixel_exact_matches_oracle():
+    from nd_tpu.ops.change import _single_pixel_exact
+    from reference_impls import single_pixel_change_oracle
+    rng = np.random.RandomState(2)
+    for _ in range(20):
+        ts = np.abs(rng.normal(1, 0.4, size=(9, 4)))
+        ts[:, 1:3] *= 0.2
+        got = _single_pixel_exact(ts, 0.9, 9)
+        ref = single_pixel_change_oracle(ts, 0.9, 9)
+        np.testing.assert_array_equal(got, ref)
