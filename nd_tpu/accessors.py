@@ -194,8 +194,34 @@ def _accessor_property(cls):
     return property(getter, doc=cls.__doc__)
 
 
+def _patch_accessor_docs():
+    """Copy signatures/docstrings from the functional API onto the
+    accessor methods (reference: _xarray.py patch_doc usage)."""
+    from . import change, filters, io, tiling, utils, warp
+
+    pairs = [
+        (NDAccessor, 'reproject', warp.reproject),
+        (NDAccessor, 'resample', warp.resample),
+        (NDAccessor, 'coregister', warp.coregister),
+        (NDAccessor, 'change_omnibus', change.omnibus),
+        (NDAccessor, 'as_complex', io.assemble_complex),
+        (NDAccessor, 'as_real', io.disassemble_complex),
+        (NDAccessor, 'to_netcdf', io.to_netcdf),
+        (NDAccessor, 'apply', utils.apply),
+        (NDAccessor, 'tile', tiling.tile),
+        (FilterAccessor, 'nlmeans', filters.nlmeans),
+        (FilterAccessor, 'boxcar', filters.boxcar),
+        (FilterAccessor, 'convolve', filters.convolution),
+        (FilterAccessor, 'gaussian', filters.gaussian),
+    ]
+    for cls, name, func in pairs:
+        method = getattr(cls, name)
+        setattr(cls, name, patch_doc(func)(method))
+
+
 def register_accessors():
     """Attach .nd and .filter namespaces to Dataset and DataArray."""
+    _patch_accessor_docs()
     for holder in (Dataset, DataArray):
         holder.nd = _accessor_property(NDAccessor)
         holder.filter = _accessor_property(FilterAccessor)
