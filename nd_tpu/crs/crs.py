@@ -46,12 +46,20 @@ _EPSG = {
     27700: {'proj': 'tmerc', 'lat_0': 49, 'lon_0': -2, 'k': 0.9996012717,
             'x_0': 400000, 'y_0': -100000, 'ellps': 'airy',
             'datum': 'OSGB36', 'units': 'm'},
+    # polar stereographic grids (NSIDC Arctic / Antarctic)
+    3413: {'proj': 'stere', 'lat_0': 90, 'lat_ts': 70, 'lon_0': -45,
+           'x_0': 0, 'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
+           'units': 'm'},
+    3031: {'proj': 'stere', 'lat_0': -90, 'lat_ts': -71, 'lon_0': 0,
+           'x_0': 0, 'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
+           'units': 'm'},
 }
 for _zone in range(1, 61):
     _EPSG[32600 + _zone] = _utm_params(_zone, south=False)
     _EPSG[32700 + _zone] = _utm_params(_zone, south=True)
 
 _PROJECTION_WKT_NAMES = {
+    'stere': 'Polar_Stereographic',
     'tmerc': 'Transverse_Mercator',
     'utm': 'Transverse_Mercator',
     'merc': 'Mercator_1SP',
@@ -61,6 +69,8 @@ _PROJECTION_WKT_NAMES = {
 }
 
 _WKT_NAME_TO_PROJ = {
+    'polar_stereographic': 'stere',
+    'stereographic': 'stere',
     'transverse_mercator': 'tmerc',
     'mercator_1sp': 'merc',
     'mercator_2sp': 'merc',
@@ -383,6 +393,8 @@ class CRS:
             p.pop('south', None)
         out['proj'] = proj
         if proj != 'longlat':
+            if 'lat_ts' in p:
+                out['lat_ts'] = round(float(p['lat_ts']), 9)
             for k in ('lat_0', 'lon_0', 'x_0', 'y_0'):
                 out[k] = round(float(p.get(k, 0.0)), 9)
             out['k'] = round(float(p.get('k', p.get('k_0', 1.0))), 12)

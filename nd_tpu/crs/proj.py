@@ -285,6 +285,90 @@ def _sinu_inverse(x, y, ell, lon0, k0, xp=np):
 
 
 # ---------------------------------------------------------------------------
+# Polar stereographic (ellipsoidal, Snyder 1987 §21) — EPSG:3413/3031
+# ---------------------------------------------------------------------------
+
+def _stere_t(phi, e, xp):
+    """Snyder's t function (half-angle conformal mapping factor)."""
+    s = xp.sin(phi)
+    return xp.tan(math.pi / 4 - phi / 2) \
+        / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+
+def _polar_stere_forward(lon, lat, ell, lon0, k0, xp=np, lat_ts=None,
+                         south=False):
+    e = ell.e
+    a = ell.a
+    sign = -1.0 if south else 1.0
+    lam = (lon - lon0) * sign
+    phi = lat * sign
+    t = _stere_t(phi, e, xp)
+    if lat_ts is None or abs(abs(lat_ts) - math.pi / 2) < 1e-12:
+        rho = 2 * a * k0 * t / math.sqrt(
+            (1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    else:
+        phi_c = abs(lat_ts)
+        t_c = float(_stere_t(np.float64(phi_c), e, np))
+        m_c = math.cos(phi_c) / math.sqrt(
+            1 - ell.e2 * math.sin(phi_c) ** 2)
+        rho = a * m_c * t / t_c
+    x = rho * xp.sin(lam)
+    y = -rho * xp.cos(lam)
+    return x * sign, y * sign
+
+
+def _polar_stere_inverse(x, y, ell, lon0, k0, xp=np, lat_ts=None,
+                         south=False):
+    e = ell.e
+    a = ell.a
+    sign = -1.0 if south else 1.0
+    x = x * sign
+    y = y * sign
+    rho = xp.sqrt(x * x + y * y)
+    if lat_ts is None or abs(abs(lat_ts) - math.pi / 2) < 1e-12:
+        t = rho * math.sqrt(
+            (1 + e) ** (1 + e) * (1 - e) ** (1 - e)) / (2 * a * k0)
+    else:
+        phi_c = abs(lat_ts)
+        t_c = float(_stere_t(np.float64(phi_c), e, np))
+        m_c = math.cos(phi_c) / math.sqrt(
+            1 - ell.e2 * math.sin(phi_c) ** 2)
+        t = rho * t_c / (a * m_c)
+    # invert t(phi) by fixed point (Snyder 7-9)
+    phi = math.pi / 2 - 2 * xp.arctan(t)
+    for _ in range(8):
+        s = e * xp.sin(phi)
+        phi = math.pi / 2 - 2 * xp.arctan(
+            t * ((1 - s) / (1 + s)) ** (e / 2))
+    lam = xp.arctan2(x, -y)
+    return (lam * sign + lon0), phi * sign
+
+
+def _stere_forward(lon, lat, ell, lon0, k0, xp=np, **params):
+    lat0 = params.get('lat_0', 90.0)
+    lat_ts = params.get('lat_ts')
+    if abs(abs(lat0) - 90.0) > 1e-9:
+        raise NotImplementedError(
+            'only polar aspects of stereographic are supported')
+    return _polar_stere_forward(
+        lon, lat, ell, lon0, k0, xp=xp,
+        lat_ts=math.radians(lat_ts) if lat_ts is not None else None,
+        south=(lat0 < 0))
+
+
+def _stere_inverse(x, y, ell, lon0, k0, xp=np, **params):
+    lat0 = params.get('lat_0', 90.0)
+    lat_ts = params.get('lat_ts')
+    if abs(abs(lat0) - 90.0) > 1e-9:
+        raise NotImplementedError(
+            'only polar aspects of stereographic are supported')
+    return _polar_stere_inverse(
+        x, y, ell, lon0, k0, xp=xp,
+        lat_ts=math.radians(lat_ts) if lat_ts is not None else None,
+        south=(lat0 < 0))
+
+
+# ---------------------------------------------------------------------------
 # Equidistant cylindrical (eqc) — used by some simple grids
 # ---------------------------------------------------------------------------
 
@@ -299,6 +383,7 @@ def _eqc_inverse(x, y, ell, lon0, k0, xp=np):
 
 
 _FORWARD = {
+    'stere': _stere_forward,
     'tmerc': _tmerc_forward,
     'utm': _tmerc_forward,
     'merc': _merc_forward,
@@ -308,6 +393,7 @@ _FORWARD = {
 }
 
 _INVERSE = {
+    'stere': _stere_inverse,
     'tmerc': _tmerc_inverse,
     'utm': _tmerc_inverse,
     'merc': _merc_inverse,
@@ -333,7 +419,12 @@ def project_forward(proj, lon_deg, lat_deg, ell, params, xp=np):
     fwd = _FORWARD.get(proj)
     if fwd is None:
         raise NotImplementedError('projection %r is not supported' % proj)
-    x, y = fwd(lon, lat, ell, lon0, k0, xp=xp)
+    if proj == 'stere':
+        x, y = fwd(lon, lat, ell, lon0, k0, xp=xp,
+                   lat_0=params.get('lat_0', 90.0),
+                   lat_ts=params.get('lat_ts'))
+    else:
+        x, y = fwd(lon, lat, ell, lon0, k0, xp=xp)
     if proj in ('tmerc', 'utm') and lat0 != 0.0:
         m0 = meridian_arc(lat0, ell, xp=np)
         y = y - k0 * m0
@@ -357,7 +448,12 @@ def project_inverse(proj, x, y, ell, params, xp=np):
     inv = _INVERSE.get(proj)
     if inv is None:
         raise NotImplementedError('projection %r is not supported' % proj)
-    lon, lat = inv(x, y, ell, lon0, k0, xp=xp)
+    if proj == 'stere':
+        lon, lat = inv(x, y, ell, lon0, k0, xp=xp,
+                       lat_0=params.get('lat_0', 90.0),
+                       lat_ts=params.get('lat_ts'))
+    else:
+        lon, lat = inv(x, y, ell, lon0, k0, xp=xp)
     return xp.degrees(lon), xp.degrees(lat)
 
 

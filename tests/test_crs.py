@@ -155,3 +155,40 @@ def test_affine_algebra():
     xs, ys = a * (np.array([0, 1]), np.array([0, 1]))
     np.testing.assert_allclose(xs, [10, 10.5])
     np.testing.assert_allclose(ys, [20, 19.5])
+
+
+def test_polar_stereographic_known_values():
+    """EPSG:3413 (NSIDC Sea Ice Polar Stereographic North)."""
+    # North pole maps to the origin
+    x, y = transform_coords(4326, 3413, np.array([0.0]),
+                            np.array([90.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # At the true-scale parallel on the central meridian, the radius
+    # equals a*m_c analytically (rho(lat_ts) = a m(lat_ts) t/t_c with
+    # t = t_c): x = 0, y = -a cos(70)/sqrt(1 - e^2 sin^2 70)
+    import math
+    e2 = 0.00669437999014
+    rho = 6378137.0 * math.cos(math.radians(70)) \
+        / math.sqrt(1 - e2 * math.sin(math.radians(70)) ** 2)
+    x, y = transform_coords(4326, 3413, np.array([-45.0]),
+                            np.array([70.0]))
+    assert abs(x[0]) < 1e-6
+    assert abs(y[0] + rho) < 0.01
+
+
+def test_polar_stereographic_roundtrips():
+    rng = np.random.RandomState(0)
+    lon = rng.uniform(-180, 180, 40)
+    lat = rng.uniform(55, 89.5, 40)
+    x, y = transform_coords(4326, 3413, lon, lat)
+    lon2, lat2 = transform_coords(3413, 4326, x, y)
+    np.testing.assert_allclose(((lon2 - lon + 180) % 360) - 180, 0,
+                               atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    # Antarctic
+    lat_s = rng.uniform(-89.5, -60, 40)
+    x, y = transform_coords(4326, 3031, lon, lat_s)
+    lon2, lat2 = transform_coords(3031, 4326, x, y)
+    np.testing.assert_allclose(((lon2 - lon + 180) % 360) - 180, 0,
+                               atol=1e-8)
+    np.testing.assert_allclose(lat2, lat_s, atol=1e-8)
