@@ -201,6 +201,20 @@ def main():
     except Exception as e:  # pragma: no cover
         detail['reproject_error'] = str(e)
 
+    # ---- flagship pipeline forward (multilook + omnibus, one jit) ------
+    try:
+        from nd_tpu.models import SARChangePipeline
+        pipe = SARChangePipeline(ml=3, n=1, alpha=0.99)
+
+        @jax.jit
+        def run_pipeline(x):
+            return pipe.forward(x)
+
+        t_pl, _ = _time(run_pipeline, cube_d, reps=2)
+        detail['pipeline_forward_mpix_s'] = round(mpix / t_pl, 2)
+    except Exception as e:  # pragma: no cover
+        detail['pipeline_error'] = str(e)
+
     # ---- headline: NLMeans + Omnibus combined --------------------------
     combined_mpix_s = mpix * 2 / (t_nl + t_om)
 

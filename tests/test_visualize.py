@@ -86,3 +86,15 @@ def test_write_video_gif(tmp_path, ds):
 def test_accessor_to_rgb(ds):
     img = ds.isel(time=0).nd.to_rgb()
     assert img.shape == (24, 32, 3)
+
+
+def test_plot_map_requires_cartopy():
+    try:
+        import cartopy  # noqa: F401
+        pytest.skip('cartopy installed; gating not exercised')
+    except ImportError:
+        pass
+    from nd_tpu.visualize import plot_map
+    ds = generate_test_dataset(dims={'y': 8, 'x': 8, 'time': 1})
+    with pytest.raises(ImportError):
+        plot_map(ds)
