@@ -6,11 +6,13 @@ Algorithmic redesign of the reference's per-pixel Cython loop
 ``while`` per pixel under OpenMP, every pixel advances in lockstep
 through a masked ``lax.while_loop``:
 
-  1. prefix sums over time of the covariance channels, of log|det| and
-     of the det-sign count make every interval statistic O(1);
-  2. each iteration evaluates, for ALL pixels at their current restart
-     point ``l``, the global omnibus test over ``ts[l:]`` and all
-     marginal tests ``ts[l:l+j]`` vectorized over ``j``;
+  1. per iteration, cumulative sums of the l-masked series give the
+     statistics of every window [l, t] in one O(k) pass (t-space
+     formulation — no gathers, no O(k^2) per-window reductions);
+  2. the chi-square decision ``P(z) > alpha`` is equivalent to a
+     z-threshold compare per window length (rho/f/omega2 depend only on
+     length and looks), with the thresholds solved on the host in
+     float64 — no incomplete-gamma on device;
   3. each active pixel jumps to its first significant change point; the
      loop runs at most ``k - 1`` iterations and exits early when no
      pixel is active (typical cubes: a handful of iterations).
@@ -21,6 +23,9 @@ P1 + omega2 (P2 - P1) with Pi = chi2-CDF — a change is flagged when the
 probability exceeds ``alpha`` (_change.pyx:239-253). Negative
 determinants produce NaN statistics exactly like ``log`` of a negative
 product in C, and NaN never flags a change.
+
+``change_detection_pallas`` (fast f32) and ``change_detection_hybrid``
+(fast + float64-exact margin patching) build on the same formulation.
 """
 
 from __future__ import annotations

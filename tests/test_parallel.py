@@ -126,3 +126,22 @@ def test_one_dim_mesh():
     serial = algo.apply(ds)
     sharded = apply_sharded(algo, ds, mesh=mesh1)
     assert_equal_data(serial, sharded, rtol=1e-10, atol=1e-12)
+
+
+def test_distributed_helpers_single_process(mesh):
+    """Multi-host helpers degrade to single-process semantics."""
+    from nd_tpu.parallel import distributed as dist
+
+    idx, count, local = dist.process_info()
+    assert idx == 0 and count == 1 and local == 8
+
+    gmesh = dist.global_mesh()
+    assert int(np.prod(tuple(gmesh.shape.values()))) == 8
+
+    sl = dist.host_local_slices(gmesh, (32, 16), dims=('y', 'x'))
+    assert sl['y'] == slice(0, 32)
+    assert sl['x'] == slice(0, 16)
+
+    local_arr = np.random.rand(32, 16).astype(np.float32)
+    cube = dist.cube_from_process_tiles(local_arr, gmesh, (32, 16))
+    np.testing.assert_allclose(np.asarray(cube), local_arr)
