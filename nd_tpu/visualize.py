@@ -28,7 +28,8 @@ except ImportError:
     cartopy = None
 
 __all__ = ['colorize', 'to_rgb', 'write_video', 'plot_map',
-           'calculate_shape', 'CMAPS']
+           'gridlines_with_labels', 'scale_bar', 'calculate_shape',
+           'CMAPS']
 
 CMAPS = {}
 if cv2 is not None:
@@ -270,3 +271,88 @@ def plot_map(ds, buffer=None, background='_default', imscale=6,
         ax.gridlines(**gridlines_kwargs)
     ax.set_global()
     return ax
+
+
+@requires('cartopy')
+def gridlines_with_labels(ax, top=True, bottom=True, left=True,
+                          right=True, **kwargs):
+    """Draw gridlines with degree labels on a cartopy axis, including
+    projections where cartopy cannot label automatically.
+
+    Requires cartopy (optional dependency).
+    """
+    import cartopy.crs as ccrs
+    import matplotlib.ticker as mticker
+
+    gl = ax.gridlines(draw_labels=False, **kwargs)
+    gl.xlocator = mticker.MaxNLocator(8)
+    gl.ylocator = mticker.MaxNLocator(8)
+
+    # Project graticule intersections with the axes boundary and place
+    # text labels manually (works for arbitrary projections).
+    x0, x1 = ax.get_xlim()
+    y0, y1 = ax.get_ylim()
+    pc = ccrs.PlateCarree()
+    edges = {
+        'bottom': ([x0 + (x1 - x0) * f for f in
+                    np.linspace(0.1, 0.9, 5)], y0, bottom, (0, -12)),
+        'left': (x0, [y0 + (y1 - y0) * f for f in
+                      np.linspace(0.1, 0.9, 5)], left, (-30, 0)),
+    }
+    for name, spec in edges.items():
+        if name == 'bottom':
+            xs, y, enabled, offset = spec
+            pts = [(x, y) for x in xs]
+        else:
+            x, ys, enabled, offset = spec
+            pts = [(x, y) for y in ys]
+        if not enabled:
+            continue
+        for (px, py) in pts:
+            lonlat = pc.transform_point(px, py, ax.projection)
+            if not np.all(np.isfinite(lonlat)):
+                continue
+            lon, lat = lonlat
+            label = ('%.1f°%s' % (abs(lon), 'E' if lon >= 0 else 'W')
+                     if name == 'bottom' else
+                     '%.1f°%s' % (abs(lat), 'N' if lat >= 0 else 'S'))
+            ax.annotate(label, xy=(px, py), xytext=offset,
+                        textcoords='offset points', fontsize=8,
+                        ha='center', va='top')
+    return gl
+
+
+@requires('cartopy')
+def scale_bar(ax, length_km=None, location=(0.1, 0.05), linewidth=3):
+    """Draw a geodesic scale bar on a cartopy axis.
+
+    The bar length is computed with the framework's own geodesic math
+    (no cartopy.geodesic needed). Requires cartopy for the axis.
+    """
+    import cartopy.crs as ccrs
+
+    x0, x1 = ax.get_xlim()
+    y0, y1 = ax.get_ylim()
+    sbx = x0 + (x1 - x0) * location[0]
+    sby = y0 + (y1 - y0) * location[1]
+    pc = ccrs.PlateCarree()
+    lon0, lat0 = pc.transform_point(sbx, sby, ax.projection)
+    lon1, lat1 = pc.transform_point(sbx + (x1 - x0) * 0.2, sby,
+                                    ax.projection)
+    # haversine ground distance of 20% of the view width
+    R = 6371.0088
+    dlat = np.radians(lat1 - lat0)
+    dlon = np.radians(lon1 - lon0)
+    a = (np.sin(dlat / 2) ** 2 + np.cos(np.radians(lat0))
+         * np.cos(np.radians(lat1)) * np.sin(dlon / 2) ** 2)
+    span_km = 2 * R * np.arcsin(np.sqrt(a))
+    if length_km is None:
+        # round to a nice number
+        mag = 10 ** np.floor(np.log10(max(span_km, 1e-6)))
+        length_km = float(int(span_km / mag) * mag) or mag
+    frac = length_km / span_km * 0.2
+    ax.plot([sbx, sbx + (x1 - x0) * frac], [sby, sby],
+            transform=ax.projection, color='k', linewidth=linewidth)
+    ax.text(sbx + (x1 - x0) * frac / 2, sby + (y1 - y0) * 0.01,
+            '%g km' % length_km, ha='center', va='bottom', fontsize=8)
+    return length_km

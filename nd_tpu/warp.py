@@ -37,7 +37,7 @@ __all__ = ['Reprojection', 'reproject', 'Resample', 'resample',
            'get_crs', 'get_transform', 'get_resolution', 'get_bounds',
            'get_extent', 'get_geometry', 'get_common_bounds',
            'get_common_extent', 'get_common_resolution', 'nrows',
-           'ncols', '_parse_crs']
+           'ncols', 'get_dim_sizes', '_parse_crs']
 
 BoundingBox = namedtuple('BoundingBox', ['left', 'bottom', 'right', 'top'])
 
@@ -273,6 +273,11 @@ def get_common_resolution(datasets, mode='min'):
     if mode == 'max':
         return tuple(resolutions.max(axis=0))
     return tuple(resolutions.mean(axis=0))
+
+
+def get_dim_sizes(ds):
+    """Mapping dim -> size for a Dataset or DataArray."""
+    return dict(ds.sizes)
 
 
 def nrows(ds):
