@@ -108,3 +108,31 @@ def test_rasterize_values_inside_polygon():
             assert burned[i, j] == row['integer']
             hits += 1
     assert hits >= 2
+
+
+def test_read_geojson(tmp_path):
+    import json
+    gj = {
+        'type': 'FeatureCollection',
+        'features': [
+            {'type': 'Feature',
+             'properties': {'name': 'a', 'value': 1.5},
+             'geometry': {'type': 'Polygon',
+                          'coordinates': [[[0, 0], [2, 0], [2, 2],
+                                           [0, 2], [0, 0]]]}},
+            {'type': 'Feature',
+             'properties': {'name': 'b', 'value': 2.5},
+             'geometry': {'type': 'Point', 'coordinates': [5, 5]}},
+            {'type': 'Feature', 'properties': {'name': 'none'},
+             'geometry': None},
+        ],
+    }
+    p = str(tmp_path / 'features.geojson')
+    json.dump(gj, open(p, 'w'))
+    df = read_file(p)
+    assert len(df) == 2  # null geometry dropped
+    assert df['geometry'][0].geom_type == 'Polygon'
+    assert df['value'][1] == 2.5
+    clipped = read_file(p, clip=box(4, 4, 6, 6))
+    assert len(clipped) == 1
+    assert clipped['name'].iloc[0] == 'b'
