@@ -161,3 +161,32 @@ def test_single_pixel_exact_matches_oracle():
         got = _single_pixel_exact(ts, 0.9, 9)
         ref = single_pixel_change_oracle(ts, 0.9, 9)
         np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize('n', [1, 4, 9, 25])
+@pytest.mark.parametrize('alpha', [0.5, 0.9, 0.99, 0.999])
+def test_threshold_equivalence_with_probability(n, alpha):
+    """z > z*(j) must decide identically to P(z) > alpha for every
+    window length — the core soundness assumption of the device
+    kernels (P is monotone in z)."""
+    from scipy.stats import chi2
+    from nd_tpu.ops.change import omnibus_rho, omnibus_thresholds
+
+    k = 16
+    thresholds = omnibus_thresholds(k, n, alpha)
+    for j in range(2, k + 1):
+        rho = float(omnibus_rho(j, n))
+        f = (j - 1) * 4.0
+        omega2 = (4.0 * 3.0 / (24 * rho ** 2)
+                  * (j / n ** 2 - 1 / (n * j) ** 2)
+                  - 4.0 * (j - 1) / 4 * (1 - 1 / rho) ** 2)
+        zs = np.concatenate([
+            np.linspace(0, 4 * thresholds[j], 2000),
+            thresholds[j] * (1 + np.linspace(-1e-6, 1e-6, 200)),
+        ])
+        P = chi2.cdf(zs, f) + omega2 * (chi2.cdf(zs, f + 4)
+                                        - chi2.cdf(zs, f))
+        want = P > alpha
+        got = zs > thresholds[j]
+        np.testing.assert_array_equal(got, want,
+                                      err_msg='j=%d' % j)
