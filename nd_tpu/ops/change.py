@@ -30,6 +30,7 @@ product in C, and NaN never flags a change.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import numpy as np
@@ -370,9 +371,6 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=1e-3,
     if return_device:
         return jnp.asarray(result)
     return result
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=32)
