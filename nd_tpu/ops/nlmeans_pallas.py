@@ -36,7 +36,8 @@ except ImportError:  # pragma: no cover
 __all__ = ['nlmeans_spatial_pallas', 'supports_pallas']
 
 _TY = 16
-_TX = 128
+_TX = 512
+_TILE_BYTES = 3 << 20  # soft VMEM budget for the input tile
 
 
 def supports_pallas():
@@ -161,9 +162,17 @@ def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
     # reflect halo (the kernel's true boundary condition) ...
     data = jnp.pad(data, ((0, 0), (0, 0), (p_y, p_y), (p_x, p_x)),
                    mode='reflect')
-    # ... alignment ring + trailing grid padding (outputs dropped)
+    # ... alignment ring + trailing grid padding (outputs dropped).
+    # Wider tiles amortize the 64-column alignment halo; shrink the
+    # tile height to stay inside the VMEM budget for deep stacks.
+    tx = min(_TX, max(128, int(np.ceil(nx / 128)) * 128))
     ty = min(_TY, max(8, int(np.ceil(ny / 8)) * 8))
-    tx = _TX
+    while ty > 8 and (nt * nv * (ty + 2 * hp_y)
+                      * (tx + 2 * hp_x) * 4) > _TILE_BYTES:
+        ty -= 8
+    while tx > 128 and (nt * nv * (ty + 2 * hp_y)
+                        * (tx + 2 * hp_x) * 4) > _TILE_BYTES:
+        tx -= 128
     ny_pad = int(np.ceil(ny / ty)) * ty
     nx_pad = int(np.ceil(nx / tx)) * tx
     data = jnp.pad(
