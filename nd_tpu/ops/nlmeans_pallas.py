@@ -164,15 +164,21 @@ def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
                    mode='reflect')
     # ... alignment ring + trailing grid padding (outputs dropped).
     # Wider tiles amortize the 64-column alignment halo; shrink the
-    # tile height to stay inside the VMEM budget for deep stacks.
+    # tile to stay inside the VMEM budget — Mosaic's stack usage grows
+    # with the unrolled offset count, so large neighborhoods get a
+    # proportionally smaller budget.
+    n_offsets = max((2 * ry + 1) * (2 * rx + 1) - 1, 1)
+    budget = max(_TILE_BYTES * 8 // n_offsets, 256 << 10)
     tx = min(_TX, max(128, int(np.ceil(nx / 128)) * 128))
     ty = min(_TY, max(8, int(np.ceil(ny / 8)) * 8))
-    while ty > 8 and (nt * nv * (ty + 2 * hp_y)
-                      * (tx + 2 * hp_x) * 4) > _TILE_BYTES:
-        ty -= 8
-    while tx > 128 and (nt * nv * (ty + 2 * hp_y)
-                        * (tx + 2 * hp_x) * 4) > _TILE_BYTES:
+
+    def tile_bytes():
+        return nt * nv * (ty + 2 * hp_y) * (tx + 2 * hp_x) * 4
+
+    while tx > 128 and tile_bytes() > budget:
         tx -= 128
+    while ty > 8 and tile_bytes() > budget:
+        ty -= 8
     ny_pad = int(np.ceil(ny / ty)) * ty
     nx_pad = int(np.ceil(nx / tx)) * tx
     data = jnp.pad(
