@@ -307,3 +307,28 @@ def test_coregistration():
             out['C11'].isel(time=t).values[10:-10, 10:-10],
             ref[10:-10, 10:-10], upsample_factor=20))
         assert np.all(np.abs(shift) <= 0.2), (t, shift)
+
+
+def test_reprojection_resampling_kwarg(ds):
+    """resampling='nearest' overrides the dtype dispatch."""
+    proj = Reprojection(crs=get_crs(ds), transform=get_transform(ds),
+                        width=ds.sizes['x'], height=ds.sizes['y'],
+                        resampling='nearest')
+    out = proj.apply(ds)
+    for v in ds.data_vars:
+        np.testing.assert_allclose(out[v].values, ds[v].values,
+                                   rtol=1e-6)
+
+
+def test_resample_scalar_res(ds):
+    res = get_resolution(ds)
+    out = Resample(res=res[0] * 2).apply(ds)
+    assert abs(out.sizes['x'] - ds.sizes['x'] // 2) <= 2
+
+
+def test_get_crs_formats_roundtrip(ds):
+    wkt = get_crs(ds, format='wkt')
+    d = get_crs(ds, format='dict')
+    from nd_tpu.testing import assert_equal_crs
+    assert_equal_crs(warp._parse_crs(wkt), get_crs(ds))
+    assert_equal_crs(warp._parse_crs(d), get_crs(ds))
