@@ -246,15 +246,13 @@ class Variable:
             axes = tuple(self.dims.index(d) for d in dim)
             dims = tuple(d for d in self.dims if d not in dim)
         data = func(self.data, axis=axes, **kwargs)
-        if dims == ():
-            dims = tuple(
-                d for d, keep in zip(
-                    self.dims,
-                    [True] * self.ndim if np.ndim(data) == self.ndim else
-                    [False] * self.ndim)
-                if keep)
-            if np.ndim(data) == 0:
-                dims = ()
+        # keepdims-style reducers preserve rank; otherwise trust `dims`
+        if np.ndim(data) == self.ndim:
+            dims = self.dims
+        elif np.ndim(data) != len(dims):
+            raise ValueError(
+                'reduction produced rank %d, expected %d'
+                % (np.ndim(data), len(dims)))
         return Variable(dims, data)
 
     def __repr__(self):
