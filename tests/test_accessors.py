@@ -115,3 +115,14 @@ def test_nd_classify():
                                             'time': 2})
     pred = dsm.nd.classify(LogisticRegression(max_iter=100), labels)
     assert set(pred.dims) == {'y', 'x', 'time'}
+
+
+def test_accessor_to_netcdf_file_identical(tmp_path, ds):
+    """Accessor and functional writers produce byte-identical files
+    (reference strategy: assert_equal_files by md5)."""
+    from nd_tpu.testing import assert_equal_files
+    p1 = str(tmp_path / 'acc.nc')
+    p2 = str(tmp_path / 'fn.nc')
+    ds.nd.to_netcdf(p1)
+    io.to_netcdf(ds, p2)
+    assert_equal_files(p1, p2)
