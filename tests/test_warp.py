@@ -332,3 +332,30 @@ def test_get_crs_formats_roundtrip(ds):
     from nd_tpu.testing import assert_equal_crs
     assert_equal_crs(warp._parse_crs(wkt), get_crs(ds))
     assert_equal_crs(warp._parse_crs(d), get_crs(ds))
+
+
+def test_translate_cubic_matches_scipy_shift():
+    """Cubic translation vs scipy.ndimage.shift (spline order 1/3
+    bracket: Catmull-Rom sits between; assert close to order-3)."""
+    from scipy.ndimage import shift as nd_shift
+    from nd_tpu.ops.fft import translate
+    rng = np.random.RandomState(0)
+    from scipy.ndimage import gaussian_filter
+    img = gaussian_filter(rng.rand(40, 40), 2.0)
+    for dx, dy in [(0.3, -1.7), (2.0, 0.5), (-0.25, 0.0)]:
+        got = np.asarray(translate(img, (dx, dy), method='cubic'))
+        # scipy shift(s): out[i] = in[i - s]; ours: out[i] = in[i + s]
+        ref = nd_shift(img, (-dy, -dx), order=3, mode='nearest')
+        interior = (slice(4, -4), slice(4, -4))
+        err = np.abs(got[interior] - ref[interior]).max()
+        assert err < 5e-3, (dx, dy, err)
+
+
+def test_translate_cubic_integer_shift_exact():
+    from nd_tpu.ops.fft import translate
+    rng = np.random.RandomState(1)
+    img = rng.rand(20, 20)
+    got = np.asarray(translate(img, (3.0, -2.0), method='cubic'))
+    # interior must match an exact integer roll
+    np.testing.assert_allclose(got[5:15, 5:15],
+                               img[3:13, 8:18], atol=1e-12)
