@@ -54,16 +54,18 @@ def parallelize(func):
     """
 
     def wrapper(self, ds, *args, njobs=1, **kwargs):
+        from .tracing import span
         method = partial(func, self)
         if njobs == -1:
             njobs = utils.ncpus()
-        if njobs == 1:
-            return method(ds, *args, **kwargs)
-        dim = self._parallel_dimension(ds)
-        buffer = self._buffer(dim)
-        return utils.parallel(
-            method, dim=dim, chunks=njobs, buffer=buffer
-        )(ds, *args, **kwargs)
+        with span('%s.apply' % type(self).__name__):
+            if njobs == 1:
+                return method(ds, *args, **kwargs)
+            dim = self._parallel_dimension(ds)
+            buffer = self._buffer(dim)
+            return utils.parallel(
+                method, dim=dim, chunks=njobs, buffer=buffer
+            )(ds, *args, **kwargs)
 
     # -- signature: original parameters + njobs ---------------------------
     sig_func = inspect.signature(func)

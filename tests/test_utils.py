@@ -192,3 +192,16 @@ def test_tracing_spans():
     assert rep['unit-test']['total'] >= 0.01
     assert rep['deco-test']['count'] == 1
     assert isinstance(tracing.report(as_json=True), str)
+
+
+def test_algorithm_apply_traced():
+    """Every Algorithm.apply records a tracing span automatically."""
+    from nd_tpu import tracing
+    from nd_tpu.filters import BoxcarFilter
+    from nd_tpu.testing import generate_test_dataset
+
+    tracing.reset()
+    ds = generate_test_dataset(dims={'y': 8, 'x': 8, 'time': 2})
+    BoxcarFilter(w=3).apply(ds)
+    rep = tracing.report()
+    assert rep['BoxcarFilter.apply']['count'] == 1
