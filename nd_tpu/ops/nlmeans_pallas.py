@@ -213,7 +213,7 @@ def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
         dma_kernel,
         out_shape=jax.ShapeDtypeStruct((nt, nv, ny_pad, nx_pad), dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((nt, nv, ty, tx),
                                lambda i, j: (i * 0, j * 0, i, j),
                                memory_space=pltpu.VMEM),

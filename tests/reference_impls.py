@@ -91,8 +91,10 @@ def omnibus_probability(ts, n):
     dets = ts[:, 0] * ts[:, 3] - (ts[:, 1] ** 2 + ts[:, 2] ** 2)
     sums = ts.sum(axis=0)
     det_of_sum = sums[0] * sums[3] - (sums[1] ** 2 + sums[2] ** 2)
-    logQ = n * (p * k * np.log(k) + np.log(dets.prod())
-                - k * np.log(det_of_sum))
+    with np.errstate(invalid='ignore'):
+        # negative determinants propagate NaN, matching the device kernels
+        logQ = n * (p * k * np.log(k) + np.log(dets.prod())
+                    - k * np.log(det_of_sum))
     rho = 1 - (2 * p ** 2 - 1) / (6 * (k - 1) * p) * (k / n - 1 / (n * k))
     z = -2 * rho * logQ
     ff = (k - 1) * p ** 2
