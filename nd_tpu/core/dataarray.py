@@ -353,6 +353,19 @@ class DataArray(_NDOpsMixin):
     def item(self):
         return self.values.item()
 
+    # scalar conversion (xarray parity: works on any size-1 array)
+    def __bool__(self):
+        return bool(self.values)
+
+    def __float__(self):
+        return float(self.values)
+
+    def __int__(self):
+        return int(self.values)
+
+    def __complex__(self):
+        return complex(self.values)
+
     def __len__(self):
         return self.shape[0]
 
@@ -620,6 +633,16 @@ class DataArray(_NDOpsMixin):
     def median(self, dim=None, **kw):
         return self._reduce(np.nanmedian, jnp.nanmedian if jnp else None,
                             dim, **kw)
+
+    def prod(self, dim=None, **kw):
+        return self._reduce(np.nanprod, jnp.nanprod if jnp else None,
+                            dim, **kw)
+
+    def all(self, dim=None, **kw):
+        return self._reduce(np.all, jnp.all if jnp else None, dim, **kw)
+
+    def any(self, dim=None, **kw):
+        return self._reduce(np.any, jnp.any if jnp else None, dim, **kw)
 
     def count(self, dim=None, **kw):
         notnull = self.notnull().astype(np.int64)
@@ -999,6 +1022,15 @@ class Dataset(_NDOpsMixin):
 
     def median(self, dim=None, **kw):
         return self._reduce_all('median', dim, **kw)
+
+    def prod(self, dim=None, **kw):
+        return self._reduce_all('prod', dim, **kw)
+
+    def all(self, dim=None, **kw):
+        return self._reduce_all('all', dim, **kw)
+
+    def any(self, dim=None, **kw):
+        return self._reduce_all('any', dim, **kw)
 
     def count(self, dim=None, **kw):
         return self._reduce_all('count', dim, **kw)

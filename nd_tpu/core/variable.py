@@ -255,6 +255,19 @@ class Variable:
                 % (np.ndim(data), len(dims)))
         return Variable(dims, data)
 
+    # scalar conversion (xarray parity: works on any size-1 array)
+    def __bool__(self):
+        return bool(self.values)
+
+    def __float__(self):
+        return float(self.values)
+
+    def __int__(self):
+        return int(self.values)
+
+    def __complex__(self):
+        return complex(self.values)
+
     def __repr__(self):
         return '<nd_tpu.Variable %r %s %s>' % (
             self.dims, self.shape, self.dtype)

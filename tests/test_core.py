@@ -161,3 +161,29 @@ def test_scalar_coord_kept():
                          'time': np.datetime64('2020-01-01')})
     one = ds.isel(y=0)
     assert 'time' in one.coords
+
+
+def test_scalar_conversion_dunders():
+    # xarray parity: float()/int()/bool()/complex() work on size-1 arrays
+    da = DataArray(np.arange(4.0), dims=('x',))
+    m = da.mean()
+    assert float(m) == 1.5
+    assert int(da.sum()) == 6
+    assert bool((da > -1).all())
+    assert complex(m) == 1.5 + 0j
+    assert float(m.variable) == 1.5
+    with pytest.raises(TypeError):
+        float(da)  # size > 1 must refuse, like xarray
+
+
+def test_reducers_all_any_prod():
+    da = DataArray(np.array([[1.0, 2.0], [3.0, 4.0]]), dims=('y', 'x'))
+    assert float(da.prod()) == 24.0
+    assert bool((da > 0).all())
+    assert not bool((da > 3.5).all())
+    assert bool((da > 3.5).any())
+    a = (da > 1.5).all(dim='y')
+    assert a.dims == ('x',)
+    assert a.values.tolist() == [False, True]
+    ds = Dataset({'a': (('y', 'x'), np.ones((2, 2)))})
+    assert bool((ds > 0).all()['a'])
