@@ -150,6 +150,101 @@ def _coerce_coord(name, value, dim_sizes):
         '(dims, data)' % (arr.ndim, name))
 
 
+def _needs_float_fill(fill_value, dtype):
+    """True when filling with NaN requires promoting an int/bool dtype."""
+    try:
+        is_nan = bool(np.isnan(fill_value))
+    except (TypeError, ValueError):
+        return False
+    return is_nan and not (np.issubdtype(dtype, np.floating)
+                           or np.issubdtype(dtype, np.complexfloating))
+
+
+def _pad_coord(cv, widths):
+    """Pad a coordinate Variable: NaN for numeric, NaT for datetimes."""
+    vals = cv.values
+    if np.issubdtype(vals.dtype, np.datetime64) or \
+            np.issubdtype(vals.dtype, np.timedelta64):
+        fill = np.asarray('NaT', dtype=vals.dtype)
+        padded = np.pad(vals, widths, mode='constant')
+        # np.pad zero-fills datetimes; overwrite the pad regions with NaT
+        for ax, (lo, hi) in enumerate(widths):
+            key = [slice(None)] * vals.ndim
+            if lo:
+                key[ax] = slice(0, lo)
+                padded[tuple(key)] = fill
+            if hi:
+                key[ax] = slice(-hi, None)
+                padded[tuple(key)] = fill
+            key[ax] = slice(None)
+    else:
+        if not np.issubdtype(vals.dtype, np.floating):
+            vals = vals.astype(np.float64)
+        padded = np.pad(vals, widths, mode='constant',
+                        constant_values=np.nan)
+    return Variable(cv.dims, padded, cv.attrs)
+
+
+def _reindex_positions(coord_var, new_labels, method=None):
+    """Match new labels against an existing 1-d coordinate.
+
+    Returns (positions, missing_mask, labels_array); missing positions
+    point at 0 and are masked by the caller.
+    """
+    values = coord_var.values
+    if hasattr(new_labels, 'variable'):     # DataArray
+        labels = np.asarray(new_labels.values)
+    else:
+        labels = np.asarray(new_labels)
+        if labels.dtype != values.dtype and \
+                np.issubdtype(values.dtype, np.datetime64):
+            labels = labels.astype(values.dtype)
+    idx = np.zeros(len(labels), dtype=np.int64)
+    missing = np.zeros(len(labels), dtype=bool)
+    for i, lab in enumerate(labels):
+        m = np.nonzero(values == lab)[0]
+        if len(m):
+            idx[i] = m[0]
+        elif method == 'nearest':
+            if np.issubdtype(values.dtype, np.datetime64):
+                diffs = np.abs(values.astype('int64')
+                               - np.asarray(lab).astype(values.dtype)
+                               .astype('int64'))
+            else:
+                diffs = np.abs(values - lab)
+            idx[i] = int(np.argmin(diffs))
+        elif method is None:
+            missing[i] = True
+        else:
+            raise NotImplementedError(
+                'reindex method %r not supported' % method)
+    return idx, missing, labels
+
+
+def _array_equiv(a, b):
+    """Elementwise equality with NaN == NaN (xarray semantics)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.shape != b.shape:
+        return False
+    if a.dtype.kind in 'fc' and b.dtype.kind in 'fc':
+        return bool(np.array_equal(a, b, equal_nan=True))
+    if a.dtype.kind in 'mM' or b.dtype.kind in 'mM':
+        return bool(np.array_equal(a.astype('int64'), b.astype('int64')))
+    return bool(np.array_equal(a, b))
+
+
+def _coords_equiv(a, b):
+    if set(a) != set(b):
+        return False
+    for k in a:
+        if a[k].dims != b[k].dims:
+            return False
+        if not _array_equiv(a[k].values, b[k].values):
+            return False
+    return True
+
+
 class _NDOpsMixin:
     """Shared arithmetic/reduction machinery for DataArray."""
 
@@ -660,6 +755,317 @@ class DataArray(_NDOpsMixin):
         return self._reduce(np.nanquantile,
                             jnp.nanquantile if jnp else None, dim, q=q, **kw)
 
+    def reduce(self, func, dim=None, **kwargs):
+        """Reduce with an arbitrary ``func(data, axis=...)`` callable."""
+        var = self.variable.reduce(func, dim, **kwargs)
+        coords = {k: v for k, v in self._coords.items()
+                  if set(v.dims).issubset(set(var.dims))}
+        return DataArray._from_parts(var, coords, self.attrs, self.name)
+
+    def idxmin(self, dim):
+        return self._idx_reduce(dim, 'argmin')
+
+    def idxmax(self, dim):
+        return self._idx_reduce(dim, 'argmax')
+
+    def _idx_reduce(self, dim, which):
+        if dim not in self._coords:
+            raise KeyError('no coordinate for dimension %r' % dim)
+        idx = getattr(self, which)(dim=dim)
+        labels = self._coords[dim].values[np.asarray(idx.values)]
+        return DataArray._from_parts(
+            Variable(idx.dims, labels), dict(idx._coords), self.attrs,
+            self.name)
+
+    # -- elementwise / accumulating ---------------------------------------------
+    def round(self, decimals=0):
+        xp = get_xp(self.data)
+        return self._replace(xp.round(self.data, decimals))
+
+    def _accumulate(self, npfunc, jnpfunc, dim=None):
+        dims = (self.dims if dim is None
+                else ((dim,) if isinstance(dim, str) else tuple(dim)))
+        xp = get_xp(self.data)
+        func = jnpfunc if xp is jnp else npfunc
+        data = self.data
+        for d in dims:
+            data = func(data, axis=self.dims.index(d))
+        return self._replace(data)
+
+    def cumsum(self, dim=None, **kw):
+        return self._accumulate(np.nancumsum,
+                                jnp.nancumsum if jnp else None, dim)
+
+    def cumprod(self, dim=None, **kw):
+        return self._accumulate(np.nancumprod,
+                                jnp.nancumprod if jnp else None, dim)
+
+    # -- shifting / padding -------------------------------------------------------
+    def diff(self, dim, n=1, label='upper'):
+        out = self
+        for _ in range(n):
+            upper = out.isel({dim: slice(1, None)})
+            lower = out.variable.isel({dim: slice(None, -1)})
+            base = (upper if label == 'upper'
+                    else out.isel({dim: slice(None, -1)}))
+            out = base._replace(upper.data - lower.data)
+        return out
+
+    def shift(self, shifts=None, fill_value=np.nan, **kwargs):
+        shifts = _normalize_indexers(shifts, kwargs)
+        data = self.data
+        xp = get_xp(data)
+        if _needs_float_fill(fill_value, data.dtype):
+            data = data.astype(np.float64)
+        for d, k in shifts.items():
+            k = int(k)
+            if k == 0:
+                continue
+            ax = self.dims.index(d)
+            n = self.shape[ax]
+            fill_shape = list(data.shape)
+            fill_shape[ax] = min(abs(k), n)
+            fill = xp.full(tuple(fill_shape), fill_value, dtype=data.dtype)
+            key = [slice(None)] * self.ndim
+            if k > 0:
+                key[ax] = slice(0, max(n - k, 0))
+                data = xp.concatenate([fill, data[tuple(key)]], axis=ax)
+            else:
+                key[ax] = slice(min(-k, n), None)
+                data = xp.concatenate([data[tuple(key)], fill], axis=ax)
+        return self._replace(data)
+
+    def roll(self, shifts=None, roll_coords=False, **kwargs):
+        shifts = _normalize_indexers(shifts, kwargs)
+        xp = get_xp(self.data)
+        data = self.data
+        for d, k in shifts.items():
+            data = xp.roll(data, int(k), axis=self.dims.index(d))
+        out = self._replace(data)
+        if roll_coords:
+            for ck, cv in list(out._coords.items()):
+                for d, k in shifts.items():
+                    if d in cv.dims:
+                        cv = Variable(cv.dims,
+                                      np.roll(cv.values, int(k),
+                                              axis=cv.dims.index(d)),
+                                      cv.attrs)
+                out._coords[ck] = cv
+        return out
+
+    def pad(self, pad_width=None, mode='constant',
+            constant_values=np.nan, **kwargs):
+        pad_width = _normalize_indexers(pad_width, kwargs)
+        norm = {d: ((w, w) if np.isscalar(w) else tuple(w))
+                for d, w in pad_width.items()}
+        widths = [norm.get(d, (0, 0)) for d in self.dims]
+        xp = get_xp(self.data)
+        data = self.data
+        if mode == 'constant' and _needs_float_fill(constant_values,
+                                                    data.dtype):
+            data = data.astype(np.float64)
+        kw = ({'constant_values': constant_values}
+              if mode == 'constant' else {})
+        data = xp.pad(data, widths, mode=mode, **kw)
+        coords = {}
+        for ck, cv in self._coords.items():
+            cw = [norm.get(d, (0, 0)) for d in cv.dims]
+            coords[ck] = (_pad_coord(cv, cw)
+                          if any(a or b for a, b in cw) else cv)
+        return DataArray._from_parts(Variable(self.dims, data), coords,
+                                     self.attrs, self.name)
+
+    # -- reordering / realignment --------------------------------------------------
+    def sortby(self, variables, ascending=True):
+        if isinstance(variables, (str, DataArray)):
+            variables = [variables]
+        out = self
+        for v in variables:
+            cv = out._coords[v] if isinstance(v, str) else v.variable
+            if cv.ndim != 1:
+                raise ValueError('sortby only supports 1-d keys')
+            order = np.argsort(cv.values, kind='stable')
+            if not ascending:
+                order = order[::-1]
+            out = out.isel({cv.dims[0]: order})
+        return out
+
+    def reindex(self, indexers=None, method=None, fill_value=np.nan,
+                **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        out = self
+        for d, new_labels in indexers.items():
+            idx, missing, labels = _reindex_positions(
+                out._coords[d], new_labels, method)
+            sub = out.isel({d: idx})
+            if missing.any():
+                ax = sub.dims.index(d)
+                data = sub.data
+                if _needs_float_fill(fill_value, data.dtype):
+                    data = data.astype(np.float64)
+                xp = get_xp(data)
+                mshape = [1] * sub.ndim
+                mshape[ax] = len(labels)
+                data = xp.where(missing.reshape(mshape), fill_value, data)
+                sub = sub._replace(data)
+            sub._coords[d] = Variable((d,), labels)
+            out = sub
+        return out
+
+    def reindex_like(self, other, method=None, fill_value=np.nan):
+        indexers = {d: other._coords[d].values
+                    for d in self.dims
+                    if d in other._coords and d in self._coords}
+        return self.reindex(indexers, method=method, fill_value=fill_value)
+
+    def dropna(self, dim, how='any', thresh=None):
+        other = tuple(d for d in self.dims if d != dim)
+        counts = np.asarray(self.notnull().sum(dim=other).values
+                            if other else self.notnull().values)
+        total = int(np.prod([self.sizes[d] for d in other],
+                            dtype=np.int64)) if other else 1
+        if thresh is not None:
+            keep = counts >= thresh
+        elif how == 'any':
+            keep = counts == total
+        elif how == 'all':
+            keep = counts > 0
+        else:
+            raise ValueError("how must be 'any' or 'all'")
+        return self.isel({dim: np.nonzero(keep)[0]})
+
+    def broadcast_like(self, other):
+        bc = broadcast(self, other)[0]
+        for ck, cv in other._coords.items():
+            if ck not in bc._coords and \
+                    set(cv.dims).issubset(set(bc.dims)):
+                bc._coords[ck] = cv
+        return bc
+
+    # -- metadata assignment -----------------------------------------------------
+    def assign_coords(self, coords=None, **kwargs):
+        out = self.copy(deep=False)
+        for k, v in {**(coords or {}), **kwargs}.items():
+            out._set_coord(k, v)
+        return out
+
+    def assign_attrs(self, *args, **kwargs):
+        out = self.copy(deep=False)
+        out.attrs.update(dict(*args, **kwargs))
+        return out
+
+    def drop_vars(self, names):
+        """Drop coordinates (a DataArray has no other variables)."""
+        if isinstance(names, str):
+            names = [names]
+        out = self.copy(deep=False)
+        for n in names:
+            out._coords.pop(n, None)
+        return out
+
+    drop = drop_vars
+
+    def swap_dims(self, mapping=None, **kwargs):
+        mapping = dict(mapping or {})
+        mapping.update(kwargs)
+        var = self.variable.rename_dims(mapping)
+        coords = {k: v.rename_dims(mapping)
+                  for k, v in self._coords.items()}
+        return DataArray._from_parts(var, coords, self.attrs, self.name)
+
+    # -- slicing sugar -------------------------------------------------------------
+    def head(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        return self.isel({d: slice(0, int(n)) for d, n in indexers.items()})
+
+    def tail(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        return self.isel({d: slice(-int(n), None)
+                          for d, n in indexers.items()})
+
+    def thin(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        return self.isel({d: slice(None, None, int(n))
+                          for d, n in indexers.items()})
+
+    # -- grouped / windowed ----------------------------------------------------------
+    def groupby(self, group):
+        from .grouped import GroupBy
+        return GroupBy.from_group(self, group)
+
+    def resample(self, indexer=None, **kwargs):
+        from .grouped import Resample
+        indexer = _normalize_indexers(indexer, kwargs)
+        (dim, freq), = indexer.items()
+        return Resample.from_freq(self, dim, freq)
+
+    def rolling(self, dim=None, min_periods=None, center=False,
+                **window_kwargs):
+        from .grouped import Rolling
+        spec = _normalize_indexers(dim if isinstance(dim, dict) else None,
+                                   window_kwargs)
+        (d, w), = spec.items()
+        return Rolling(self, d, w, min_periods=min_periods, center=center)
+
+    # -- comparison ------------------------------------------------------------------
+    def equals(self, other):
+        """True if dims, coordinates and values (NaN-aware) match."""
+        if not isinstance(other, DataArray):
+            return False
+        if self.dims != other.dims or self.shape != other.shape:
+            return False
+        if not _coords_equiv(self._coords, other._coords):
+            return False
+        return _array_equiv(self.values, other.values)
+
+    def identical(self, other):
+        return (self.equals(other) and self.name == other.name
+                and self.attrs == other.attrs)
+
+    def broadcast_equals(self, other):
+        if not isinstance(other, DataArray):
+            return False
+        try:
+            a, b = broadcast(self, other)
+        except Exception:
+            return False
+        return a.equals(b)
+
+    # -- pandas bridge -----------------------------------------------------------------
+    def to_index(self):
+        import pandas as pd
+        if self.ndim != 1:
+            raise ValueError('to_index requires a 1-d array')
+        return pd.Index(self.values, name=self.name or self.dims[0])
+
+    def _pandas_index(self):
+        import pandas as pd
+        arrays = []
+        for d in self.dims:
+            if d in self._coords and self._coords[d].dims == (d,):
+                arrays.append(np.asarray(self._coords[d].values))
+            else:
+                arrays.append(np.arange(self.sizes[d]))
+        if len(arrays) == 1:
+            return pd.Index(arrays[0], name=self.dims[0])
+        return pd.MultiIndex.from_product(arrays, names=self.dims)
+
+    def to_series(self):
+        import pandas as pd
+        return pd.Series(self.values.ravel(),
+                         index=self._pandas_index(), name=self.name)
+
+    def to_dataframe(self, name=None):
+        name = name or self.name
+        if name is None:
+            raise ValueError(
+                'cannot convert an unnamed DataArray to a DataFrame: '
+                'pass name=')
+        return self.to_series().rename(name).to_frame()
+
+    def to_numpy(self):
+        return self.values
+
     # -- misc ---------------------------------------------------------------------------
     def persist(self):
         return self
@@ -1034,6 +1440,416 @@ class Dataset(_NDOpsMixin):
 
     def count(self, dim=None, **kw):
         return self._reduce_all('count', dim, **kw)
+
+    def argmin(self, dim=None, **kw):
+        return self._reduce_all('argmin', dim, **kw)
+
+    def argmax(self, dim=None, **kw):
+        return self._reduce_all('argmax', dim, **kw)
+
+    def quantile(self, q, dim=None, **kw):
+        return self._reduce_all('quantile', dim, q=q, **kw)
+
+    def reduce(self, func, dim=None, **kw):
+        ds = Dataset(attrs=self.attrs)
+        dimset = (set(self.sizes) if dim is None
+                  else ({dim} if isinstance(dim, str) else set(dim)))
+        for k, v in self._coords.items():
+            if not (set(v.dims) & dimset):
+                ds._coords[k] = v
+        for k in self._variables:
+            da = self[k]
+            sub = tuple(d for d in da.dims if d in dimset)
+            res = da.reduce(func, dim=sub, **kw) if sub else da
+            ds._variables[k] = Variable(res.dims, res.data, res.attrs)
+        return ds
+
+    # -- elementwise / accumulating (per-variable) -------------------------------
+    def round(self, decimals=0):
+        return self.map(lambda da: da.round(decimals))
+
+    def clip(self, min=None, max=None):
+        return self.map(lambda da: da.clip(min, max))
+
+    def isnull(self):
+        return self.map(lambda da: da.isnull())
+
+    def notnull(self):
+        return self.map(lambda da: da.notnull())
+
+    def cumsum(self, dim=None, **kw):
+        return self._accumulate_all('cumsum', dim)
+
+    def cumprod(self, dim=None, **kw):
+        return self._accumulate_all('cumprod', dim)
+
+    def _accumulate_all(self, name, dim):
+        ds = self.copy(deep=False)
+        for k in list(ds._variables):
+            da = self[k]
+            sub = (tuple(d for d in da.dims
+                         if dim is None or d == dim
+                         or (not isinstance(dim, str) and d in dim)))
+            if sub:
+                ds._variables[k] = getattr(da, name)(dim=sub).variable
+        return ds
+
+    # -- shifting / padding --------------------------------------------------------
+    def diff(self, dim, n=1, label='upper'):
+        ds = Dataset(attrs=self.attrs)
+        sl = slice(n, None) if label == 'upper' else slice(None, -n)
+        for k, v in self._coords.items():
+            ds._coords[k] = v.isel({dim: sl}) if dim in v.dims else v
+        for k, v in self._variables.items():
+            if dim in v.dims:
+                ds._variables[k] = self[k].diff(dim, n=n,
+                                                label=label).variable
+            else:
+                ds._variables[k] = v
+        return ds
+
+    def shift(self, shifts=None, fill_value=np.nan, **kwargs):
+        shifts = _normalize_indexers(shifts, kwargs)
+        ds = self.copy(deep=False)
+        for k in list(ds._variables):
+            da = self[k]
+            sub = {d: s for d, s in shifts.items() if d in da.dims}
+            if sub:
+                ds._variables[k] = da.shift(sub,
+                                            fill_value=fill_value).variable
+        return ds
+
+    def roll(self, shifts=None, roll_coords=False, **kwargs):
+        shifts = _normalize_indexers(shifts, kwargs)
+        ds = self.copy(deep=False)
+        for k in list(ds._variables):
+            da = self[k]
+            sub = {d: s for d, s in shifts.items() if d in da.dims}
+            if sub:
+                ds._variables[k] = da.roll(sub).variable
+        if roll_coords:
+            for ck, cv in list(ds._coords.items()):
+                for d, s in shifts.items():
+                    if d in cv.dims:
+                        cv = Variable(cv.dims,
+                                      np.roll(cv.values, int(s),
+                                              axis=cv.dims.index(d)),
+                                      cv.attrs)
+                ds._coords[ck] = cv
+        return ds
+
+    def pad(self, pad_width=None, mode='constant',
+            constant_values=np.nan, **kwargs):
+        pad_width = _normalize_indexers(pad_width, kwargs)
+        norm = {d: ((w, w) if np.isscalar(w) else tuple(w))
+                for d, w in pad_width.items()}
+        ds = Dataset(attrs=self.attrs)
+        for k, v in self._coords.items():
+            cw = [norm.get(d, (0, 0)) for d in v.dims]
+            ds._coords[k] = (_pad_coord(v, cw)
+                             if any(a or b for a, b in cw) else v)
+        for k in self._variables:
+            da = self[k]
+            sub = {d: w for d, w in norm.items() if d in da.dims}
+            if sub:
+                ds._variables[k] = da.pad(
+                    sub, mode=mode,
+                    constant_values=constant_values).variable
+            else:
+                ds._variables[k] = self._variables[k]
+        return ds
+
+    # -- reordering / realignment ----------------------------------------------------
+    def sortby(self, variables, ascending=True):
+        if isinstance(variables, (str, DataArray)):
+            variables = [variables]
+        out = self
+        for v in variables:
+            cv = out._coords[v] if isinstance(v, str) else v.variable
+            if cv.ndim != 1:
+                raise ValueError('sortby only supports 1-d keys')
+            order = np.argsort(cv.values, kind='stable')
+            if not ascending:
+                order = order[::-1]
+            out = out.isel({cv.dims[0]: order})
+        return out
+
+    def reindex(self, indexers=None, method=None, fill_value=np.nan,
+                **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        out = self
+        for d, new_labels in indexers.items():
+            idx, missing, labels = _reindex_positions(
+                out._coords[d], new_labels, method)
+            sub = out.isel({d: idx})
+            if missing.any():
+                for k in list(sub._variables):
+                    v = sub._variables[k]
+                    if d not in v.dims:
+                        continue
+                    data = v.data
+                    if _needs_float_fill(fill_value, data.dtype):
+                        data = data.astype(np.float64)
+                    xp = get_xp(data)
+                    mshape = [1] * v.ndim
+                    mshape[v.dims.index(d)] = len(labels)
+                    sub._variables[k] = Variable(
+                        v.dims,
+                        xp.where(missing.reshape(mshape), fill_value,
+                                 data),
+                        v.attrs)
+            sub._coords[d] = Variable((d,), labels)
+            out = sub
+        return out
+
+    def reindex_like(self, other, method=None, fill_value=np.nan):
+        indexers = {d: other._coords[d].values
+                    for d in self.sizes
+                    if d in other._coords and d in self._coords}
+        return self.reindex(indexers, method=method, fill_value=fill_value)
+
+    def dropna(self, dim, how='any', thresh=None):
+        counts = None
+        total = 0
+        for k in self._variables:
+            da = self[k]
+            if dim not in da.dims:
+                continue
+            other = tuple(d for d in da.dims if d != dim)
+            c = np.asarray(da.notnull().sum(dim=other).values
+                           if other else da.notnull().values)
+            counts = c if counts is None else counts + c
+            total += int(np.prod([da.sizes[d] for d in other],
+                                 dtype=np.int64)) if other else 1
+        if counts is None:
+            return self
+        if thresh is not None:
+            keep = counts >= thresh
+        elif how == 'any':
+            keep = counts == total
+        elif how == 'all':
+            keep = counts > 0
+        else:
+            raise ValueError("how must be 'any' or 'all'")
+        return self.isel({dim: np.nonzero(keep)[0]})
+
+    # -- metadata / variable assignment ----------------------------------------------
+    def update(self, other):
+        """Merge ``other``'s variables/coords in place (xarray contract)."""
+        if isinstance(other, Dataset):
+            for k, v in other._coords.items():
+                self._coords[k] = v
+            for k, v in other._variables.items():
+                self._variables[k] = v
+        else:
+            for k, v in dict(other).items():
+                self[k] = v
+        return self
+
+    def assign(self, variables=None, **kwargs):
+        out = self.copy(deep=False)
+        for k, v in {**(variables or {}), **kwargs}.items():
+            out[k] = v(out) if callable(v) else v
+        return out
+
+    def assign_coords(self, coords=None, **kwargs):
+        out = self.copy(deep=False)
+        for k, v in {**(coords or {}), **kwargs}.items():
+            out._set_coord(k, v)
+        return out
+
+    def assign_attrs(self, *args, **kwargs):
+        out = self.copy(deep=False)
+        out.attrs.update(dict(*args, **kwargs))
+        return out
+
+    def rename_vars(self, mapping=None, **kwargs):
+        mapping = dict(mapping or {})
+        mapping.update(kwargs)
+        ds = self.copy(deep=False)
+        ds._variables = {mapping.get(k, k): v
+                         for k, v in self._variables.items()}
+        ds._coords = {mapping.get(k, k): v
+                      for k, v in self._coords.items()}
+        return ds
+
+    def rename_dims(self, mapping=None, **kwargs):
+        mapping = dict(mapping or {})
+        mapping.update(kwargs)
+        ds = Dataset(attrs=self.attrs)
+        ds._coords = {k: v.rename_dims(mapping)
+                      for k, v in self._coords.items()}
+        ds._variables = {k: v.rename_dims(mapping)
+                         for k, v in self._variables.items()}
+        return ds
+
+    drop = drop_vars
+
+    def drop_dims(self, dims):
+        if isinstance(dims, str):
+            dims = [dims]
+        dims = set(dims)
+        ds = Dataset(attrs=self.attrs)
+        ds._coords = {k: v for k, v in self._coords.items()
+                      if not (set(v.dims) & dims)}
+        ds._variables = {k: v for k, v in self._variables.items()
+                         if not (set(v.dims) & dims)}
+        return ds
+
+    def swap_dims(self, mapping=None, **kwargs):
+        mapping = dict(mapping or {})
+        mapping.update(kwargs)
+        ds = Dataset(attrs=self.attrs)
+        ds._coords = {k: v.rename_dims(mapping)
+                      for k, v in self._coords.items()}
+        ds._variables = {k: v.rename_dims(mapping)
+                         for k, v in self._variables.items()}
+        return ds
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    # -- slicing sugar ------------------------------------------------------------------
+    def head(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        return self.isel({d: slice(0, int(n)) for d, n in indexers.items()})
+
+    def tail(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        return self.isel({d: slice(-int(n), None)
+                          for d, n in indexers.items()})
+
+    def thin(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        return self.isel({d: slice(None, None, int(n))
+                          for d, n in indexers.items()})
+
+    # -- stack/unstack --------------------------------------------------------------
+    def stack(self, **kwargs):
+        """Stack dims into one on every variable (vars missing a stacked
+        dim are broadcast over it first, like xarray)."""
+        (new_dim, dims), = kwargs.items()
+        dims = tuple(dims)
+        sizes = self.sizes
+        ds = Dataset(attrs=dict(self.attrs))
+        ds._coords = {k: v for k, v in self._coords.items()
+                      if not (set(v.dims) & set(dims))}
+        for k in self._variables:
+            da = self[k]
+            missing = [d for d in dims if d not in da.dims]
+            if missing:
+                target_dims = tuple(da.dims) + tuple(missing)
+                target_shape = tuple(da.shape) + tuple(sizes[d]
+                                                       for d in missing)
+                da = DataArray._from_parts(
+                    da.variable.broadcast_to(target_dims, target_shape),
+                    da._coords, da.attrs, da.name)
+            stacked = da.stack(**{new_dim: dims})
+            ds._variables[k] = stacked.variable
+        ds.attrs[_STACK_ATTR] = {
+            'dim': new_dim,
+            'dims': dims,
+            'shape': tuple(sizes[d] for d in dims),
+            'coords': {k: (v.dims, v.values)
+                       for k, v in self._coords.items()
+                       if set(v.dims) & set(dims)},
+        }
+        return ds
+
+    def unstack(self, dim=None):
+        info = self.attrs.get(_STACK_ATTR)
+        if info is None:
+            raise ValueError('Dataset was not stacked by nd_tpu')
+        new_dim = info['dim']
+        dims = tuple(info['dims'])
+        shape = tuple(info['shape'])
+        ds = Dataset(attrs={k: v for k, v in self.attrs.items()
+                            if k != _STACK_ATTR})
+        ds._coords = {k: v for k, v in self._coords.items()
+                      if new_dim not in v.dims}
+        for k, (cdims, cvals) in info['coords'].items():
+            ds._coords[k] = Variable(cdims, cvals)
+        for k, v in self._variables.items():
+            if new_dim not in v.dims:
+                ds._variables[k] = v
+                continue
+            other = tuple(d for d in v.dims if d != new_dim)
+            vt = v.transpose(*(other + (new_dim,)))
+            ds._variables[k] = Variable(other + dims,
+                                        vt.data.reshape(vt.shape[:-1]
+                                                        + shape),
+                                        v.attrs)
+        return ds
+
+    # -- grouped / windowed --------------------------------------------------------------
+    def groupby(self, group):
+        from .grouped import GroupBy
+        return GroupBy.from_group(self, group)
+
+    def resample(self, indexer=None, **kwargs):
+        from .grouped import Resample
+        indexer = _normalize_indexers(indexer, kwargs)
+        (dim, freq), = indexer.items()
+        return Resample.from_freq(self, dim, freq)
+
+    def rolling(self, dim=None, min_periods=None, center=False,
+                **window_kwargs):
+        from .grouped import Rolling
+        spec = _normalize_indexers(dim if isinstance(dim, dict) else None,
+                                   window_kwargs)
+        (d, w), = spec.items()
+        return Rolling(self, d, w, min_periods=min_periods, center=center)
+
+    # -- comparison -------------------------------------------------------------------------
+    def equals(self, other):
+        if not isinstance(other, Dataset):
+            return False
+        if set(self._variables) != set(other._variables):
+            return False
+        if not _coords_equiv(self._coords, other._coords):
+            return False
+        for k, v in self._variables.items():
+            o = other._variables[k]
+            if v.dims != o.dims or not _array_equiv(v.values, o.values):
+                return False
+        return True
+
+    def identical(self, other):
+        if not self.equals(other) or self.attrs != other.attrs:
+            return False
+        return all(self._variables[k].attrs == other._variables[k].attrs
+                   for k in self._variables)
+
+    def broadcast_equals(self, other):
+        if not isinstance(other, Dataset):
+            return False
+        if set(self._variables) != set(other._variables):
+            return False
+        for k in self._variables:
+            if not self[k].broadcast_equals(other[k]):
+                return False
+        return True
+
+    # -- pandas bridge -------------------------------------------------------------------
+    def to_dataframe(self):
+        import pandas as pd
+        frames = {}
+        union_dims = tuple(self.sizes)
+        for k in self._variables:
+            da = self[k]
+            missing = [d for d in union_dims if d not in da.dims]
+            if missing:
+                target = tuple(da.dims) + tuple(missing)
+                shape = tuple(da.shape) + tuple(self.sizes[d]
+                                                for d in missing)
+                da = DataArray._from_parts(
+                    da.variable.broadcast_to(target, shape),
+                    self._coords, da.attrs, k)
+            frames[k] = da.transpose(*union_dims).to_series()
+        return pd.DataFrame(frames)
 
     # -- laziness stubs (we are eager; XLA async dispatch provides overlap) ---
     def persist(self):

@@ -245,6 +245,9 @@ class Variable:
                 dim = (dim,)
             axes = tuple(self.dims.index(d) for d in dim)
             dims = tuple(d for d in self.dims if d not in dim)
+            if len(axes) == 1:
+                # int axis keeps argmin/argmax-style reducers working
+                axes = axes[0]
         data = func(self.data, axis=axes, **kwargs)
         # keepdims-style reducers preserve rank; otherwise trust `dims`
         if np.ndim(data) == self.ndim:
