@@ -9,11 +9,15 @@ structural operations route through ``jax.numpy`` in that case so chained
 ops never round-trip through host memory. Coordinates and attributes are
 host-side NumPy/Python metadata (they drive compilation, not compute).
 
-Supported surface (kept intentionally close to the reference's usage):
-  isel/sel, transpose, squeeze, expand_dims, rename, copy, arithmetic with
-  dimension broadcasting, reductions, ``Dataset.to_array`` /
-  ``expand_variables`` (the inverse), stack/unstack of dimensions,
-  complex values, datetime coordinates, attribute propagation.
+Supported surface (the xarray API that reference code and its users
+rely on): isel/sel, transpose, squeeze, expand_dims, rename/swap_dims,
+copy, arithmetic with dimension broadcasting, reductions and
+accumulators, where/fillna/clip/round, diff/shift/roll/pad,
+sortby/reindex/dropna, equals/identical/broadcast_equals,
+assign_coords/assign_attrs, ``Dataset.to_array`` / ``expand_variables``
+(the inverse), stack/unstack of dimensions, groupby/resample/rolling
+(see ``grouped.py``), the pandas bridge (to_series/to_dataframe),
+complex values, datetime coordinates, attribute propagation.
 """
 
 from __future__ import annotations
