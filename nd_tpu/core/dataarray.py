@@ -602,9 +602,12 @@ class DataArray(_NDOpsMixin):
 
     def isnull(self):
         xp = get_xp(self.data)
-        if np.issubdtype(np.dtype(str(self.dtype)), np.floating) or \
-                np.issubdtype(np.dtype(str(self.dtype)), np.complexfloating):
+        kind = np.dtype(str(self.dtype)).kind
+        if kind in 'fc':
             return self._replace(xp.isnan(self.data))
+        if kind in 'mM':
+            # datetimes/timedeltas are host numpy; NaT is null (xarray)
+            return self._replace(np.isnat(self.values))
         return self._replace(np.zeros(self.shape, dtype=bool))
 
     def notnull(self):
@@ -1179,6 +1182,17 @@ class Dataset(_NDOpsMixin):
         raise KeyError(key)
 
     def __setitem__(self, key, value):
+        if isinstance(value, (DataArray, Variable, tuple)) and not \
+                isinstance(value, str):
+            dims = (value.dims if not isinstance(value, tuple)
+                    else ((value[0],) if isinstance(value[0], str)
+                          else tuple(value[0])))
+            if key in dims and len(dims) == 1:
+                # xarray semantics: a 1-d variable named after its own
+                # dimension is an index coordinate, not a data variable
+                # (also keeps NetCDF dimension scales collision-free)
+                self._set_coord(key, value)
+                return
         if isinstance(value, DataArray):
             self._variables[key] = Variable(value.dims, value.data,
                                             value.attrs)
@@ -1198,14 +1212,25 @@ class Dataset(_NDOpsMixin):
             raise TypeError(
                 'cannot assign %r to a Dataset variable; use '
                 '(dims, data) or a DataArray' % type(value))
-        # validate shapes
+        # validate shapes against everything EXCEPT the entry being
+        # (over)written — self.sizes would let a conflicting overwrite
+        # win the setdefault race and corrupt the Dataset
         var = self._variables[key]
-        sizes = self.sizes
+        sizes = {}
+        for v2 in self._coords.values():
+            for d, s in zip(v2.dims, v2.shape):
+                sizes.setdefault(d, s)
+        for k2, v2 in self._variables.items():
+            if k2 == key:
+                continue
+            for d, s in zip(v2.dims, v2.shape):
+                sizes.setdefault(d, s)
         for d, s in zip(var.dims, var.shape):
             if sizes.get(d, s) != s:
                 del self._variables[key]
                 raise ValueError(
-                    'variable %r conflicts on dim %r' % (key, d))
+                    'variable %r conflicts on dim %r (%d != %d)'
+                    % (key, d, s, sizes[d]))
 
     def __delitem__(self, key):
         if key in self._variables:
@@ -1270,6 +1295,10 @@ class Dataset(_NDOpsMixin):
         return ds
 
     def squeeze(self, dim=None):
+        if dim is not None and self.sizes.get(dim, 1) != 1:
+            raise ValueError(
+                'cannot squeeze dim %r of length %d'
+                % (dim, self.sizes[dim]))
         ds = Dataset(attrs=self.attrs)
         for k, v in self._coords.items():
             if dim is not None and dim in v.dims:
@@ -1945,9 +1974,18 @@ def concat(objs, dim):
         raise ValueError('nothing to concatenate')
     if isinstance(objs[0], DataArray):
         dim_exists = dim in objs[0].dims
-        var = _concat_variables(
-            [o.variable if dim_exists or dim not in o.dims
-             else o.variable for o in objs], dim, dim_exists)
+        variables = []
+        for o in objs:
+            v = o.variable
+            if dim_exists and dim not in v.dims:
+                # length-1 broadcast so mixed inputs concatenate cleanly
+                v = v.expand_dims(dim, objs[0].dims.index(dim))
+            elif not dim_exists and dim in v.dims:
+                raise ValueError(
+                    'cannot concatenate along new dim %r: input %r '
+                    'already has it' % (dim, o.name))
+            variables.append(v)
+        var = _concat_variables(variables, dim, dim_exists)
         coords = {}
         for k, v in objs[0]._coords.items():
             if dim in v.dims:

@@ -114,10 +114,20 @@ class Filter(Algorithm):
             ds = disassemble_complex(ds)
 
         if isinstance(ds, DataArray):
-            vdims = ds.dims
-            axes = tuple(vdims.index(d) for d in self.dims)
-            result = ds.copy(deep=False)
-            result.data = self._filter(ds.data, axes)
+            if self.per_variable:
+                vdims = ds.dims
+                axes = tuple(vdims.index(d) for d in self.dims)
+                result = ds.copy(deep=False)
+                result.data = self._filter(ds.data, axes)
+            else:
+                # joint-weight filters (NLMeans) expect the canonical
+                # layout (filter dims..., extra dims..., variable); a
+                # bare DataArray is a single variable
+                da_ordered = ds.transpose(*ordered_dims)
+                axes = tuple(range(len(self.dims)))
+                data = da_ordered.data[..., None]
+                filtered = self._filter(data, axes)[..., 0]
+                result = da_ordered._replace(filtered).transpose(*ds.dims)
         else:
             variables = get_vars_for_dims(ds, self.dims)
             other_variables = get_vars_for_dims(ds, self.dims,

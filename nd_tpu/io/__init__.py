@@ -60,7 +60,7 @@ def assemble_complex(ds, inplace=False):
     rex = {}
     matches = {}
     for part, end in endings.items():
-        rex[part] = re.compile('(?P<stem>.*)(?:{})'.format('|'.join(end)))
+        rex[part] = re.compile('(?P<stem>.*)(?:{})$'.format('|'.join(end)))
         matches[part] = [rex[part].match(vn) for vn in new_ds._variables]
         matches[part] = [m for m in matches[part] if m is not None]
 

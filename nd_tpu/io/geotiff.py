@@ -218,8 +218,10 @@ class TiffFile:
             '='))
 
         def _apply_predictor(arr):
+            # arr is (rows, width, samples); predictor 2 stores horizontal
+            # differences per sample along the row (TIFF 6.0 §14)
             if predictor == 2:
-                np.cumsum(arr, axis=-1, dtype=arr.dtype, out=arr)
+                np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
             return arr
 
         if tiled:

@@ -48,7 +48,12 @@ def _decode_cf_time(values, units, calendar=None):
     code = unit_map[unit_name.lower()]
     epoch_ts = pd.Timestamp(epoch.strip())
     vals = np.asarray(values)
-    deltas = pd.to_timedelta(vals.ravel().astype('float64'), unit=code)
+    flat = vals.ravel()
+    if not np.issubdtype(flat.dtype, np.integer):
+        # floats can't represent epoch-scale nanosecond counts exactly;
+        # only use them when the stored data is already floating
+        flat = flat.astype('float64')
+    deltas = pd.to_timedelta(flat, unit=code)
     out = (epoch_ts + deltas).values.reshape(vals.shape)
     return out.astype('datetime64[ns]')
 
@@ -56,9 +61,12 @@ def _decode_cf_time(values, units, calendar=None):
 def _encode_cf_time(values):
     vals = np.asarray(values).astype('datetime64[ns]')
     epoch = np.datetime64('1970-01-01T00:00:00', 'ns')
-    micros = (vals - epoch).astype('timedelta64[ns]').astype(
-        np.int64) // 1000
-    return micros, 'microseconds since 1970-01-01 00:00:00'
+    nanos = (vals - epoch).astype('timedelta64[ns]').astype(np.int64)
+    if (nanos % 1000 == 0).all():
+        # microsecond resolution suffices: stay compatible with readers
+        # that don't know nanoseconds
+        return nanos // 1000, 'microseconds since 1970-01-01 00:00:00'
+    return nanos, 'nanoseconds since 1970-01-01 00:00:00'
 
 
 # ---------------------------------------------------------------------------

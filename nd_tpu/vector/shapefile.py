@@ -127,7 +127,9 @@ def _read_dbf(path):
                 except ValueError:
                     row[name] = None
             elif ftype == 'L':
-                row[name] = text in 'YyTt'
+                # '?'/' ' means uninitialized in DBF; '' would otherwise
+                # test True via substring containment
+                row[name] = bool(text) and text[0] in 'YyTt'
             else:
                 row[name] = text
         records.append(row)

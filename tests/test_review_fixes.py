@@ -1,0 +1,217 @@
+"""Regression tests for defects found in the high-effort code review:
+TIFF predictor decoding, NLMeans on bare DataArrays, Dataset integrity
+(setitem validation, squeeze guard, dim-named variables), complex
+reassembly name anchoring, NaT nullness, nanosecond time roundtrips,
+DBF logical fields, and mixed-dim concat."""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from nd_tpu.core import DataArray, Dataset, concat
+from nd_tpu.filters import NLMeansFilter
+from nd_tpu.io import assemble_complex, open_dataset, to_netcdf
+from nd_tpu.io.geotiff import TiffFile
+
+
+# -- TIFF horizontal predictor ------------------------------------------------
+
+def _write_predictor2_tiff(path, img):
+    """Minimal little-endian single-strip deflate TIFF with predictor=2."""
+    h, w = img.shape
+    diff = img.astype(np.int64)
+    diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+    payload = zlib.compress(diff.astype(np.uint8).tobytes())
+
+    def entry(tag, typ, count, value):
+        return struct.pack('<HHII', tag, typ, count, value)
+
+    n = 12
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4
+    tags = [
+        entry(256, 3, 1, w),            # ImageWidth
+        entry(257, 3, 1, h),            # ImageLength
+        entry(258, 3, 1, 8),            # BitsPerSample
+        entry(259, 3, 1, 8),            # Compression: deflate
+        entry(262, 3, 1, 1),            # Photometric
+        entry(273, 4, 1, data_off),     # StripOffsets
+        entry(277, 3, 1, 1),            # SamplesPerPixel
+        entry(278, 3, 1, h),            # RowsPerStrip
+        entry(279, 4, 1, len(payload)),  # StripByteCounts
+        entry(317, 3, 1, 2),            # Predictor: horizontal
+        entry(339, 3, 1, 1),            # SampleFormat: unsigned
+        entry(284, 3, 1, 1),            # PlanarConfig
+    ]
+    with open(path, 'wb') as fh:
+        fh.write(b'II*\x00' + struct.pack('<I', ifd_off))
+        fh.write(struct.pack('<H', n))
+        fh.write(b''.join(tags))
+        fh.write(struct.pack('<I', 0))
+        fh.write(payload)
+
+
+def test_geotiff_predictor2_horizontal(tmp_path):
+    img = (np.arange(16, dtype=np.uint8).reshape(4, 4) * 3)
+    path = str(tmp_path / 'pred2.tif')
+    _write_predictor2_tiff(path, img)
+    out = TiffFile(path).read()
+    np.testing.assert_array_equal(out[0], img)
+
+
+# -- NLMeans on bare DataArrays -------------------------------------------------
+
+def test_nlmeans_dataarray_2d_matches_dataset():
+    rng = np.random.RandomState(0)
+    data = rng.rand(16, 16).astype(np.float64)
+    da = DataArray(data, dims=('y', 'x'), name='v')
+    ds = Dataset({'v': (('y', 'x'), data)})
+    flt = NLMeansFilter(dims=('y', 'x'), r=1, f=1, sigma=0.5, h=0.3)
+    out_da = flt.apply(da)
+    out_ds = flt.apply(ds)
+    assert out_da.dims == ('y', 'x')
+    np.testing.assert_allclose(np.asarray(out_da.values),
+                               np.asarray(out_ds['v'].values),
+                               rtol=1e-6)
+
+
+def test_nlmeans_dataarray_3d_filters_correct_axes():
+    rng = np.random.RandomState(1)
+    data = rng.rand(3, 12, 12).astype(np.float64)
+    da = DataArray(data, dims=('time', 'y', 'x'), name='v')
+    ds = Dataset({'v': (('time', 'y', 'x'), data.copy())})
+    flt = NLMeansFilter(dims=('y', 'x'), r=1, f=1, sigma=0.5, h=0.3)
+    out_da = flt.apply(da)
+    out_ds = flt.apply(ds)
+    assert out_da.dims == ('time', 'y', 'x')
+    np.testing.assert_allclose(np.asarray(out_da.values),
+                               np.asarray(out_ds['v'].values),
+                               rtol=1e-6)
+
+
+# -- Dataset integrity --------------------------------------------------------------
+
+def test_setitem_conflicting_overwrite_rejected():
+    ds = Dataset()
+    ds['a'] = (('x',), np.zeros(5))
+    ds['b'] = (('x',), np.zeros(5))
+    with pytest.raises(ValueError, match='conflicts'):
+        ds['a'] = (('x',), np.zeros(3))
+    assert ds.sizes == {'x': 5}
+    assert 'b' in ds
+
+
+def test_setitem_dim_named_variable_becomes_coord():
+    ds = Dataset()
+    ds['v'] = (('x',), np.arange(4.0))
+    ds['x'] = (('x',), np.array([10, 20, 30, 40]))
+    assert 'x' in ds._coords and 'x' not in ds._variables
+    assert ds.sel(x=30)['v'].item() == 2.0
+
+
+def test_dim_named_variable_netcdf_roundtrip(tmp_path):
+    ds = Dataset()
+    ds['v'] = (('x',), np.arange(4.0))
+    ds['x'] = (('x',), np.array([10., 20., 30., 40.]))
+    path = str(tmp_path / 'dimvar.nc')
+    to_netcdf(ds, path)
+    back = open_dataset(path)
+    assert back._coords['x'].values.tolist() == [10., 20., 30., 40.]
+
+
+def test_squeeze_rejects_long_dim():
+    ds = Dataset(coords={'time': np.arange(5)})
+    with pytest.raises(ValueError, match='squeeze'):
+        ds.squeeze('time')
+    one = Dataset({'a': (('t', 'x'), np.zeros((1, 3)))})
+    assert one.squeeze('t')['a'].dims == ('x',)
+
+
+def test_concat_mixed_dims():
+    a = DataArray(np.zeros((2, 3)), dims=('t', 'x'))
+    b = DataArray(np.ones(3), dims=('x',))
+    out = concat([a, b], dim='t')
+    assert out.shape == (3, 3)
+    assert out.values[2].tolist() == [1.0, 1.0, 1.0]
+    with pytest.raises(ValueError, match='new dim'):
+        concat([b, a], dim='t')
+
+
+# -- complex reassembly name anchoring ------------------------------------------------
+
+def test_assemble_complex_ignores_lookalike_names():
+    ds = Dataset({
+        'x_realistic': (('i',), np.arange(3.0)),
+        'x_imagery': (('i',), np.arange(3.0)),
+        'c__re': (('i',), np.arange(3.0)),
+        'c__im': (('i',), np.arange(3.0)),
+    })
+    out = assemble_complex(ds)
+    assert 'x_realistic' in out and 'x_imagery' in out
+    assert 'c' in out and np.iscomplexobj(out['c'].values)
+
+
+# -- NaT nullness -----------------------------------------------------------------------
+
+def test_nat_is_null():
+    times = np.array(['2020-01-01', 'NaT', '2020-01-03'],
+                     dtype='datetime64[ns]')
+    da = DataArray(times, dims=('t',))
+    assert da.isnull().values.tolist() == [False, True, False]
+    assert int(da.count()) == 2
+    assert da.dropna('t').shape == (2,)
+
+
+# -- nanosecond time precision -------------------------------------------------------
+
+def test_netcdf_nanosecond_time_roundtrip(tmp_path):
+    times = (np.array(['2020-01-01'], dtype='datetime64[ns]')
+             + np.timedelta64(123456789, 'ns'))
+    ds = Dataset({'v': (('time',), np.arange(1.0))},
+                 coords={'time': times})
+    path = str(tmp_path / 'ns.nc')
+    to_netcdf(ds, path)
+    back = open_dataset(path)
+    assert back._coords['time'].values[0] == times[0]
+
+
+def test_netcdf_microsecond_times_stay_micro(tmp_path):
+    # micro-resolution data keeps the more portable encoding
+    times = np.array(['2020-01-01T00:00:00.000001'],
+                     dtype='datetime64[ns]')
+    ds = Dataset({'v': (('time',), np.arange(1.0))},
+                 coords={'time': times})
+    path = str(tmp_path / 'us.nc')
+    to_netcdf(ds, path)
+    back = open_dataset(path)
+    assert back._coords['time'].values[0] == times[0]
+
+
+# -- DBF logical fields -----------------------------------------------------------------
+
+def _write_minimal_dbf(path, flags):
+    """One 'L' field named FLAG, one record per entry in ``flags``."""
+    nrec = len(flags)
+    header_len = 32 + 32 + 1
+    record_len = 1 + 1
+    with open(path, 'wb') as fh:
+        fh.write(struct.pack('<B3BIHH20x', 3, 20, 1, 1, nrec,
+                             header_len, record_len))
+        name = b'FLAG' + b'\x00' * 7
+        fh.write(struct.pack('<11sc4xBB14x', name, b'L', 1, 0))
+        fh.write(b'\r')
+        for v in flags:
+            fh.write(b' ' + v)
+        fh.write(b'\x1a')
+
+
+def test_dbf_logical_unset_is_false(tmp_path):
+    from nd_tpu.vector.shapefile import _read_dbf
+    path = str(tmp_path / 'flags.dbf')
+    _write_minimal_dbf(path, [b'T', b'F', b' ', b'?', b'Y'])
+    records = _read_dbf(path)
+    assert [r['FLAG'] for r in records] == [True, False, False, False,
+                                            True]
