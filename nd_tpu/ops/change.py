@@ -228,6 +228,26 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed'):
     # decision becomes a z-threshold compare (no igamma on device).
     z_thresh_table = omnibus_thresholds(k, n, float(alpha))
 
+    # For the float64 statistic path, fold rho and the j*log(j) term
+    # into the threshold as well:
+    #   z > thresh  ⇔  -2·rho·logQ > thresh
+    #               ⇔  n·log_prod − n·j·log(det_of_sum) < C_j,
+    #   C_j = −thresh_j/(2·rho_j) − n·P·j·ln j          (host, f64)
+    # Emulated float64 on TPU pays per operation; this removes the
+    # per-element divisions (rho) and the second transcendental (ln j)
+    # from the loop body. Valid whenever rho_j > 0 (true for p=2, n>=1).
+    with np.errstate(divide='ignore', invalid='ignore'):
+        _rho_tab = omnibus_rho(np.arange(k + 1), n)
+    folded_table = np.full(k + 1, -np.inf)
+    use_folded = ldtype == jnp.float64
+    for j in range(2, k + 1):
+        if np.isfinite(z_thresh_table[j]):
+            if _rho_tab[j] <= 0:
+                use_folded = False
+                break
+            folded_table[j] = (-z_thresh_table[j] / (2 * _rho_tab[j])
+                               - n * _P * j * np.log(j))
+
     def cond(state):
         i, l, active, result = state
         return jnp.logical_and(i < k - 1, jnp.any(active))
@@ -255,23 +275,38 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed'):
         jt = (tt - lc + 1).astype(ldtype)              # window length
         det_of_sum = c11 * c22 - c12r ** 2 - c12i ** 2
         log_prod = jnp.where(odd_neg, jnp.nan, logdet)
-        logQ = nf * (_P * jt * jnp.log(jt) + log_prod
-                     - jt * jnp.log(det_of_sum))
-        rho_t = 1 - (2 * _P ** 2 - 1) / (6 * (jt - 1) * _P) \
-            * (jt / nf - 1 / (nf * jt))
-        z = -2 * rho_t * logQ                          # (y,x,k)
-
-        # per-length threshold shifted into t-space: accumulate the
-        # small host table with scalar one-hot compares (no 4-D temp)
         jt_i = tt - lc + 1                             # (y,x,k) int
-        thresh_t = jnp.full(jt_i.shape, jnp.inf, ldtype)
-        for j in range(2, k + 1):
-            tj = float(z_thresh_table[j])
-            if np.isfinite(tj):
-                thresh_t = jnp.where(jt_i == j, jnp.asarray(tj, ldtype),
-                                     thresh_t)
 
-        hit = jnp.logical_and(z > thresh_t, tt >= lc + 1)  # j >= 2
+        if use_folded:
+            # folded form: one f64 log + fused multiply-compare per
+            # element (rho, ln j and the threshold live in C_j)
+            stat = nf * log_prod - (nf * jt) * jnp.log(det_of_sum)
+            c_t = jnp.full(jt_i.shape, -jnp.inf, ldtype)
+            for j in range(2, k + 1):
+                cj = float(folded_table[j])
+                if np.isfinite(cj):
+                    c_t = jnp.where(jt_i == j, jnp.asarray(cj, ldtype),
+                                    c_t)
+            hit = jnp.logical_and(stat < c_t, tt >= lc + 1)  # j >= 2
+        else:
+            logQ = nf * (_P * jt * jnp.log(jt) + log_prod
+                         - jt * jnp.log(det_of_sum))
+            rho_t = 1 - (2 * _P ** 2 - 1) / (6 * (jt - 1) * _P) \
+                * (jt / nf - 1 / (nf * jt))
+            z = -2 * rho_t * logQ                      # (y,x,k)
+
+            # per-length threshold shifted into t-space: accumulate the
+            # small host table with scalar one-hot compares (no 4-D
+            # temp)
+            thresh_t = jnp.full(jt_i.shape, jnp.inf, ldtype)
+            for j in range(2, k + 1):
+                tj = float(z_thresh_table[j])
+                if np.isfinite(tj):
+                    thresh_t = jnp.where(jt_i == j,
+                                         jnp.asarray(tj, ldtype),
+                                         thresh_t)
+
+            hit = jnp.logical_and(z > thresh_t, tt >= lc + 1)  # j >= 2
 
         # global test over ts[l:] is the t = k-1 entry
         active = jnp.logical_and(active, hit[..., k - 1])
