@@ -7,6 +7,13 @@ change-map parity against the native single-core reference
 implementation. ``vs_baseline`` is the speedup of the TPU path over the
 single-core CPU baseline (target: >= 50x).
 
+Methodology: per-chip throughput is measured with each kernel repeated
+inside ONE jit via lax.fori_loop (with a traced-epsilon data dependency
+so XLA re-executes every iteration) — on tunneled backends each
+dispatch costs tens of ms of host-link latency that says nothing about
+the chip. Single-dispatch wall-clock figures are reported alongside in
+``detail`` (``*_wall_mpix_s``) for transparency.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
 
@@ -58,6 +65,36 @@ def _time(fn, *args, reps=4, warmup=1):
     return (time.perf_counter() - t0) / reps, outs[-1]
 
 
+def _time_loop(kernel, x, reps=10):
+    """Device throughput: run ``kernel`` ``reps`` times inside ONE jit
+    via lax.fori_loop, so per-dispatch host-link latency (tens of ms on
+    tunneled backends) is paid once instead of per repetition.
+
+    A traced epsilon (0.0 at runtime) chains each iteration's output
+    into the next input, forcing re-execution without changing values —
+    XLA cannot fold ``eps * f(out)`` because eps is a runtime argument.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(x, eps):
+        def body(i, carry):
+            out = kernel(carry)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            dep = jnp.asarray(leaf).ravel()[0].astype(carry.dtype)
+            return carry + eps * dep
+        return lax.fori_loop(0, reps, body, x)
+
+    eps = jnp.zeros((), x.dtype)
+    _sync(run(x, eps))                   # compile + warm
+    t0 = time.perf_counter()
+    out = run(x, eps)
+    _sync(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
 def main():
     import os
 
@@ -106,15 +143,16 @@ def main():
     use_pallas = supports_pallas()
     detail_kernel = 'pallas' if use_pallas else 'xla'
 
-    @jax.jit
     def run_nlmeans(x):
         if use_pallas:
             return nlmeans_spatial_pallas(x, r[:2], f[:2], sigma, h,
                                           -1.0)
         return nlmeans(x, r, f, sigma, h, -1.0)
 
-    t_nl, _ = _time(run_nlmeans, nl_in)
+    t_nl, _ = _time_loop(run_nlmeans, nl_in)
+    t_nl_wall, _ = _time(jax.jit(run_nlmeans), nl_in)
     detail['nlmeans_mpix_s'] = round(mpix / t_nl, 2)
+    detail['nlmeans_wall_mpix_s'] = round(mpix / t_nl_wall, 2)
     detail['nlmeans_kernel'] = detail_kernel
 
     # ---- Omnibus change detection --------------------------------------
@@ -126,14 +164,16 @@ def main():
     from nd_tpu.ops.change import change_detection_hybrid
     from nd_tpu.ops.change_pallas import supports_pallas
 
-    @jax.jit
     def run_omnibus(x):
         return change_detection(x, alpha=alpha, n=looks,
                                 stat_dtype='mixed')
     detail['omnibus_kernel'] = 'xla-mixed'
 
-    t_om, change_map = _time(run_omnibus, cube_d)
+    t_om, _ = _time_loop(run_omnibus, cube_d)
+    t_om_wall, change_map = _time(jax.jit(run_omnibus), cube_d)
+    change_map = _sync(change_map)
     detail['omnibus_mpix_s'] = round(mpix / t_om, 2)
+    detail['omnibus_wall_mpix_s'] = round(mpix / t_om_wall, 2)
 
     # hybrid mode (Pallas + exact f64 patching, host-delivered result —
     # what OmnibusTest uses on TPU); includes its host transfers
@@ -151,12 +191,11 @@ def main():
     try:
         from nd_tpu.ops.change_pallas import supports_pallas
         if supports_pallas():
-            @jax.jit
             def run_omnibus_fast(x):
                 return change_detection(x, alpha=alpha, n=looks,
                                         stat_dtype='float32')
 
-            t_of, _ = _time(run_omnibus_fast, cube_d)
+            t_of, _ = _time_loop(run_omnibus_fast, cube_d)
             detail['omnibus_fast_mpix_s'] = round(mpix / t_of, 2)
     except Exception as e:  # pragma: no cover
         detail['omnibus_fast_error'] = str(e)
@@ -164,21 +203,19 @@ def main():
     # ---- secondary configs ---------------------------------------------
     k3 = jnp.ones((3, 3), jnp.float32) / 9
 
-    @jax.jit
     def run_boxcar(x):
         return convolve(x, k3, axes=(0, 1), mode='reflect')
 
-    t_bx, _ = _time(run_boxcar, cube_d)
+    t_bx, _ = _time_loop(run_boxcar, cube_d)
     detail['boxcar_mpix_s'] = round(mpix / t_bx, 2)
 
     from nd_tpu.ops.conv import gaussian_kernel1d, separable_convolve
     g1 = jnp.asarray(gaussian_kernel1d(1.5), jnp.float32)
 
-    @jax.jit
     def run_gauss(x):
         return separable_convolve(x, [g1, g1], axes=(0, 1))
 
-    t_gs, _ = _time(run_gauss, cube_d)
+    t_gs, _ = _time_loop(run_gauss, cube_d)
     detail['gaussian_mpix_s'] = round(mpix / t_gs, 2)
 
     # ---- reprojection (warp config) ------------------------------------
@@ -206,11 +243,10 @@ def main():
         from nd_tpu.models import SARChangePipeline
         pipe = SARChangePipeline(ml=3, n=1, alpha=0.99)
 
-        @jax.jit
         def run_pipeline(x):
             return pipe.forward(x)
 
-        t_pl, _ = _time(run_pipeline, cube_d, reps=2)
+        t_pl, _ = _time_loop(run_pipeline, cube_d, reps=4)
         detail['pipeline_forward_mpix_s'] = round(mpix / t_pl, 2)
     except Exception as e:  # pragma: no cover
         detail['pipeline_error'] = str(e)
