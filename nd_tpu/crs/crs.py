@@ -184,6 +184,12 @@ class CRS:
                     v = float(v)
                     if k == 'zone':
                         v = int(v)
+                elif ',' in v:
+                    # list-valued parameters (e.g. +towgs84=dx,dy,dz,...)
+                    try:
+                        v = tuple(float(x) for x in v.split(','))
+                    except ValueError:
+                        pass
                 params[k] = v
             else:
                 params[tok] = True
@@ -322,6 +328,11 @@ class CRS:
         for k, v in sorted(self._params.items()):
             if v is True:
                 parts.append('+%s' % k)
+            elif isinstance(v, (tuple, list)):
+                # proj4 list parameters (e.g. +towgs84) are
+                # comma-separated, not Python tuple reprs
+                parts.append('+%s=%s' % (k, ','.join('%g' % float(x)
+                                                     for x in v)))
             else:
                 parts.append('+%s=%s' % (k, v))
         if 'no_defs' not in self._params:

@@ -397,6 +397,21 @@ def _gather_jit():
                    static_argnames=('method', 'cval'))
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_grid(dst_transform6, dst_shape, src_transform6, src_proj4,
+                 dst_proj4, dtype_str):
+    """Device-resident source-pixel coordinate grid, keyed by the full
+    warp geometry. One host transform + upload per distinct grid."""
+    from .crs import CRS
+    rows, cols = grid_from_transforms(
+        Affine(*dst_transform6), dst_shape, Affine(*src_transform6),
+        src_crs=CRS.from_proj4(src_proj4),
+        dst_crs=CRS.from_proj4(dst_proj4), xp=np)
+    dtype = np.dtype(dtype_str)
+    return (jnp.asarray(np.asarray(rows, dtype)),
+            jnp.asarray(np.asarray(cols, dtype)))
+
+
 def _jitted_gather(values, rows, cols, method, cval):
     return _gather_jit()(values, rows, cols, method=method, cval=cval)
 
@@ -470,16 +485,29 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
     # (vectorized numpy; TPUs emulate f64 slowly), then shipped to the
     # device at gather precision. f32 fractional pixel coordinates are
     # exact to ~2^-10 px for rasters under 16k pixels per side.
-    rows, cols = grid_from_transforms(dst_transform, (height, width),
-                                      src_transform, src_crs=src_crs,
-                                      dst_crs=dst_crs, xp=np)
+    # Cached across calls: Alignment-style workloads reproject many
+    # products onto one common grid, and the host transform + upload is
+    # the dominant per-call cost once the gather is compiled.
     coord_dtype = np.float32 if max(height, width) < 16384 \
         and max(ds.sizes.get('y', 1), ds.sizes.get('x', 1)) < 16384 \
         else np.float64
-    rows = jnp.asarray(np.asarray(rows, coord_dtype))
-    cols = jnp.asarray(np.asarray(cols, coord_dtype))
+    rows, cols = _cached_grid(tuple(dst_transform)[:6], (height, width),
+                              tuple(src_transform)[:6],
+                              src_crs.to_proj4(), dst_crs.to_proj4(),
+                              np.dtype(coord_dtype).str)
 
     resampling = kwargs.get('resampling')
+
+    def _method_for_dtype(dtype, resampling):
+        """Dtype-dispatch matching the reference (warp.py:724-732):
+        nearest/0 for ints, bilinear/NaN for floats."""
+        if np.issubdtype(np.dtype(str(dtype)), np.integer):
+            method, nodata = 'nearest', 0
+        else:
+            method, nodata = 'bilinear', np.nan
+        if resampling is not None:
+            method = resampling
+        return method, nodata
 
     def _reproject_da(da, shape):
         coord_dims = tuple(c for c in ('y', 'x') if c in da.dims)
@@ -488,14 +516,7 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
         ordered_extra = tuple(d for d in orig_order if d in da_extra)
         dim_order = ordered_extra + coord_dims
 
-        if np.issubdtype(np.dtype(str(da.dtype)), np.integer):
-            method = 'nearest'
-            nodata = 0
-        else:
-            method = 'bilinear'
-            nodata = np.nan
-        if resampling is not None:
-            method = resampling
+        method, nodata = _method_for_dtype(da.dtype, resampling)
 
         values = da.transpose(*dim_order).data
         values = jnp.asarray(values)
@@ -539,20 +560,73 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
             result._coords[v] = Variable(
                 ('y', 'x'), np.asarray(_reproject_da(cvar, shape)))
 
+        # Batch all data variables with identical layout/dtype/method
+        # into ONE stacked gather: per-dispatch host-link latency (tens
+        # of ms on tunneled hosts) and per-variable kernel launches are
+        # paid once instead of per variable.
+        groups = {}          # key -> list of (name, values, is_imag)
         for v in ds.data_vars:
             vdims = _get_projection_dim_order(ds[v])
             common = set(vdims).intersection(ds[v].dims)
             if set(ds[v].dims) == set(vdims) \
                     or set(ds[v].dims) == {'y', 'x'}:
-                proj_dims = tuple(d for d in vdims if d in ds[v].dims)
-                result[v] = (proj_dims, _reproject_da(ds[v], shape))
-                result._variables[v] = \
-                    result._variables[v].transpose(*get_dims(ds[v]))
+                da = ds[v]
+                coord_dims = tuple(c for c in ('y', 'x') if c in da.dims)
+                orig_order = get_dims(da)
+                ordered_extra = tuple(d for d in orig_order
+                                      if d not in coord_dims)
+                dim_order = ordered_extra + coord_dims
+                method, nodata = _method_for_dtype(da.dtype, resampling)
+                values = jnp.asarray(da.transpose(*dim_order).data)
+                out_dtype = values.dtype
+                if values.dtype == jnp.float16:
+                    values = values.astype(jnp.float32)
+                if jnp.issubdtype(values.dtype, jnp.integer):
+                    values = values.astype(jnp.float64)
+                proj_dims = tuple(d for d in vdims if d in da.dims)
+                if jnp.iscomplexobj(values):
+                    key = (dim_order, values.real.dtype,
+                           'bilinear' if method == 'bilinear'
+                           else method, 'nan', values.shape)
+                    groups.setdefault(key, []).append(
+                        (v, values.real, values.imag, proj_dims,
+                         orig_order, out_dtype))
+                else:
+                    key = (dim_order, values.dtype, method, repr(nodata),
+                           values.shape)
+                    groups.setdefault(key, []).append(
+                        (v, values, None, proj_dims, orig_order,
+                         out_dtype))
             elif common == {'x'} or common == {'y'}:
                 result[v] = (vdims, _reproject_da(
                     _expand_var_to_xy(ds[v], ds.coords), shape))
             else:
                 result[v] = (ds[v].dims, ds[v].data)
+
+        for key, entries in groups.items():
+            method = key[2]
+            nodata = np.nan if key[3] in ('nan', repr(np.nan)) else 0
+            parts = []
+            for (_, re_v, im_v, _, _, _) in entries:
+                parts.append(re_v)
+                if im_v is not None:
+                    parts.append(im_v)
+            stacked = jnp.stack(parts, axis=0)
+            gathered = _jitted_gather(stacked, rows, cols, method,
+                                      nodata)
+            i = 0
+            for (v, _, im_v, proj_dims, orig_order, out_dtype) in entries:
+                if im_v is not None:
+                    out = gathered[i] + 1j * gathered[i + 1]
+                    i += 2
+                else:
+                    out = gathered[i]
+                    i += 1
+                if out_dtype == jnp.float16:
+                    out = out.astype(jnp.float16)
+                result[v] = (proj_dims, out)
+                result._variables[v] = \
+                    result._variables[v].transpose(*orig_order)
     else:
         shape = (height, width)
         dst_dims = _get_projection_dim_order(ds)
