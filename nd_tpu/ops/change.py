@@ -371,18 +371,27 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=1e-3,
     values_dev = jnp.asarray(values, jnp.float32)
     k = values_dev.shape[2]
 
-    packed, margin, rest = _packed_fast_kernel(float(alpha), int(n),
-                                               int(k))(values_dev)
-    packed_np = np.asarray(packed)                      # ~4 MB d2h
-    margin_np = np.asarray(margin)                      # ~4 MB d2h
-    nbits = min(k, 31)
-    result = ((packed_np[..., None]
-               >> np.arange(nbits)[None, None, :]) & 1).astype(bool)
-    if k > 31:
+    packed, sus_packed, rest = _packed_fast_kernel(
+        float(alpha), int(n), int(k), float(margin_eps))(values_dev)
+    packed_np = np.asarray(packed)                # 1-4 B/pixel d2h
+    sus_np = np.asarray(sus_packed)               # 1 bit/pixel d2h
+    _, nbits = _flag_pack_dtype(k)
+    nbits = min(k, nbits)
+    ny, nx = packed_np.shape
+    # unpackbits on the little-endian byte view is ~25x faster than
+    # broadcast shift-and-mask for megapixel maps
+    bytes_view = packed_np.astype(packed_np.dtype.newbyteorder('<'),
+                                  copy=False).view(np.uint8) \
+        .reshape(ny, nx, -1)
+    result = np.unpackbits(bytes_view, axis=-1,
+                           bitorder='little')[..., :nbits].astype(bool)
+    if k > nbits:
         result = np.concatenate(
             [result, np.asarray(rest).astype(bool)], axis=-1)
 
-    suspect = ~(margin_np > margin_eps)                 # incl. NaN
+    suspect = np.unpackbits(sus_np.astype(np.uint8), axis=-1,
+                            bitorder='little').reshape(ny, -1)[:, :nx] \
+        .astype(bool)
     n_suspect = int(suspect.sum())
 
     if n_suspect:
@@ -408,21 +417,47 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=1e-3,
     return result
 
 
+def _flag_pack_dtype(k):
+    """Smallest signed dtype whose positive range holds k flag bits."""
+    if k <= 7:
+        return jnp.int8, 7
+    if k <= 15:
+        return jnp.int16, 15
+    return jnp.int32, 31
+
+
 @functools.lru_cache(maxsize=32)
-def _packed_fast_kernel(alpha, n, k):
-    """Cached jit: Pallas fast kernel + bit-packing of the change flags
-    (only ~8 bytes/pixel cross the host link)."""
+def _packed_fast_kernel(alpha, n, k, margin_eps):
+    """Cached jit: Pallas fast kernel + on-device packing. The change
+    flags cross the host link in the smallest dtype that holds k bits
+    (1-4 bytes/pixel) and the margin test collapses to a bit-packed
+    suspect mask (1 bit/pixel) — the float margins never leave HBM."""
     from .change_pallas import change_detection_pallas
+
+    dtype, nbits = _flag_pack_dtype(k)
 
     @jax.jit
     def run(v):
         flags, margin = change_detection_pallas(v, alpha, n=n,
                                                 return_margin=True)
-        weights = jnp.asarray(2 ** np.arange(min(k, 31)), jnp.int32)
-        packed = jnp.sum(
-            flags[..., :31].astype(jnp.int32) * weights, axis=-1)
-        rest = flags[..., 31:] if k > 31 else jnp.zeros((), jnp.int8)
-        return packed, margin, rest
+        weights = jnp.asarray(2 ** np.arange(min(k, nbits)), dtype)
+        # pin the accumulator dtype: x64 mode would promote the sum to
+        # int64 and quadruple the d2h payload
+        packed = jnp.sum(flags[..., :nbits].astype(dtype) * weights,
+                         axis=-1, dtype=dtype)
+        rest = flags[..., nbits:] if k > nbits else jnp.zeros((),
+                                                              jnp.int8)
+        # suspect = margin <= eps (NaN-inclusive), 8 pixels per byte
+        suspect = ~(margin > jnp.float32(margin_eps))
+        ny, nx = suspect.shape
+        pad = (-nx) % 8
+        if pad:
+            suspect = jnp.pad(suspect, ((0, 0), (0, pad)))
+        bits = jnp.asarray(2 ** np.arange(8), jnp.uint8)
+        sus_packed = jnp.sum(
+            suspect.reshape(ny, -1, 8).astype(jnp.uint8) * bits,
+            axis=-1, dtype=jnp.uint8)
+        return packed, sus_packed, rest
 
     return run
 
