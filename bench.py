@@ -21,7 +21,6 @@ Extra per-config throughputs are reported in "detail".
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -138,9 +137,9 @@ def main():
 
     nl_in = cube_d  # (y, x, t, 4)
 
-    from nd_tpu.ops.nlmeans_pallas import (nlmeans_spatial_pallas,
-                                           supports_pallas)
-    use_pallas = supports_pallas()
+    from nd_tpu.ops.nlmeans_pallas import (
+        nlmeans_spatial_pallas, supports_pallas as nlmeans_has_pallas)
+    use_pallas = nlmeans_has_pallas()
     detail_kernel = 'pallas' if use_pallas else 'xla'
 
     def run_nlmeans(x):
@@ -162,7 +161,8 @@ def main():
     # 'mixed': input-precision channel sums (the reference kernel's own
     # convention) + f64 statistic math — reference-exact decisions
     from nd_tpu.ops.change import change_detection_hybrid
-    from nd_tpu.ops.change_pallas import supports_pallas
+    from nd_tpu.ops.change_pallas import (
+        supports_pallas as change_has_pallas)
 
     def run_omnibus(x):
         return change_detection(x, alpha=alpha, n=looks,
@@ -177,20 +177,18 @@ def main():
 
     # hybrid mode (Pallas + exact f64 patching, host-delivered result —
     # what OmnibusTest uses on TPU); includes its host transfers
-    if supports_pallas():
+    if change_has_pallas():
         change_detection_hybrid(cube_d, alpha=alpha, n=looks,
                                 values_host=cube)  # warm up
         t0 = time.perf_counter()
-        hybrid_map = change_detection_hybrid(cube_d, alpha=alpha,
-                                             n=looks,
-                                             values_host=cube)
+        change_detection_hybrid(cube_d, alpha=alpha, n=looks,
+                                values_host=cube)
         t_hy = time.perf_counter() - t0
         detail['omnibus_hybrid_mpix_s'] = round(mpix / t_hy, 2)
 
     # fast (f32 Pallas) mode, reported separately
     try:
-        from nd_tpu.ops.change_pallas import supports_pallas
-        if supports_pallas():
+        if change_has_pallas():
             def run_omnibus_fast(x):
                 return change_detection(x, alpha=alpha, n=looks,
                                         stat_dtype='float32')

@@ -71,12 +71,18 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
 
     from .ops.change import change_detection_hybrid
     from .ops.change_pallas import supports_pallas
-    if supports_pallas():
+    sharding = getattr(values, 'sharding', None)
+    multi_device = sharding is not None and \
+        len(getattr(sharding, 'device_set', ())) > 1
+    if supports_pallas() and not multi_device:
         # fused Pallas kernel + exact float64 patching of the rare
         # near-margin pixels — exact decisions at fast-mode speed
         change = change_detection_hybrid(values, alpha=float(alpha),
                                          n=int(n))
     else:
+        # mesh-sharded inputs stay on the jittable XLA path: GSPMD
+        # partitions it over the pixel grid, while the host-driven
+        # hybrid would gather the cube to one device
         change = _change_detection(values, alpha=float(alpha),
                                    n=int(n))
 

@@ -22,11 +22,6 @@ import jax
 __all__ = ['save_params', 'load_params', 'Checkpointer']
 
 
-def _flatten_with_paths(tree):
-    flat, treedef = jax.tree_util.tree_flatten(tree)
-    return flat, treedef
-
-
 def save_params(params, path):
     """Save a pytree of arrays to an .npz file (atomic rename)."""
     flat, treedef = jax.tree_util.tree_flatten(params)

@@ -67,7 +67,6 @@ def host_local_slices(mesh, global_shape, dims=('y', 'x')):
     spec = P(*dims)
     sharding = NamedSharding(mesh, spec)
     # union of this process's addressable shards
-    dummy = jax.ShapeDtypeStruct(tuple(global_shape), np.float32)
     idx_map = sharding.addressable_devices_indices_map(
         tuple(global_shape))
     lo = [min(sl[d].start or 0 for sl in idx_map.values())

@@ -28,9 +28,9 @@ __all__ = ['apply_sharded', 'shard_dataset', 'sharded_change_detection']
 # numpy.pad-style boundary modes of each filter kernel family;
 # scipy.ndimage 'reflect' (used by convolution filters) is numpy
 # 'symmetric', the NLMeans _idx convention is numpy 'reflect'.
-_SCIPY_TO_NP = {'reflect': 'symmetric', 'mirror': 'reflect',
-                'nearest': 'edge', 'constant': 'constant',
-                'wrap': 'wrap'}
+# Shared with the conv kernels so the halo-exchange boundary fill can
+# never diverge from what convolve itself does.
+from ..ops.conv import _SCIPY_TO_NP_PAD as _SCIPY_TO_NP
 
 
 def _fit_mesh_to_dims(mesh, ds, dims, halos):
@@ -108,9 +108,19 @@ def apply_sharded(algo, ds, mesh=None):
                            mode=mode)
 
     if isinstance(ds, DataArray):
-        out = ds.copy(deep=False)
-        out.data = _run(ds.data, ds.dims)
-        return out
+        if algo.per_variable:
+            out = ds.copy(deep=False)
+            out.data = _run(ds.data, ds.dims)
+            return out
+        # joint-weight filters (NLMeans) expect the canonical layout
+        # (filter dims..., extra dims..., variable) — same shim as
+        # Filter.apply's DataArray branch
+        ordered = algo.dims + tuple(d for d in tuple(ds.sizes)
+                                    if d not in algo.dims)
+        da_o = ds.transpose(*ordered)
+        filtered = _run(da_o.data[..., None],
+                        da_o.dims + ('variable',))[..., 0]
+        return da_o._replace(filtered).transpose(*ds.dims)
 
     if algo.per_variable:
         result = ds.copy(deep=False)
@@ -144,9 +154,26 @@ def shard_dataset(ds, mesh=None, dims=('y', 'x')):
     """Place dataset variables on the mesh with NamedSharding.
 
     Pixelwise kernels applied afterwards are partitioned automatically
-    by XLA (no halo needed).
+    by XLA (no halo needed). Mesh axes that don't divide the
+    corresponding dimension are shrunk to the largest divisor
+    (NamedSharding requires even shards); ``sharded_change_detection``
+    pads instead, to keep full parallelism.
     """
     mesh = mesh if mesh is not None else get_mesh()
+    shape = []
+    for name in mesh.axis_names:
+        count = mesh.shape[name]
+        if name in dims and name in ds.sizes:
+            size = ds.sizes[name]
+            count = min(count, size)
+            while size % count:
+                count -= 1
+        shape.append(count)
+    if tuple(shape) != tuple(mesh.shape.values()):
+        devices = np.asarray(mesh.devices).reshape(-1)
+        total = int(np.prod(shape))
+        mesh = jax.sharding.Mesh(devices[:total].reshape(shape),
+                                 tuple(mesh.axis_names))
     out = ds.copy(deep=False)
     for v, var in ds._variables.items():
         spec = P(*[d if (d in dims and d in mesh.axis_names) else None
@@ -176,5 +203,18 @@ def sharded_change_detection(ds, alpha=0.01, ml=None, n=1, mesh=None):
         work = apply_sharded(BoxcarFilter(w=ml), ds, mesh=mesh)
         n = ml ** 2
 
+    # pad (y, x) up to mesh-divisible sizes so NamedSharding keeps full
+    # parallelism on awkward shapes; pixels are independent, so the pad
+    # region cannot influence real pixels and is cropped afterwards
+    ny, nx = work.sizes['y'], work.sizes['x']
+    pad_y = (-ny) % mesh.shape.get('y', 1)
+    pad_x = (-nx) % mesh.shape.get('x', 1)
+    if pad_y or pad_x:
+        work = work.pad(y=(0, pad_y), x=(0, pad_x), constant_values=0.0)
+
     sharded = shard_dataset(work, mesh, dims=('y', 'x'))
-    return _omnibus_change_detection(sharded, alpha=alpha, ml=None, n=n)
+    result = _omnibus_change_detection(sharded, alpha=alpha, ml=None,
+                                       n=n)
+    if pad_y or pad_x:
+        result = result.isel(y=slice(0, ny), x=slice(0, nx))
+    return result

@@ -134,9 +134,9 @@ def shard_apply(fn, arr, mesh, sharded_axes, mode='symmetric', cval=0.0,
     pads = [(0, 0)] * ndim
     global_trim = [None] * ndim
     padded = jnp.asarray(arr)
-    np_mode = {'symmetric': 'symmetric', 'reflect': 'reflect',
-               'edge': 'edge', 'constant': 'constant',
-               'wrap': 'wrap'}[mode]
+    if mode not in ('symmetric', 'reflect', 'edge', 'constant', 'wrap'):
+        raise ValueError('unsupported boundary mode %r' % mode)
+    np_mode = mode
     for axis_name, (axis, halo) in sharded_axes.items():
         n_shards = mesh.shape[axis_name]
         size = arr.shape[axis]

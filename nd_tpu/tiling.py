@@ -324,12 +324,15 @@ def auto_merge(datasets, buffer=True, chunks={}, meta_variables=[],
     merged.attrs.update(_get_common_attrs(datasets))
 
     for meta in meta_variables:
-        vals = np.asarray(merged[meta].values)
+        mvar = merged._variables[meta]
+        vals = np.asarray(mvar.values)
         if not np.issubdtype(vals.dtype, np.number):
             import pandas as pd
             codes, legend = pd.factorize(vals.ravel())
+            # keep the variable's own dims — rebuilding as ('time',)
+            # fabricated a time dimension on datasets without one
             merged._variables[meta] = Variable(
-                ('time',), codes.astype(int),
+                mvar.dims, codes.astype(int).reshape(vals.shape),
                 {'legend': tuple((i, v)
                                  for i, v in enumerate(legend))})
     return merged

@@ -218,10 +218,16 @@ def xr_split(ds, dim, chunks, buffer=0):
     max_chunks = max(1, n // (buffer + 1)) if buffer > 0 \
         else max(1, min(chunks, n))
     chunks = max(1, min(chunks, max_chunks))
-    chunksize = int(np.ceil(n / chunks))
+    # balanced cores (np.array_split sizing): chunk sizes differ by at
+    # most one and are never empty — ceil-sized chunks could overshoot
+    # the array, leaving clipped/empty tails whose buffer trims in
+    # xr_merge silently removed real data
+    base, extra = divmod(n, chunks)
+    sizes = [base + 1 if i < extra else base for i in range(chunks)]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
     for i in range(chunks):
-        low = max(i * chunksize - buffer, 0)
-        high = min((i + 1) * chunksize + buffer, n)
+        low = int(max(starts[i] - buffer, 0))
+        high = int(min(starts[i + 1] + buffer, n))
         yield ds.isel(**{dim: slice(low, high)})
 
 

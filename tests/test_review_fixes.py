@@ -215,3 +215,72 @@ def test_dbf_logical_unset_is_false(tmp_path):
     records = _read_dbf(path)
     assert [r['FLAG'] for r in records] == [True, False, False, False,
                                             True]
+
+
+# -- second review round: split/merge, sharded paths, auto_merge -----------------
+
+def test_xr_split_merge_awkward_sizes():
+    from nd_tpu.utils import xr_split, xr_merge
+    for n in (5, 7, 11, 13, 24):
+        for chunks in (2, 3, 5, 8):
+            for buf in (0, 1, 2):
+                ds = Dataset({'a': (('y',), np.arange(float(n)))})
+                parts = list(xr_split(ds, 'y', chunks, buf))
+                assert all(p.sizes['y'] > 0 for p in parts)
+                assert xr_merge(parts, 'y', buf).equals(ds)
+
+
+def test_parallel_filter_awkward_shape():
+    from nd_tpu.filters import BoxcarFilter
+    from nd_tpu.testing import generate_test_dataset
+    ds = generate_test_dataset(dims={'y': 11, 'x': 15, 'time': 3})
+    f = BoxcarFilter(w=3)
+    a = f.apply(ds, njobs=1)
+    b = f.apply(ds, njobs=6)
+    assert dict(b.sizes) == dict(a.sizes)
+    for v in a.data_vars:
+        np.testing.assert_allclose(np.asarray(a[v].values),
+                                   np.asarray(b[v].values))
+
+
+def test_apply_sharded_dataarray_joint_filter():
+    from nd_tpu.filters import NLMeansFilter
+    from nd_tpu.parallel import apply_sharded
+    rng = np.random.RandomState(0)
+    da = DataArray(rng.rand(16, 24, 3), dims=('y', 'x', 'time'),
+                   name='v')
+    algo = NLMeansFilter(dims=('y', 'x'), r=1, f=1, sigma=0.5, h=0.3)
+    serial = algo.apply(da)
+    sharded = apply_sharded(algo, da)
+    np.testing.assert_allclose(np.asarray(sharded.values),
+                               np.asarray(serial.values), rtol=1e-6)
+    da2 = DataArray(rng.rand(16, 24), dims=('y', 'x'), name='v')
+    np.testing.assert_allclose(
+        np.asarray(apply_sharded(algo, da2).values),
+        np.asarray(algo.apply(da2).values), rtol=1e-6)
+
+
+def test_sharded_change_detection_non_divisible():
+    from nd_tpu.parallel import sharded_change_detection
+    from nd_tpu.change import _omnibus_change_detection
+    from nd_tpu.testing import generate_test_dataset
+    ds = generate_test_dataset(dims={'y': 13, 'x': 10, 'time': 5})
+    serial = _omnibus_change_detection(ds, alpha=0.5)
+    sharded = sharded_change_detection(ds, alpha=0.5)
+    assert sharded.shape == serial.shape
+    np.testing.assert_array_equal(np.asarray(sharded.values),
+                                  np.asarray(serial.values))
+
+
+def test_auto_merge_meta_without_time(tmp_path):
+    from nd_tpu.tiling import auto_merge
+    a = Dataset({'v': (('y', 'x'), np.zeros((2, 3)))},
+                coords={'y': [0, 1], 'x': [0, 1, 2]},
+                attrs={'sensor': 'S1A'})
+    b = Dataset({'v': (('y', 'x'), np.ones((2, 3)))},
+                coords={'y': [2, 3], 'x': [0, 1, 2]},
+                attrs={'sensor': 'S1A'})
+    merged = auto_merge([a, b], buffer=False, meta_variables=['sensor'])
+    assert 'time' not in merged.sizes
+    assert merged._variables['sensor'].dims == ()
+    assert merged._variables['sensor'].attrs['legend'] == ((0, 'S1A'),)
