@@ -288,8 +288,11 @@ class JaxClassifier:
         import jax
         logits = self._forward(params, X)
         logp = jax.nn.log_softmax(logits)
-        return -jnp.mean(jnp.take_along_axis(
-            logp, y[:, None].astype(jnp.int32), axis=1))
+        # one-hot masked reduction instead of take_along_axis: XLA
+        # lowers per-row gathers serially on TPU (see CLAUDE.md)
+        onehot = jax.nn.one_hot(y.astype(jnp.int32), logp.shape[-1],
+                                dtype=logp.dtype)
+        return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
 
     def train_step(self, params, opt_state, X, y, optimizer):
         """One jittable optimizer step (used by the multi-chip dryrun)."""

@@ -87,6 +87,16 @@ _NUMERIC_KEYS = ('lat_0', 'lon_0', 'lat_1', 'lat_2', 'lat_ts', 'k', 'k_0',
                  'x_0', 'y_0', 'zone', 'a', 'b', 'rf')
 
 
+def _lookup_ellps(name):
+    """Named-ellipsoid lookup with a proper error (not a KeyError)."""
+    try:
+        return ELLIPSOIDS[name]
+    except KeyError:
+        raise ValueError(
+            'unknown ellipsoid %r; supported: %s (or pass +a/+b/+rf)'
+            % (name, ', '.join(sorted(ELLIPSOIDS))))
+
+
 class CRS:
     """A coordinate reference system.
 
@@ -205,11 +215,15 @@ class CRS:
 
     @classmethod
     def from_wkt(cls, wkt):
+        """Parse WKT1 (PROJCS/GEOGCS) or WKT2 (PROJCRS/GEOGCRS) text."""
         def _find_all(pattern):
             return re.findall(pattern, wkt, flags=re.IGNORECASE)
 
         params = {}
         proj_m = _find_all(r'PROJECTION\[\"([^\"]+)\"')
+        if not proj_m:
+            # WKT2 spells the projection as CONVERSION > METHOD["..."]
+            proj_m = _find_all(r'METHOD\[\"([^\"]+)\"')
         spheroid = _find_all(
             r'SPHEROID\[\"([^\"]+)\",\s*([0-9.eE+-]+),\s*([0-9.eE+-]+)')
         if not spheroid:
@@ -217,7 +231,16 @@ class CRS:
                 r'ELLIPSOID\[\"([^\"]+)\",\s*([0-9.eE+-]+),'
                 r'\s*([0-9.eE+-]+)')
         towgs = _find_all(r'TOWGS84\[([^\]]+)\]')
-        authority = _find_all(r'AUTHORITY\[\"EPSG\",\s*\"?(\d+)\"?\]')
+        # the CRS's own EPSG code is the AUTHORITY/ID node attached to
+        # the ROOT element (bracket depth 1) — inner nodes carry codes
+        # for units (9001), datums, axes, ...
+        authority = []
+        for m in re.finditer(
+                r'(?:AUTHORITY|ID)\[\"EPSG\",\s*\"?(\d+)\"?\]', wkt,
+                flags=re.IGNORECASE):
+            head = wkt[:m.start()]
+            if head.count('[') - head.count(']') == 1:
+                authority.append(m.group(1))
 
         if spheroid:
             name, a, rf = spheroid[0]
@@ -235,7 +258,8 @@ class CRS:
                 params['a'] = a
                 if rf:
                     params['rf'] = rf
-        gcs_names = _find_all(r'GEOGCS\[\"([^\"]+)\"')
+        gcs_names = _find_all(r'(?:GEOGCS|GEOGCRS|BASEGEOGCRS)'
+                              r'\[\"([^\"]+)\"')
         if gcs_names:
             n = gcs_names[0].lower().replace(' ', '')
             if 'osgb' in n:
@@ -251,25 +275,36 @@ class CRS:
             params['towgs84'] = tuple(vals)
 
         if proj_m:
-            pname = proj_m[0].strip().lower()
+            # normalize WKT1 ("Transverse_Mercator") and WKT2
+            # ("Transverse Mercator", "Polar Stereographic (variant B)")
+            # method names to one lookup form
+            pname = re.sub(r'\s*\(variant [a-c]\)', '',
+                           proj_m[0].strip().lower()).replace(' ', '_')
             proj = _WKT_NAME_TO_PROJ.get(pname)
             if proj is None:
                 raise NotImplementedError(
                     'WKT projection %r is not supported' % proj_m[0])
             params['proj'] = proj
+            # value may be followed by ANGLEUNIT/LENGTHUNIT/ID in WKT2,
+            # so don't require an immediate closing bracket
             for pk, pv in _find_all(
-                    r'PARAMETER\[\"([^\"]+)\",\s*([0-9.eE+-]+)\]'):
-                pk = pk.strip().lower()
+                    r'PARAMETER\[\"([^\"]+)\",\s*([0-9.eE+-]+)'):
+                pk = pk.strip().lower().replace(' ', '_')
                 pv = float(pv)
                 key = {
                     'central_meridian': 'lon_0',
                     'longitude_of_center': 'lon_0',
+                    'longitude_of_natural_origin': 'lon_0',
+                    'longitude_of_origin': 'lon_0',
                     'latitude_of_origin': 'lat_0',
                     'latitude_of_center': 'lat_0',
+                    'latitude_of_natural_origin': 'lat_0',
                     'scale_factor': 'k',
+                    'scale_factor_at_natural_origin': 'k',
                     'false_easting': 'x_0',
                     'false_northing': 'y_0',
                     'standard_parallel_1': 'lat_ts',
+                    'latitude_of_standard_parallel': 'lat_ts',
                 }.get(pk)
                 if key:
                     params[key] = pv
@@ -298,7 +333,7 @@ class CRS:
             return Ellipsoid('user', self._params['a'],
                              rf=self._params.get('rf'),
                              b=self._params.get('b'))
-        return ELLIPSOIDS[self._params.get('ellps', 'WGS84')]
+        return _lookup_ellps(self._params.get('ellps', 'WGS84'))
 
     @property
     def datum_shift(self):
@@ -363,6 +398,7 @@ class CRS:
         par = []
         for wk, pk in [('latitude_of_origin', 'lat_0'),
                        ('central_meridian', 'lon_0'),
+                       ('standard_parallel_1', 'lat_ts'),
                        ('scale_factor', 'k'),
                        ('false_easting', 'x_0'),
                        ('false_northing', 'y_0')]:
@@ -409,7 +445,7 @@ class CRS:
             for k in ('lat_0', 'lon_0', 'x_0', 'y_0'):
                 out[k] = round(float(p.get(k, 0.0)), 9)
             out['k'] = round(float(p.get('k', p.get('k_0', 1.0))), 12)
-        ell = ELLIPSOIDS[p['ellps']] if 'ellps' in p else (
+        ell = _lookup_ellps(p['ellps']) if 'ellps' in p else (
             Ellipsoid('user', p['a'], rf=p.get('rf'), b=p.get('b'))
             if 'a' in p else ELLIPSOIDS['WGS84'])
         out['a'] = round(ell.a, 6)

@@ -66,6 +66,14 @@ ELLIPSOIDS = {
     'clrk66': Ellipsoid('clrk66', 6378206.4, b=6356583.8),
     'sphere': Ellipsoid('sphere', 6370997.0, rf=0),
     'bessel': Ellipsoid('bessel', 6377397.155, rf=299.1528128),
+    'krass': Ellipsoid('krass', 6378245.0, rf=298.3),
+    'GRS67': Ellipsoid('GRS67', 6378160.0, rf=298.247167427),
+    'aust_SA': Ellipsoid('aust_SA', 6378160.0, rf=298.25),
+    'clrk80': Ellipsoid('clrk80', 6378249.145, rf=293.4663),
+    'clrk80ign': Ellipsoid('clrk80ign', 6378249.2, rf=293.4660212936),
+    'evrst30': Ellipsoid('evrst30', 6377276.345, rf=300.8017),
+    'WGS72': Ellipsoid('WGS72', 6378135.0, rf=298.26),
+    'helmert': Ellipsoid('helmert', 6378200.0, rf=298.3),
 }
 
 # 7-parameter Helmert shifts to WGS84: (dx, dy, dz, rx, ry, rz, s)

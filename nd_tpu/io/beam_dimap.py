@@ -107,9 +107,12 @@ def open_beam_dimap(path, read_data=True, as_complex=True):
             meta['pixel_width'] = abs(aff.e)
             rows = np.arange(meta['nrows'])
             cols = np.arange(meta['ncols'])
-            # (x, y) = aff * (col, row) with b = d = 0:
-            lon = aff.a * cols + aff.c
-            lat = aff.e * rows + aff.f
+            # In the reference's reordered-GDAL frame (io.py:404-407)
+            # (a, c) are the LATITUDE scale/offset applied to row
+            # indices and (e, f) the LONGITUDE ones applied to columns:
+            # lat = (aff * (rows, 0))[0], lon = (aff * (0, cols))[1].
+            lat = aff.a * rows + aff.c
+            lon = aff.e * cols + aff.f
             coords = {'lat': ('lat', lat), 'lon': ('lon', lon)}
         # else: leave pixel coordinates (y, x)
 

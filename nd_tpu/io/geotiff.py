@@ -217,6 +217,11 @@ class TiffFile:
         out = np.empty((nbands, height, width), dtype=dtype.newbyteorder(
             '='))
 
+        if predictor not in (1, 2):
+            # 3 = floating-point byte shuffling; decoding it as plain
+            # data would be silent corruption
+            raise IOError('unsupported TIFF predictor %d' % predictor)
+
         def _apply_predictor(arr):
             # arr is (rows, width, samples); predictor 2 stores horizontal
             # differences per sample along the row (TIFF 6.0 §14)
@@ -296,6 +301,17 @@ class TiffFile:
                 return CRS.from_epsg(int(code))
             except ValueError:
                 return None
+        # user-defined (32767): try the citation ascii (proj4 or WKT)
+        citation = self.tags.get(34737)
+        if citation:
+            for part in str(citation).split('|'):
+                part = part.strip()
+                if not part:
+                    continue
+                try:
+                    return CRS.from_string(part)
+                except Exception:
+                    continue
         return None
 
 
@@ -401,15 +417,27 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
         code = crs.to_epsg()
         keys = [(1024, 0, 1, 2 if crs.is_geographic else 1),
                 (1025, 0, 1, 1)]
+        ascii_params = None
         if code is not None:
             if crs.is_geographic:
                 keys.append((2048, 0, 1, code))
             else:
                 keys.append((3072, 0, 1, code))
+        else:
+            # no EPSG match: user-defined CRS — persist the full proj4
+            # string in the citation so the round-trip keeps the CRS
+            # instead of silently dropping it
+            ascii_params = crs.to_proj4() + '|'
+            ckey = 2049 if crs.is_geographic else 3073  # citation key
+            keys.append((2048 if crs.is_geographic else 3072,
+                         0, 1, 32767))
+            keys.append((ckey, 34737, len(ascii_params), 0))
         gkd = [1, 1, 0, len(keys)]
         for k in keys:
             gkd.extend(k)
         add(34735, 3, gkd, 'H')
+        if ascii_params is not None:
+            add(34737, 2, list(ascii_params.encode('latin-1')), 'B')
 
     if nodata is not None:
         add_ascii(42113, repr(float(nodata)))

@@ -174,17 +174,29 @@ def open_netcdf_file(path, decode_cf=True):
                         attrs.pop('units', None)
                         attrs.pop('calendar', None)
                         fill = scale = offset = None
+                # CF order: mask the RAW fill value first, then scale —
+                # scaled data never equals the raw sentinel, and packed
+                # integers with a fill must be masked even without a
+                # scale factor
+                mask = None
+                if fill is not None:
+                    fv = np.asarray(fill).ravel()
+                    if fv.size and not (np.issubdtype(fv.dtype,
+                                                      np.floating)
+                                        and np.isnan(fv[0])):
+                        mask = data == fv[0]
+                        if not mask.any():
+                            mask = None
                 if scale is not None or offset is not None:
                     data = data.astype('float64')
                     if scale is not None:
                         data = data * scale
                     if offset is not None:
                         data = data + offset
-                if fill is not None and np.issubdtype(
-                        data.dtype, np.floating):
-                    fv = np.asarray(fill).ravel()
-                    if fv.size and not np.isnan(fv[0]):
-                        data = np.where(data == fv[0], np.nan, data)
+                if mask is not None:
+                    if not np.issubdtype(data.dtype, np.floating):
+                        data = data.astype('float64')
+                    data = np.where(mask, np.nan, data)
                 if attrs.get('dtype') == 'bool':
                     data = data.astype(bool)
                     attrs.pop('dtype')

@@ -101,7 +101,11 @@ def _read_dbf(path):
     for _ in range(n_records):
         rec = data[off:off + record_size]
         off += record_size
-        if rec[:1] == b'*':  # deleted
+        if rec[:1] == b'*':
+            # soft-deleted: placeholder keeps alignment with the .shp
+            # geometry list (skipping would misattribute every
+            # subsequent feature)
+            records.append(None)
             continue
         pos = 1
         row = {}

@@ -71,7 +71,7 @@ def read_file(path, clip=None):
     rows = []
     kept_geoms = []
     for geom, rec in zip(geoms, records):
-        if geom is None:
+        if geom is None or rec is None:   # rec None = deleted DBF row
             continue
         if clip is not None and not geom.intersects(clip):
             continue

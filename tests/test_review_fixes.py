@@ -284,3 +284,181 @@ def test_auto_merge_meta_without_time(tmp_path):
     assert 'time' not in merged.sizes
     assert merged._variables['sensor'].dims == ()
     assert merged._variables['sensor'].attrs['legend'] == ((0, 'S1A'),)
+
+
+# -- third review round: io/crs/vector fixes ------------------------------------
+
+def test_dimap_affine_latlon_orientation(tmp_path):
+    # reference frame (io.py:404-407): lat = a*rows + c, lon = e*cols + f
+    from nd_tpu.io.beam_dimap import open_beam_dimap
+    data_dir = tmp_path / 'prod.data'
+    data_dir.mkdir()
+    dim = tmp_path / 'prod.dim'
+    # i2m column-major (a, d, b, e, c, f) with the reference's reorder
+    # transf[::-1].reshape(3,2).T -> gdal order; pick a north-up case
+    # whose lat/lon ranges are unambiguous: lat0=50 step -0.0005,
+    # lon0=10 step 0.001
+    i2m = '0.001,0.0,0.0,-0.0005,10.0,50.0'
+    transf = np.array([float(v) for v in i2m.split(',')])
+    gdal = transf[::-1].reshape(3, 2).T.flatten()
+    from nd_tpu.crs import Affine
+    aff = Affine.from_gdal(*gdal)
+    lat = aff.a * np.arange(3) + aff.c
+    lon = aff.e * np.arange(4) + aff.f
+    assert 49 < lat.max() <= 50.01 and lat.min() > 49, lat
+    assert 9.9 < lon.min() < lon.max() < 10.1, lon
+    dim.write_text("""<?xml version="1.0"?>
+<Dimap_Document>
+  <Raster_Dimensions><NCOLS>4</NCOLS><NROWS>3</NROWS>
+    <NBANDS>0</NBANDS></Raster_Dimensions>
+  <Coordinate_Reference_System><WKT>GEOGCS["WGS 84",DATUM["WGS_1984",
+    SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],
+    UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]</WKT>
+  </Coordinate_Reference_System>
+  <Geoposition><IMAGE_TO_MODEL_TRANSFORM>%s</IMAGE_TO_MODEL_TRANSFORM>
+  </Geoposition>
+</Dimap_Document>""" % i2m)
+    ds = open_beam_dimap(str(dim))
+    got_lat = np.asarray(ds.coords['lat'].values)
+    got_lon = np.asarray(ds.coords['lon'].values)
+    assert got_lat.min() > 45 and got_lat.max() <= 50.01, got_lat
+    assert 9 < got_lon.min() and got_lon.max() < 11, got_lon
+
+
+def test_cf_fill_masked_before_scaling(tmp_path):
+    import h5py
+    path = str(tmp_path / 'packed.nc')
+    with h5py.File(path, 'w') as f:
+        d = f.create_dataset('v', data=np.array([100, -9999, 200],
+                                                np.int16))
+        d.attrs['scale_factor'] = 0.01
+        d.attrs['_FillValue'] = np.int16(-9999)
+        d.make_scale('v')   # 1-d, no dims needed
+    from nd_tpu.io import open_netcdf
+    ds = open_netcdf(path)
+    v = np.asarray(ds['v'].values) if 'v' in ds.data_vars \
+        else np.asarray(ds.coords['v'].values)
+    assert v[0] == pytest.approx(1.0)
+    assert np.isnan(v[1])
+    assert v[2] == pytest.approx(2.0)
+
+
+def test_cf_int_fill_without_scale(tmp_path):
+    import h5py
+    path = str(tmp_path / 'intfill.nc')
+    with h5py.File(path, 'w') as f:
+        d = f.create_dataset('v', data=np.array([1, -9999, 3], np.int32))
+        d.attrs['_FillValue'] = np.int32(-9999)
+        d.make_scale('v')
+    from nd_tpu.io import open_netcdf
+    ds = open_netcdf(path)
+    v = np.asarray(ds['v'].values) if 'v' in ds.data_vars \
+        else np.asarray(ds.coords['v'].values)
+    assert np.isnan(v[1]) and v[0] == 1 and v[2] == 3
+
+
+WKT2_UTM33 = '''PROJCRS["WGS 84 / UTM zone 33N",
+  BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",
+    ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],
+    PRIMEM["Greenwich",0]],
+  CONVERSION["UTM zone 33N",METHOD["Transverse Mercator",ID["EPSG",9807]],
+    PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],
+    PARAMETER["Longitude of natural origin",15,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],
+    PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1],ID["EPSG",8805]],
+    PARAMETER["False easting",500000,LENGTHUNIT["metre",1],ID["EPSG",8806]],
+    PARAMETER["False northing",0,LENGTHUNIT["metre",1],ID["EPSG",8807]]],
+  CS[Cartesian,2],
+  AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],
+  AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],
+  ID["EPSG",32633]]'''
+
+
+def test_wkt2_projcrs_parses():
+    from nd_tpu.crs import CRS
+    crs = CRS.from_string(WKT2_UTM33)
+    assert crs.is_projected
+    assert crs.params['proj'] == 'tmerc'
+    assert crs.params['lon_0'] == 15
+    assert crs.params['k'] == pytest.approx(0.9996)
+    assert crs.params['x_0'] == 500000
+    assert crs.to_epsg() == 32633
+    ref = CRS.from_epsg(32633)
+    assert crs == ref
+
+
+def test_wkt1_inner_authority_not_taken():
+    from nd_tpu.crs import CRS
+    wkt = ('PROJCS["custom",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+           'AUTHORITY["EPSG","4326"]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["central_meridian",-2],'
+           'PARAMETER["latitude_of_origin",49],'
+           'UNIT["metre",1,AUTHORITY["EPSG","9001"]]]')
+    crs = CRS.from_wkt(wkt)
+    assert crs.to_epsg() is None     # no root authority: no EPSG
+
+
+def test_polar_stereo_wkt_roundtrip_keeps_lat_ts():
+    from nd_tpu.crs import CRS
+    src = CRS.from_epsg(3413)
+    back = CRS.from_wkt(src.to_wkt())
+    assert back.params.get('lat_ts') == src.params.get('lat_ts')
+    assert back == src
+
+
+def test_unknown_ellipsoid_clear_error_and_krass():
+    from nd_tpu.crs import CRS
+    crs = CRS.from_proj4('+proj=longlat +ellps=krass')
+    assert crs.ellipsoid.a == pytest.approx(6378245.0)
+    with pytest.raises(ValueError, match='ellipsoid'):
+        CRS.from_proj4('+proj=longlat +ellps=nosuch')
+
+
+def test_geotiff_custom_crs_roundtrip(tmp_path):
+    from nd_tpu.io.geotiff import write_geotiff, TiffFile
+    from nd_tpu.crs import CRS, Affine
+    crs = CRS.from_proj4(
+        '+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 '
+        '+x_0=400000 +y_0=-100000 +ellps=airy')
+    path = str(tmp_path / 'custom.tif')
+    write_geotiff(path, np.zeros((4, 5), np.float32),
+                  transform=Affine(10, 0, 0, 0, -10, 100), crs=crs)
+    back = TiffFile(path).crs
+    assert back is not None and back == crs
+
+
+def test_geotiff_predictor3_rejected(tmp_path):
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    path = str(tmp_path / 'p3.tif')
+    _write_predictor2_tiff(path, img)
+    # patch the predictor tag value from 2 to 3 in place
+    raw = bytearray(open(path, 'rb').read())
+    idx = raw.find(struct.pack('<HHII', 317, 3, 1, 2))
+    raw[idx:idx + 12] = struct.pack('<HHII', 317, 3, 1, 3)
+    open(path, 'wb').write(bytes(raw))
+    with pytest.raises(IOError, match='predictor'):
+        TiffFile(path).read()
+
+
+def test_dbf_deleted_record_keeps_alignment(tmp_path):
+    from nd_tpu.vector.shapefile import _read_dbf
+    path = str(tmp_path / 'del.dbf')
+    nrec = 3
+    header_len = 32 + 32 + 1
+    record_len = 1 + 1
+    with open(path, 'wb') as fh:
+        fh.write(struct.pack('<B3BIHH20x', 3, 20, 1, 1, nrec,
+                             header_len, record_len))
+        fh.write(struct.pack('<11sc4xBB14x', b'FLAG' + b'\x00' * 7,
+                             b'L', 1, 0))
+        fh.write(b'\r')
+        fh.write(b' T')          # live
+        fh.write(b'*F')          # deleted
+        fh.write(b' F')          # live
+        fh.write(b'\x1a')
+    records = _read_dbf(path)
+    assert len(records) == 3
+    assert records[1] is None
+    assert records[0]['FLAG'] is True and records[2]['FLAG'] is False
