@@ -1170,7 +1170,10 @@ class Dataset(_NDOpsMixin):
                 ds._variables[k] = self._variables[k]
                 keep_dims |= set(self._variables[k].dims)
             for ck, cv in self._coords.items():
-                ds._coords[ck] = cv
+                # xarray drops coords over dims absent from the subset
+                # (scalar coords are kept)
+                if set(cv.dims).issubset(keep_dims):
+                    ds._coords[ck] = cv
             return ds
         if key in self._variables:
             var = self._variables[key]
@@ -1182,6 +1185,7 @@ class Dataset(_NDOpsMixin):
         raise KeyError(key)
 
     def __setitem__(self, key, value):
+        prev = self._variables.get(key)
         if isinstance(value, (DataArray, Variable, tuple)) and not \
                 isinstance(value, str):
             dims = (value.dims if not isinstance(value, tuple)
@@ -1227,7 +1231,12 @@ class Dataset(_NDOpsMixin):
                 sizes.setdefault(d, s)
         for d, s in zip(var.dims, var.shape):
             if sizes.get(d, s) != s:
-                del self._variables[key]
+                # restore the previous entry: a rejected assignment
+                # must leave the Dataset unchanged
+                if prev is not None:
+                    self._variables[key] = prev
+                else:
+                    del self._variables[key]
                 raise ValueError(
                     'variable %r conflicts on dim %r (%d != %d)'
                     % (key, d, s, sizes[d]))

@@ -150,8 +150,16 @@ class Filter(Algorithm):
                 da_filtered = da_ordered._replace(filtered)
                 result = expand_variables(da_filtered)
                 for v in result.data_vars:
+                    # to_array broadcast every variable to the union of
+                    # dims; restore the original order and append any
+                    # broadcast extras (the reference crashes here for
+                    # mixed-dim variables — we degrade gracefully)
+                    have = result._variables[v].dims
+                    order = (tuple(d for d in ds[v].dims if d in have)
+                             + tuple(d for d in have
+                                     if d not in ds[v].dims))
                     result._variables[v] = \
-                        result._variables[v].transpose(*ds[v].dims)
+                        result._variables[v].transpose(*order)
                 for v in other_variables:
                     result._variables[v] = ds._variables[v]
                 result.attrs.update(ds.attrs)
@@ -168,6 +176,15 @@ class Filter(Algorithm):
         result is also written into it.
         """
         return
+
+    def _parallel_dimension(self, ds):
+        """Split along the largest dimension not being filtered."""
+        extra_dims = list(set(ds.sizes) - set(self.dims))
+        if len(extra_dims) > 0:
+            return sorted(extra_dims, key=lambda d: ds.sizes[d],
+                          reverse=True)[0]
+        return sorted(ds.sizes, key=lambda d: ds.sizes[d],
+                      reverse=True)[0]
 
     def _finalize(self, result, output=None):
         if output is not None and isinstance(output, np.ndarray):
@@ -204,15 +221,6 @@ class ConvolutionFilter(Filter):
         self.dims = tuple(dims)
         self.kernel = np.asarray(kernel)
         self.kwargs = kwargs
-
-    def _parallel_dimension(self, ds):
-        """Split along the largest dimension not being filtered."""
-        extra_dims = list(set(ds.sizes) - set(self.dims))
-        if len(extra_dims) > 0:
-            return sorted(extra_dims, key=lambda d: ds.sizes[d],
-                          reverse=True)[0]
-        return sorted(ds.sizes, key=lambda d: ds.sizes[d],
-                      reverse=True)[0]
 
     def _buffer(self, dim):
         """Halo: half the kernel extent along the split dimension."""
@@ -293,14 +301,6 @@ class GaussianFilter(Filter):
         self.sigma = list(sigma)
         self.kwargs = kwargs
 
-    def _parallel_dimension(self, ds):
-        extra_dims = list(set(ds.sizes) - set(self.dims))
-        if len(extra_dims) > 0:
-            return sorted(extra_dims, key=lambda d: ds.sizes[d],
-                          reverse=True)[0]
-        return sorted(ds.sizes, key=lambda d: ds.sizes[d],
-                      reverse=True)[0]
-
     def _buffer(self, dim):
         """Halo: the truncated kernel radius (4 sigma by default)."""
         if dim not in self.dims:
@@ -366,14 +366,6 @@ class NLMeansFilter(Filter):
         self.sigma = sigma
         self.h = h
         self.n_eff = n_eff
-
-    def _parallel_dimension(self, ds):
-        extra_dims = list(set(ds.sizes) - set(self.dims))
-        if len(extra_dims) > 0:
-            return sorted(extra_dims, key=lambda d: ds.sizes[d],
-                          reverse=True)[0]
-        return sorted(ds.sizes, key=lambda d: ds.sizes[d],
-                      reverse=True)[0]
 
     def _buffer(self, dim):
         """Halo: r + f along split dimensions (filters.py:437-445)."""

@@ -396,10 +396,11 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=1e-3,
 
     if n_suspect:
         if values_host is None:
-            values_host = np.asarray(values_dev)        # fallback d2h
+            # pull the ORIGINAL (possibly f64) values, not the f32
+            # kernel copy — the patch must be exact in input precision
+            values_host = np.asarray(values)
         ys, xs = np.nonzero(suspect)
-        series = np.asarray(values_host, np.float32)[ys, xs] \
-            .astype(np.float64)                         # (m, k, 4)
+        series = np.asarray(values_host)[ys, xs].astype(np.float64)
         try:
             from .._native import change_detection_native
             patched = change_detection_native(

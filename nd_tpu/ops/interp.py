@@ -52,9 +52,17 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
         ri = jnp.clip(ri, 0, H - 1)
         ci = jnp.clip(ci, 0, W - 1)
         out = flat[:, ri, ci]
-        fill = jnp.asarray(cval, out.dtype) \
-            if not jnp.issubdtype(out.dtype, jnp.floating) \
-            or not np.isnan(cval) else jnp.asarray(jnp.nan, out.dtype)
+        if jnp.issubdtype(out.dtype, jnp.floating) or \
+                jnp.issubdtype(out.dtype, jnp.complexfloating):
+            fill = jnp.asarray(cval, out.dtype)          # NaN is fine
+        else:
+            # integer rasters can't hold NaN; use 0 as the nodata
+            # sentinel (the reference's int-nodata convention)
+            try:
+                is_nan = bool(np.isnan(cval))
+            except (TypeError, ValueError):
+                is_nan = False
+            fill = jnp.asarray(0 if is_nan else cval, out.dtype)
         out = jnp.where(valid[None, :], out, fill)
     elif method == 'bilinear':
         # tolerate float rounding at the raster boundary (identity

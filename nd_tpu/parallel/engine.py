@@ -140,8 +140,12 @@ def apply_sharded(algo, ds, mesh=None):
     filtered = _run(da.data, da.dims)
     result = expand_variables(da._replace(filtered))
     for v in result.data_vars:
-        result._variables[v] = result._variables[v].transpose(
-            *ds[v].dims)
+        # original dim order first, broadcast extras appended (same
+        # graceful handling as Filter.apply)
+        have = result._variables[v].dims
+        order = (tuple(d for d in ds[v].dims if d in have)
+                 + tuple(d for d in have if d not in ds[v].dims))
+        result._variables[v] = result._variables[v].transpose(*order)
     for v in other:
         result._variables[v] = ds._variables[v]
     result.attrs.update(ds.attrs)

@@ -498,6 +498,16 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
 
     resampling = kwargs.get('resampling')
 
+    def _restore_dtype(out, out_dtype):
+        """Undo the gather-precision promotion: f16 back to f16, ints
+        back to ints (nearest-gathered ints are exact; 0 is the int
+        nodata, matching the reference's dtype dispatch)."""
+        if out_dtype == jnp.float16:
+            return out.astype(jnp.float16)
+        if jnp.issubdtype(out_dtype, jnp.integer):
+            return jnp.rint(out).astype(out_dtype)
+        return out
+
     def _method_for_dtype(dtype, resampling):
         """Dtype-dispatch matching the reference (warp.py:724-732):
         nearest/0 for ints, bilinear/NaN for floats."""
@@ -533,8 +543,7 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                                          method, np.nan))
         else:
             out = _jitted_gather(values, rows, cols, method, nodata)
-        if out_dtype == jnp.float16:
-            out = out.astype(jnp.float16)
+        out = _restore_dtype(out, out_dtype)
         return out
 
     if isinstance(ds, Dataset):
@@ -622,8 +631,7 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                 else:
                     out = gathered[i]
                     i += 1
-                if out_dtype == jnp.float16:
-                    out = out.astype(jnp.float16)
+                out = _restore_dtype(out, out_dtype)
                 result[v] = (proj_dims, out)
                 result._variables[v] = \
                     result._variables[v].transpose(*orig_order)
@@ -894,7 +902,10 @@ class Coregistration(Algorithm):
 def _coregister(ds, reference, upsampling, order=None):
     ref_var = 'C11'
     ds_new = disassemble_complex(ds)
-    ref = jnp.asarray(ds_new.isel(time=reference)[ref_var].data)
+    # slices are transposed to ('y', 'x') explicitly: variables may be
+    # stored with any dim order and the buffers below are (time, y, x)
+    ref = jnp.asarray(
+        ds_new.isel(time=reference)[ref_var].transpose('y', 'x').data)
     datavars = get_vars_for_dims(ds_new, ['time', 'x', 'y'])
     k = ds_new.sizes['time']
 
@@ -905,12 +916,14 @@ def _coregister(ds, reference, upsampling, order=None):
             continue
         src = ds_new.isel(time=t)
         shift = phase_cross_correlation(
-            jnp.asarray(src[ref_var].data), ref,
+            jnp.asarray(src[ref_var].transpose('y', 'x').data), ref,
             upsample_factor=upsampling)
         shift = np.asarray(shift)
         translation = (shift[1], shift[0])
         for v in datavars:
-            shifted = translate(jnp.asarray(src[v].data), translation)
+            shifted = translate(
+                jnp.asarray(src[v].transpose('y', 'x').data),
+                translation)
             new_data[v][t] = np.asarray(shifted)
 
     for v in datavars:

@@ -462,3 +462,71 @@ def test_dbf_deleted_record_keeps_alignment(tmp_path):
     assert len(records) == 3
     assert records[1] is None
     assert records[0]['FLAG'] is True and records[2]['FLAG'] is False
+
+
+# -- fourth review round: compute-core fixes -----------------------------------
+
+def test_joint_filter_mixed_dim_variables():
+    flt = NLMeansFilter(dims=('y', 'x'), r=1, f=1, sigma=0.5, h=0.3)
+    rng = np.random.RandomState(0)
+    ds = Dataset({'C11': (('y', 'x', 'time'), rng.rand(8, 9, 2)),
+                  'dem': (('y', 'x'), rng.rand(8, 9))})
+    out = flt.apply(ds)    # reference crashes here; we degrade gracefully
+    assert out['C11'].dims == ('y', 'x', 'time')
+    assert set(out['dem'].dims) >= {'y', 'x'}
+
+
+def test_reproject_int_dtype_preserved():
+    import nd_tpu
+    from nd_tpu.testing import generate_test_dataset
+    ds = generate_test_dataset(dims={'y': 20, 'x': 25, 'time': 2})
+    ds['labels'] = (('y', 'x'),
+                    np.arange(20 * 25, dtype=np.int32).reshape(20, 25))
+    out = ds.nd.reproject(crs='epsg:3857')
+    assert out['labels'].dtype == np.int32
+    assert np.issubdtype(np.dtype(str(out['C11'].dtype)), np.floating)
+
+
+def test_map_coordinates_nearest_int_default_cval():
+    from nd_tpu.ops.interp import map_coordinates
+    vals = np.arange(12, dtype=np.int32).reshape(3, 4)
+    rows = np.array([0.0, 5.0])       # second is out of bounds
+    cols = np.array([1.0, 1.0])
+    out = np.asarray(map_coordinates(vals, rows, cols, method='nearest'))
+    assert out.tolist() == [1, 0]     # OOB filled with int nodata 0
+
+
+def test_setitem_failed_overwrite_restores_previous():
+    ds = Dataset()
+    ds['a'] = (('x',), np.arange(5.0))
+    ds['b'] = (('x',), np.zeros(5))
+    with pytest.raises(ValueError):
+        ds['a'] = (('x',), np.zeros(3))
+    assert 'a' in ds and ds['a'].values.tolist() == [0, 1, 2, 3, 4]
+
+
+def test_coregister_dim_order_invariance():
+    from nd_tpu.warp import _coregister
+    from nd_tpu.testing import generate_test_dataset
+    ds = generate_test_dataset(dims={'y': 32, 'x': 48, 'time': 3})
+    ref = _coregister(ds, reference=0, upsampling=10)
+    # same data with variables stored (time, x, y)
+    ds2 = ds.copy()
+    for v in list(ds2.data_vars):
+        ds2._variables[v] = ds2._variables[v].transpose('time', 'x', 'y')
+    out = _coregister(ds2, reference=0, upsampling=10)
+    for v in ref.data_vars:
+        np.testing.assert_allclose(
+            np.asarray(out[v].transpose(*ref[v].dims).values),
+            np.asarray(ref[v].values), rtol=1e-6)
+
+
+def test_getitem_list_drops_foreign_coords():
+    ds = Dataset({'a': (('y', 'x'), np.zeros((2, 3))),
+                  'b': (('time',), np.zeros(4))},
+                 coords={'y': [0, 1], 'x': [0, 1, 2],
+                         'time': np.arange(4)})
+    sub = ds[['a']]
+    assert 'time' not in sub.coords
+    assert 'time' not in sub.sizes
+    assert 'y' in sub.coords
