@@ -222,3 +222,43 @@ def sharded_change_detection(ds, alpha=0.01, ml=None, n=1, mesh=None):
     if pad_y or pad_x:
         result = result.isel(y=slice(0, ny), x=slice(0, nx))
     return result
+
+
+def sharded_reproject(ds, mesh=None, batch_dim='time', **kwargs):
+    """Reprojection data-parallel over the device mesh.
+
+    Warping is gather-based and needs arbitrary source pixels per
+    output pixel, so the pixel grid itself is not sharded; instead the
+    batch dimension (``time`` by default — the same axis the
+    reference's process pool splits, warp.py:948) is sharded across
+    all mesh devices and GSPMD partitions the batched gather. The
+    destination coordinate grid is replicated (it is shared by every
+    slice).
+
+    Equal to ``reproject(ds, **kwargs)``; batch sizes that don't
+    divide the device count use the largest divisor.
+    """
+    from ..warp import Reprojection
+
+    mesh = mesh if mesh is not None else get_mesh()
+    devices = np.asarray(mesh.devices).reshape(-1)
+    n = len(devices)
+
+    out = ds.copy(deep=False)
+    size = ds.sizes.get(batch_dim, 1)
+    count = min(n, size)
+    while size % count:
+        count -= 1
+    if count > 1:
+        bmesh = jax.sharding.Mesh(devices[:count], ('batch',))
+        for v, var in ds._variables.items():
+            if batch_dim not in var.dims:
+                continue
+            spec = P(*['batch' if d == batch_dim else None
+                       for d in var.dims])
+            out._variables[v] = Variable(
+                var.dims,
+                jax.device_put(jnp.asarray(var.data),
+                               NamedSharding(bmesh, spec)),
+                var.attrs)
+    return Reprojection(**kwargs).apply(out)

@@ -145,3 +145,18 @@ def test_distributed_helpers_single_process(mesh):
     local_arr = np.random.rand(32, 16).astype(np.float32)
     cube = dist.cube_from_process_tiles(local_arr, gmesh, (32, 16))
     np.testing.assert_allclose(np.asarray(cube), local_arr)
+
+
+def test_sharded_reproject_equals_serial():
+    from nd_tpu.parallel import sharded_reproject
+    from nd_tpu.warp import reproject
+    from nd_tpu.testing import generate_test_dataset
+    # time=6 on 8 devices: falls back to the largest divisor (6)
+    ds = generate_test_dataset(dims={'y': 24, 'x': 30, 'time': 6})
+    serial = reproject(ds, crs='epsg:3857')
+    sharded = sharded_reproject(ds, crs='epsg:3857')
+    assert dict(sharded.sizes) == dict(serial.sizes)
+    for v in serial.data_vars:
+        np.testing.assert_allclose(
+            np.asarray(sharded[v].values), np.asarray(serial[v].values),
+            equal_nan=True)
