@@ -16,8 +16,11 @@ from .. import utils
 from ..core import DataArray, Dataset
 from ..core.variable import Variable
 
+from .zarr import to_zarr, open_zarr  # noqa: E402  (re-export)
+
 __all__ = ['open_dataset', 'open_netcdf', 'open_beam_dimap',
            'open_rasterio', 'to_netcdf', 'to_geotiff',
+           'to_zarr', 'open_zarr',
            'assemble_complex', 'disassemble_complex', 'add_time']
 
 

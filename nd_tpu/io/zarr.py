@@ -1,0 +1,242 @@
+"""Zarr v2 store: chunked, parallel-friendly datacube storage.
+
+A from-scratch implementation of the Zarr v2 on-disk layout (directory
+of ``.zgroup``/``.zarray``/``.zattrs`` JSON plus chunk files named
+``"0.0.1"``), interoperable with ``zarr-python``/xarray: dimension
+names travel in the xarray ``_ARRAY_DIMENSIONS`` convention, the
+compressor is zlib (a standard numcodecs codec), and complex variables
+round-trip natively.
+
+This is a capability the reference lacks (its out-of-core store is
+NetCDF tiles, /root/reference/nd/tiling.py:18-106); chunked zarr fits
+the TPU framework's streaming-ingest pattern: each chunk is an
+independent read, so tile workers and multi-host loaders never
+contend on a single HDF5 file lock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+
+__all__ = ['to_zarr', 'open_zarr']
+
+_SEP = '.'
+
+
+def _json_default(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, tuple):
+        return list(v)
+    return str(v)
+
+
+def _coerce_attrs(attrs):
+    from ..crs import CRS, Affine
+    out = {}
+    for k, v in attrs.items():
+        if isinstance(v, CRS):
+            v = v.to_proj4()
+        elif isinstance(v, Affine):
+            v = list(v)
+        out[k] = v
+    return out
+
+
+def _dtype_str(dtype):
+    dtype = np.dtype(dtype)
+    if dtype.kind == 'U':
+        return dtype.str
+    if dtype == np.bool_:
+        return '|b1'
+    return dtype.newbyteorder('<').str
+
+
+def _write_array(dirpath, name, dims, data, attrs, chunks=None,
+                 compress=True):
+    data = np.asarray(data)
+    if data.dtype == object:
+        data = data.astype(str)
+    if data.dtype.kind == 'M':
+        # store datetimes as int64 ns since epoch with CF-ish metadata
+        attrs = dict(attrs)
+        attrs['_nd_tpu_datetime64'] = str(data.dtype)
+        data = data.astype('datetime64[ns]').astype('int64')
+    apath = os.path.join(dirpath, name)
+    os.makedirs(apath, exist_ok=True)
+    if chunks is None:
+        chunks = data.shape if data.ndim else (1,)
+    chunks = tuple(int(min(c, s)) if s else 1
+                   for c, s in zip(chunks, data.shape)) \
+        if data.ndim else (1,)
+    shape = data.shape if data.ndim else ()
+    meta = {
+        'zarr_format': 2,
+        'shape': list(shape),
+        'chunks': list(chunks if data.ndim else (1,)),
+        'dtype': _dtype_str(data.dtype),
+        'compressor': ({'id': 'zlib', 'level': 5} if compress else None),
+        'fill_value': None,
+        'order': 'C',
+        'filters': None,
+        'dimension_separator': _SEP,
+    }
+    with open(os.path.join(apath, '.zarray'), 'w') as fh:
+        json.dump(meta, fh, default=_json_default)
+    zattrs = dict(_coerce_attrs(attrs))
+    zattrs['_ARRAY_DIMENSIONS'] = list(dims)
+    with open(os.path.join(apath, '.zattrs'), 'w') as fh:
+        json.dump(zattrs, fh, default=_json_default)
+
+    # write chunks
+    if not data.ndim:
+        grid = [(0,)]
+    else:
+        counts = [int(np.ceil(s / c)) for s, c in zip(shape, chunks)]
+        grid = np.ndindex(*counts)
+    for idx in grid:
+        if data.ndim:
+            key = tuple(slice(i * c, min((i + 1) * c, s))
+                        for i, c, s in zip(idx, chunks, shape))
+            block = data[key]
+            # zarr chunks are always full-size; pad the edge blocks
+            if block.shape != tuple(chunks):
+                full = np.zeros(chunks, dtype=data.dtype)
+                full[tuple(slice(0, e) for e in block.shape)] = block
+                block = full
+        else:
+            block = data.reshape(1)
+        raw = np.ascontiguousarray(
+            block, dtype=block.dtype.newbyteorder('<')
+            if block.dtype.kind not in 'US' else block.dtype).tobytes()
+        if compress:
+            raw = zlib.compress(raw, 5)
+        cname = _SEP.join(str(i) for i in (idx if data.ndim else (0,)))
+        with open(os.path.join(apath, cname), 'wb') as fh:
+            fh.write(raw)
+
+
+def to_zarr(ds, path, chunks=None, compress=True):
+    """Write a Dataset (or DataArray) to a Zarr v2 directory store.
+
+    Parameters
+    ----------
+    ds : Dataset or DataArray
+    path : str
+        Target directory (created; existing arrays are overwritten).
+    chunks : dict, optional
+        Chunk length per dimension (default: one chunk per array).
+    compress : bool, optional
+        zlib-compress chunks (default True).
+    """
+    from ..core import DataArray
+    if isinstance(ds, DataArray):
+        ds = ds.to_dataset(name=ds.name or 'data')
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, '.zgroup'), 'w') as fh:
+        json.dump({'zarr_format': 2}, fh)
+    with open(os.path.join(path, '.zattrs'), 'w') as fh:
+        json.dump(_coerce_attrs(ds.attrs), fh, default=_json_default)
+
+    def _chunks_for(var):
+        if chunks is None:
+            return None
+        return tuple(int(chunks.get(d, s))
+                     for d, s in zip(var.dims, var.shape))
+
+    for name, var in list(ds._coords.items()) \
+            + list(ds._variables.items()):
+        _write_array(path, name, var.dims, var.values, var.attrs,
+                     chunks=_chunks_for(var), compress=compress)
+    return path
+
+
+def _read_array(apath):
+    with open(os.path.join(apath, '.zarray')) as fh:
+        meta = json.load(fh)
+    attrs = {}
+    zattrs_path = os.path.join(apath, '.zattrs')
+    if os.path.exists(zattrs_path):
+        with open(zattrs_path) as fh:
+            attrs = json.load(fh)
+    dims = attrs.pop('_ARRAY_DIMENSIONS', None)
+    shape = tuple(meta['shape'])
+    chunks = tuple(meta['chunks'])
+    dtype = np.dtype(meta['dtype'])
+    comp = meta.get('compressor')
+    sep = meta.get('dimension_separator', '.')
+    if comp is not None and comp.get('id') != 'zlib':
+        raise IOError('unsupported zarr compressor %r' % comp.get('id'))
+
+    if not shape:
+        cname = '0'
+        raw = open(os.path.join(apath, cname), 'rb').read()
+        if comp is not None:
+            raw = zlib.decompress(raw)
+        data = np.frombuffer(raw, dtype=dtype)[0]
+        return dims or (), np.asarray(data), attrs
+
+    counts = [int(np.ceil(s / c)) for s, c in zip(shape, chunks)]
+    padded = tuple(cnt * c for cnt, c in zip(counts, chunks))
+    data = np.zeros(padded, dtype=dtype)
+    for idx in np.ndindex(*counts):
+        cname = sep.join(str(i) for i in idx)
+        fpath = os.path.join(apath, cname)
+        if not os.path.exists(fpath) and sep == '.':
+            fpath = os.path.join(apath, '/'.join(str(i) for i in idx))
+        if not os.path.exists(fpath):
+            continue          # missing chunk -> fill (zeros)
+        raw = open(fpath, 'rb').read()
+        if comp is not None:
+            raw = zlib.decompress(raw)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        key = tuple(slice(i * c, (i + 1) * c)
+                    for i, c in zip(idx, chunks))
+        data[key] = block
+    data = data[tuple(slice(0, s) for s in shape)]
+    if attrs.pop('_nd_tpu_datetime64', None):
+        data = data.astype('int64').view('datetime64[ns]')
+    if dims is None:
+        dims = tuple('dim_%d' % i for i in range(len(shape)))
+    return tuple(dims), data, attrs
+
+
+def open_zarr(path):
+    """Open a Zarr v2 directory store written by :func:`to_zarr` (or by
+    xarray/zarr-python with the ``_ARRAY_DIMENSIONS`` convention)."""
+    from ..core import Dataset, Variable
+    ds = Dataset()
+    gattrs_path = os.path.join(path, '.zattrs')
+    if os.path.exists(gattrs_path):
+        with open(gattrs_path) as fh:
+            ds.attrs.update(json.load(fh))
+    arrays = {}
+    for name in sorted(os.listdir(path)):
+        apath = os.path.join(path, name)
+        if os.path.isdir(apath) and \
+                os.path.exists(os.path.join(apath, '.zarray')):
+            arrays[name] = _read_array(apath)
+    # coords = arrays named after their only dimension, plus anything
+    # listed in the xarray 'coordinates' attribute
+    coord_names = set()
+    for name, (dims, _, _) in arrays.items():
+        if dims == (name,):
+            coord_names.add(name)
+    extra = ds.attrs.pop('coordinates', None)
+    if extra:
+        coord_names.update(str(extra).split())
+    for name, (dims, data, attrs) in arrays.items():
+        if name in coord_names:
+            ds._coords[name] = Variable(dims, data, attrs)
+    for name, (dims, data, attrs) in arrays.items():
+        if name not in coord_names:
+            ds._variables[name] = Variable(dims, data, attrs)
+    return ds

@@ -1,0 +1,107 @@
+"""Zarr v2 store: roundtrips, chunking, interop conventions."""
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from nd_tpu.core import DataArray, Dataset
+from nd_tpu.io import open_zarr, to_zarr
+from nd_tpu.testing import generate_test_dataset
+
+
+def test_roundtrip_basic(tmp_path):
+    ds = generate_test_dataset(dims={'y': 10, 'x': 12, 'time': 3})
+    path = str(tmp_path / 'store.zarr')
+    to_zarr(ds, path)
+    back = open_zarr(path)
+    assert set(back.data_vars) == set(ds.data_vars)
+    for v in ds.data_vars:
+        np.testing.assert_array_equal(np.asarray(back[v].values),
+                                      np.asarray(ds[v].values))
+        assert back[v].dims == ds[v].dims
+    np.testing.assert_array_equal(back._coords['time'].values,
+                                  ds._coords['time'].values)
+    assert back.attrs['crs'] == ds.attrs['crs'] or \
+        'crs' in back.attrs
+
+
+def test_roundtrip_chunked(tmp_path):
+    ds = generate_test_dataset(dims={'y': 10, 'x': 12, 'time': 3})
+    path = str(tmp_path / 'chunked.zarr')
+    to_zarr(ds, path, chunks={'y': 4, 'x': 5})
+    # chunk grid exists on disk
+    files = os.listdir(os.path.join(path, 'C11'))
+    assert '0.0.0' in files and '2.2.0' in files
+    back = open_zarr(path)
+    for v in ds.data_vars:
+        np.testing.assert_array_equal(np.asarray(back[v].values),
+                                      np.asarray(ds[v].values))
+
+
+def test_complex_and_bool_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    ds = Dataset({
+        'c': (('y', 'x'), rng.rand(4, 5) + 1j * rng.rand(4, 5)),
+        'm': (('y', 'x'), rng.rand(4, 5) > 0.5),
+    }, coords={'y': np.arange(4), 'x': np.arange(5)})
+    path = str(tmp_path / 'cplx.zarr')
+    to_zarr(ds, path)
+    back = open_zarr(path)
+    np.testing.assert_array_equal(back['c'].values, ds['c'].values)
+    assert np.iscomplexobj(back['c'].values)
+    assert back['m'].dtype == np.bool_
+
+
+def test_datetime_coord_roundtrip(tmp_path):
+    times = np.array(['2020-01-01', '2020-02-01'],
+                     dtype='datetime64[ns]')
+    ds = Dataset({'v': (('time',), np.arange(2.0))},
+                 coords={'time': times})
+    path = str(tmp_path / 'dt.zarr')
+    to_zarr(ds, path)
+    back = open_zarr(path)
+    np.testing.assert_array_equal(back._coords['time'].values, times)
+
+
+def test_zarr_layout_is_standard(tmp_path):
+    """The on-disk layout must be plain Zarr v2 + xarray conventions."""
+    ds = Dataset({'v': (('y',), np.arange(6.0))},
+                 coords={'y': np.arange(6)})
+    path = str(tmp_path / 'std.zarr')
+    to_zarr(ds, path, chunks={'y': 4})
+    with open(os.path.join(path, '.zgroup')) as fh:
+        assert json.load(fh)['zarr_format'] == 2
+    with open(os.path.join(path, 'v', '.zarray')) as fh:
+        meta = json.load(fh)
+    assert meta['shape'] == [6] and meta['chunks'] == [4]
+    assert meta['compressor'] == {'id': 'zlib', 'level': 5}
+    with open(os.path.join(path, 'v', '.zattrs')) as fh:
+        assert json.load(fh)['_ARRAY_DIMENSIONS'] == ['y']
+    # decode a chunk by hand: independent readers need no library
+    raw = zlib.decompress(open(os.path.join(path, 'v', '0'), 'rb')
+                          .read())
+    np.testing.assert_array_equal(np.frombuffer(raw, '<f8'),
+                                  [0, 1, 2, 3])
+
+
+def test_uncompressed_store(tmp_path):
+    ds = Dataset({'v': (('y',), np.arange(4.0))})
+    path = str(tmp_path / 'raw.zarr')
+    to_zarr(ds, path, compress=False)
+    raw = open(os.path.join(path, 'v', '0'), 'rb').read()
+    np.testing.assert_array_equal(np.frombuffer(raw, '<f8'),
+                                  [0, 1, 2, 3])
+    back = open_zarr(path)
+    np.testing.assert_array_equal(back['v'].values, ds['v'].values)
+
+
+def test_dataarray_input(tmp_path):
+    da = DataArray(np.arange(6.0).reshape(2, 3), dims=('y', 'x'),
+                   name='v')
+    path = str(tmp_path / 'da.zarr')
+    to_zarr(da, path)
+    back = open_zarr(path)
+    np.testing.assert_array_equal(back['v'].values, da.values)
