@@ -56,13 +56,11 @@ def build_time_series(ds, k=6, change_at=3, seed=0):
         step.attrs.pop('start_date', None)
         steps.append(step)
     series = concat(steps, 'time')
-    series._coords['time'] = __import__(
-        'nd_tpu.core.variable', fromlist=['Variable']).Variable(
-        ('time',),
-        np.arange(np.datetime64('2020-01-01'),
-                  np.datetime64('2020-01-01') + np.timedelta64(k, 'D'),
-                  np.timedelta64(1, 'D')).astype('datetime64[ns]'))
-    return series
+    times = np.arange(
+        np.datetime64('2020-01-01'),
+        np.datetime64('2020-01-01') + np.timedelta64(k, 'D'),
+        np.timedelta64(1, 'D')).astype('datetime64[ns]')
+    return series.assign_coords(time=times)
 
 
 def main(outdir='/tmp/nd_tpu_example', subset=None):
@@ -110,4 +108,6 @@ def main(outdir='/tmp/nd_tpu_example', subset=None):
 
 
 if __name__ == '__main__':
-    main(*(sys.argv[1:] or []))
+    _args = sys.argv[1:]
+    main(*( [_args[0]] if _args else [] ),
+         subset=int(_args[1]) if len(_args) > 1 else None)

@@ -152,14 +152,14 @@ def _label_variable(dim, labels):
     return Variable((dim,), np.asarray(labels))
 
 
-_FREQ_ALIASES = {
-    'MS': 'M', 'QS': 'Q', 'AS': 'Y', 'YS': 'Y', 'A': 'Y',
-}
+# older offset aliases removed by pandas 3.0 -> their modern spelling
+_FREQ_MODERNIZE = {'M': 'ME', 'Q': 'QE', 'A': 'YE', 'Y': 'YE'}
 
 
 class Resample(GroupBy):
-    """Time-binned groupby: labels are bin-start timestamps and the
-    output keeps the time dimension's name (xarray semantics)."""
+    """Time-binned groupby with pandas bin edges and labels (matching
+    xarray: '1ME'/'1M' labels month ends, 'MS' month starts); the
+    output keeps the time dimension's name. Empty bins are skipped."""
 
     @classmethod
     def from_freq(cls, obj, dim, freq):
@@ -169,14 +169,23 @@ class Resample(GroupBy):
         values = obj._coords[dim].values
         if not np.issubdtype(values.dtype, np.datetime64):
             raise TypeError('resample requires a datetime64 coordinate')
-        # normalize pandas offset aliases to period frequencies
-        f = freq
-        head = f.lstrip('0123456789')
-        f = f[:len(f) - len(head)] + _FREQ_ALIASES.get(head, head)
         idx = pd.DatetimeIndex(values)
-        starts = idx.to_period(f).to_timestamp().values  # bin starts
-        labels, inverse = np.unique(starts, return_inverse=True)
-        indices = [np.nonzero(inverse == i)[0] for i in range(len(labels))]
+        s = pd.Series(np.arange(len(idx)), index=idx)
+        try:
+            grouped = s.resample(freq)
+            binned = list(grouped)
+        except ValueError:
+            head = freq.lstrip('0123456789')
+            alias = freq[:len(freq) - len(head)] \
+                + _FREQ_MODERNIZE.get(head, head)
+            binned = list(s.resample(alias))
+        labels = []
+        indices = []
+        for label, grp in binned:
+            if len(grp):
+                labels.append(np.datetime64(label, 'ns'))
+                indices.append(grp.values.astype(np.int64))
+        labels = np.asarray(labels, dtype='datetime64[ns]')
         order = np.concatenate(indices) if indices else np.empty(0, int)
         gb = cls(obj, dim, labels, indices, result_dim=dim,
                  restore_order=np.argsort(order, kind='stable'))

@@ -7,13 +7,15 @@ validates numerics and sharding semantics on virtual CPU devices
 
 import os
 
-os.environ.setdefault(
-    'XLA_FLAGS',
-    '--xla_force_host_platform_device_count=8')
-if '--xla_force_host_platform_device_count' not in \
-        os.environ.get('XLA_FLAGS', ''):
-    os.environ['XLA_FLAGS'] += \
-        ' --xla_force_host_platform_device_count=8'
+import re as _re
+
+# force EXACTLY 8 virtual devices: a pre-existing device-count flag
+# with another value would silently break every mesh-sharding test
+_flags = os.environ.get('XLA_FLAGS', '')
+_flags = _re.sub(r'--xla_force_host_platform_device_count=\d+', '',
+                 _flags).strip()
+os.environ['XLA_FLAGS'] = (
+    _flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax  # noqa: E402

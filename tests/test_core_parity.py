@@ -312,7 +312,12 @@ def test_resample_monthly():
     out = da.resample(time='1M').mean()
     assert out.values.tolist() == [2.0, 6.0]
     assert out.dims == ('time',)
-    starts = out._coords['time'].values.astype('datetime64[D]')
+    # pandas/xarray label convention: 'M'/'ME' labels month ENDS
+    ends = out._coords['time'].values.astype('datetime64[D]')
+    assert str(ends[0]) == '2020-01-31' and str(ends[1]) == '2020-02-29'
+    # ... and 'MS' labels month starts
+    starts = da.resample(time='MS').mean()._coords['time'] \
+        .values.astype('datetime64[D]')
     assert str(starts[0]) == '2020-01-01' and str(starts[1]) == '2020-02-01'
 
 

@@ -130,12 +130,8 @@ def test_reproject_snap_dataset():
     rows = np.arange(10)
     x, _ = transform * (cols, np.zeros_like(cols))
     _, yv = transform * (np.zeros_like(rows), rows)
-    ds._coords['x'] = __import__(
-        'nd_tpu.core.variable', fromlist=['Variable']).Variable(
-        ('x',), np.asarray(x))
-    ds._coords['y'] = __import__(
-        'nd_tpu.core.variable', fromlist=['Variable']).Variable(
-        ('y',), np.asarray(yv))
+    ds = ds.assign_coords(x=('x', np.asarray(x)),
+                          y=('y', np.asarray(yv)))
     out = warp.Reprojection(crs='epsg:3395').apply(ds)
     assert out.sizes['y'] > 0 and out.sizes['x'] > 0
 

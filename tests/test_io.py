@@ -109,9 +109,7 @@ def test_netcdf_bool_roundtrip(tmp_path):
 
 def test_netcdf_2d_coord_roundtrip(tmp_path):
     ds = Dataset(coords={'y': np.arange(4), 'x': np.arange(3)})
-    ds._coords['lat'] = __import__(
-        'nd_tpu.core.variable', fromlist=['Variable']).Variable(
-        ('y', 'x'), np.random.rand(4, 3))
+    ds = ds.assign_coords(lat=(('y', 'x'), np.random.rand(4, 3)))
     ds['v'] = (('y', 'x'), np.random.rand(4, 3))
     p = str(tmp_path / '2dcoord.nc')
     ndio.to_netcdf(ds, p)

@@ -25,7 +25,6 @@ def test_tile_and_merge(tmp_path, ds, chunks, buffer):
         * int(np.ceil(24 / chunks.get('x', 24)))
     assert len(files) == nx
     merged = auto_merge(str(tmp_path) + '/*.nc')
-    merged = merged.isel(time=slice(None))
     for v in ds.data_vars:
         np.testing.assert_allclose(
             merged[v].transpose(*ds[v].dims).values, ds[v].values,

@@ -24,8 +24,7 @@ def test_roundtrip_basic(tmp_path):
         assert back[v].dims == ds[v].dims
     np.testing.assert_array_equal(back._coords['time'].values,
                                   ds._coords['time'].values)
-    assert back.attrs['crs'] == ds.attrs['crs'] or \
-        'crs' in back.attrs
+    assert back.attrs['crs'] == ds.attrs['crs']
 
 
 def test_roundtrip_chunked(tmp_path):
