@@ -215,7 +215,9 @@ class Rolling:
     def _offsets(self):
         w = self._window
         if self._center:
-            before = (w - 1) // 2
+            # pandas/xarray convention: even windows put the extra
+            # element BEFORE the label
+            before = w // 2
         else:
             before = w - 1
         return before, w - 1 - before
