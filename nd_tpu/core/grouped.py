@@ -106,13 +106,12 @@ class GroupBy:
             raise ValueError('cannot map over zero groups')
         if self._dim in getattr(results[0], 'dims', ()):
             out = concat(results, dim=self._dim)
-            if self._restore_order is not None:
+            # restoring the original element order only makes sense
+            # when func preserved the group lengths; a shrinking or
+            # growing map keeps group-concatenation order (xarray-like)
+            if self._restore_order is not None and \
+                    out.sizes[self._dim] == len(self._restore_order):
                 out = out.isel({self._dim: self._restore_order})
-                # restore the original coordinate along the grouped dim
-                src = self._obj
-                for ck, cv in src._coords.items():
-                    if cv.dims == (self._dim,):
-                        out._coords[ck] = cv
             return out
         return self._stack_results(results)
 
@@ -240,19 +239,31 @@ class Rolling:
     def _construct_da(self, da, window_dim):
         from .variable import Variable, get_xp
         from .dataarray import DataArray
-        xp = get_xp(da.data)
         axis = da.dims.index(self._dim)
         n = da.shape[axis]
         w = self._window
         before, after = self._offsets()
-        fill, dtype = _nan_pad_value(da.dtype)
-        data = da.data.astype(dtype) if dtype != da.dtype else da.data
-        pad_width = [(0, 0)] * da.ndim
-        pad_width[axis] = (before, after)
-        if xp is np:
-            padded = np.pad(data, pad_width, mode='constant',
-                            constant_values=fill)
+        kind = np.dtype(str(da.dtype)).kind
+        if kind in 'mM':
+            # datetimes pad with NaT and keep their dtype (min/max/
+            # count work; mean/sum raise, like numpy)
+            xp = np
+            data = da.values
+            pad_shape_lo = list(data.shape)
+            pad_shape_lo[axis] = before
+            pad_shape_hi = list(data.shape)
+            pad_shape_hi[axis] = after
+            nat = np.full(1, 'NaT', dtype=data.dtype)
+            padded = np.concatenate(
+                [np.broadcast_to(nat, pad_shape_lo), data,
+                 np.broadcast_to(nat, pad_shape_hi)], axis=axis)
         else:
+            xp = get_xp(da.data)
+            fill, dtype = _nan_pad_value(da.dtype)
+            data = da.data.astype(dtype) if dtype != da.dtype \
+                else da.data
+            pad_width = [(0, 0)] * da.ndim
+            pad_width[axis] = (before, after)
             padded = xp.pad(data, pad_width, mode='constant',
                             constant_values=fill)
         # stack w shifted slices: window position j holds x[i - before + j]
@@ -281,9 +292,13 @@ class Rolling:
         win = self._construct_da(self._obj, '_rolling_window')
         counts = win.notnull().sum(dim='_rolling_window')
         if name == 'count':
-            return counts
+            # xarray masks counts below max(min_periods, 1) too
+            return counts.where(counts >= max(self._min_periods, 1))
         red = getattr(win, name)(dim='_rolling_window', **kwargs)
-        return red.where(counts >= self._min_periods)
+        kind = np.dtype(str(red.dtype)).kind
+        other = (np.asarray('NaT', dtype=str(red.dtype))
+                 if kind in 'mM' else np.nan)
+        return red.where(counts >= self._min_periods, other)
 
     def mean(self, **kw):
         return self._reduce('mean', **kw)

@@ -34,8 +34,6 @@ def _json_default(v):
         return float(v)
     if isinstance(v, np.ndarray):
         return v.tolist()
-    if isinstance(v, tuple):
-        return list(v)
     return str(v)
 
 
@@ -55,9 +53,23 @@ def _dtype_str(dtype):
     dtype = np.dtype(dtype)
     if dtype.kind == 'U':
         return dtype.str
-    if dtype == np.bool_:
-        return '|b1'
     return dtype.newbyteorder('<').str
+
+
+def _parse_fill(fill, dtype):
+    """Zarr fill_value JSON -> a numpy scalar of the array dtype."""
+    if fill is None:
+        return None
+    if isinstance(fill, str):
+        if fill in ('NaN', 'nan'):
+            return np.asarray(np.nan, dtype)
+        if fill in ('Infinity', '-Infinity'):
+            return np.asarray(float(fill.replace('Infinity', 'inf')),
+                              dtype)
+    try:
+        return np.asarray(fill, dtype)
+    except (TypeError, ValueError):
+        return None
 
 
 def _write_array(dirpath, name, dims, data, attrs, chunks=None,
@@ -71,6 +83,11 @@ def _write_array(dirpath, name, dims, data, attrs, chunks=None,
         attrs['_nd_tpu_datetime64'] = str(data.dtype)
         data = data.astype('datetime64[ns]').astype('int64')
     apath = os.path.join(dirpath, name)
+    if os.path.isdir(apath):
+        # drop stale chunks/metadata from a previous write (re-chunking
+        # would otherwise leave out-of-grid chunk files behind)
+        import shutil
+        shutil.rmtree(apath)
     os.makedirs(apath, exist_ok=True)
     if chunks is None:
         chunks = data.shape if data.ndim else (1,)
@@ -84,7 +101,7 @@ def _write_array(dirpath, name, dims, data, attrs, chunks=None,
         'chunks': list(chunks if data.ndim else (1,)),
         'dtype': _dtype_str(data.dtype),
         'compressor': ({'id': 'zlib', 'level': 5} if compress else None),
-        'fill_value': None,
+        'fill_value': 'NaN' if data.dtype.kind == 'f' else None,
         'order': 'C',
         'filters': None,
         'dimension_separator': _SEP,
@@ -141,10 +158,26 @@ def to_zarr(ds, path, chunks=None, compress=True):
     if isinstance(ds, DataArray):
         ds = ds.to_dataset(name=ds.name or 'data')
     os.makedirs(path, exist_ok=True)
+    # remove arrays that are no longer part of the dataset ("existing
+    # arrays are overwritten" must not leave ghosts behind)
+    current = set(ds._coords) | set(ds._variables)
+    for name in os.listdir(path):
+        apath = os.path.join(path, name)
+        if os.path.isdir(apath) and \
+                os.path.exists(os.path.join(apath, '.zarray')) and \
+                name not in current:
+            import shutil
+            shutil.rmtree(apath)
     with open(os.path.join(path, '.zgroup'), 'w') as fh:
         json.dump({'zarr_format': 2}, fh)
+    gattrs = _coerce_attrs(ds.attrs)
+    if ds._coords:
+        # record coordinate membership (xarray stores this per data
+        # variable; the group-level list covers scalar/non-dim/2-d
+        # coords either way)
+        gattrs['coordinates'] = ' '.join(sorted(ds._coords))
     with open(os.path.join(path, '.zattrs'), 'w') as fh:
-        json.dump(_coerce_attrs(ds.attrs), fh, default=_json_default)
+        json.dump(gattrs, fh, default=_json_default)
 
     def _chunks_for(var):
         if chunks is None:
@@ -175,25 +208,42 @@ def _read_array(apath):
     sep = meta.get('dimension_separator', '.')
     if comp is not None and comp.get('id') != 'zlib':
         raise IOError('unsupported zarr compressor %r' % comp.get('id'))
+    if meta.get('order', 'C') != 'C':
+        raise IOError('unsupported zarr chunk order %r' % meta['order'])
+    if meta.get('filters'):
+        raise IOError('unsupported zarr filters %r' % meta['filters'])
+    fill = _parse_fill(meta.get('fill_value'), dtype)
+
+    def _finish(data):
+        if attrs.pop('_nd_tpu_datetime64', None):
+            data = np.asarray(data).astype('int64') \
+                .view('datetime64[ns]')
+        return data
 
     if not shape:
-        cname = '0'
-        raw = open(os.path.join(apath, cname), 'rb').read()
+        fpath = os.path.join(apath, '0')
+        if not os.path.exists(fpath):
+            data = (fill if fill is not None
+                    else np.zeros((), dtype)[()])
+            return dims or (), _finish(np.asarray(data)), attrs
+        raw = open(fpath, 'rb').read()
         if comp is not None:
             raw = zlib.decompress(raw)
         data = np.frombuffer(raw, dtype=dtype)[0]
-        return dims or (), np.asarray(data), attrs
+        return dims or (), _finish(np.asarray(data)), attrs
 
     counts = [int(np.ceil(s / c)) for s, c in zip(shape, chunks)]
     padded = tuple(cnt * c for cnt, c in zip(counts, chunks))
-    data = np.zeros(padded, dtype=dtype)
+    # absent chunks mean "entirely fill_value" (zarr writers omit them)
+    data = (np.full(padded, fill, dtype=dtype) if fill is not None
+            else np.zeros(padded, dtype=dtype))
     for idx in np.ndindex(*counts):
         cname = sep.join(str(i) for i in idx)
         fpath = os.path.join(apath, cname)
         if not os.path.exists(fpath) and sep == '.':
             fpath = os.path.join(apath, '/'.join(str(i) for i in idx))
         if not os.path.exists(fpath):
-            continue          # missing chunk -> fill (zeros)
+            continue          # missing chunk -> fill
         raw = open(fpath, 'rb').read()
         if comp is not None:
             raw = zlib.decompress(raw)
@@ -201,9 +251,7 @@ def _read_array(apath):
         key = tuple(slice(i * c, (i + 1) * c)
                     for i, c in zip(idx, chunks))
         data[key] = block
-    data = data[tuple(slice(0, s) for s in shape)]
-    if attrs.pop('_nd_tpu_datetime64', None):
-        data = data.astype('int64').view('datetime64[ns]')
+    data = _finish(data[tuple(slice(0, s) for s in shape)])
     if dims is None:
         dims = tuple('dim_%d' % i for i in range(len(shape)))
     return tuple(dims), data, attrs
@@ -225,7 +273,8 @@ def open_zarr(path):
                 os.path.exists(os.path.join(apath, '.zarray')):
             arrays[name] = _read_array(apath)
     # coords = arrays named after their only dimension, plus anything
-    # listed in the xarray 'coordinates' attribute
+    # listed in the group-level or per-variable (xarray convention)
+    # 'coordinates' attributes
     coord_names = set()
     for name, (dims, _, _) in arrays.items():
         if dims == (name,):
@@ -233,6 +282,11 @@ def open_zarr(path):
     extra = ds.attrs.pop('coordinates', None)
     if extra:
         coord_names.update(str(extra).split())
+    for name, (dims, data, attrs) in arrays.items():
+        per_var = attrs.pop('coordinates', None)
+        if per_var:
+            coord_names.update(str(per_var).split())
+    coord_names &= set(arrays)
     for name, (dims, data, attrs) in arrays.items():
         if name in coord_names:
             ds._coords[name] = Variable(dims, data, attrs)

@@ -35,7 +35,7 @@ def test_rolling_mean_vs_pandas(window, center, min_periods):
     np.testing.assert_allclose(ours, ref, equal_nan=True, rtol=1e-12)
 
 
-@pytest.mark.parametrize('name', ['sum', 'min', 'max', 'count'])
+@pytest.mark.parametrize('name', ['sum', 'min', 'max'])
 def test_rolling_reducers_vs_pandas(name):
     vals = _series(31, seed=1)
     da = DataArray(vals, dims=('t',))
@@ -43,14 +43,20 @@ def test_rolling_reducers_vs_pandas(name):
                               name)().values, dtype=float)
     ref = getattr(pd.Series(vals).rolling(4, min_periods=2),
                   name)().values
-    if name == 'count':
-        # pandas count honors min_periods by masking; ours reports raw
-        # counts (xarray behavior) — compare where pandas is defined
-        mask = ~np.isnan(ref)
-        np.testing.assert_allclose(ours[mask], ref[mask])
-    else:
-        np.testing.assert_allclose(ours, ref, equal_nan=True,
-                                   rtol=1e-12)
+    np.testing.assert_allclose(ours, ref, equal_nan=True, rtol=1e-12)
+
+
+def test_rolling_count_xarray_semantics():
+    # xarray masks counts below max(min_periods, 1) — pandas instead
+    # masks on window occupancy; we follow xarray (the parity target)
+    vals = np.array([1.0, np.nan, 2.0, 3.0])
+    # valid counts per window (w=3): [1, 1, 2, 2] -> all below 3
+    out = DataArray(vals, dims=('t',)).rolling(
+        t=3, min_periods=3).count().values
+    assert np.isnan(out).all()
+    out2 = DataArray(vals, dims=('t',)).rolling(
+        t=2, min_periods=1).count().values
+    assert out2.tolist() == [1.0, 1.0, 1.0, 2.0]
 
 
 def test_groupby_mean_vs_pandas():
@@ -81,3 +87,25 @@ def test_resample_mean_vs_pandas(freq):
         ours._coords['time'].values.astype('datetime64[ns]'),
         ref.index.values.astype('datetime64[ns]'))
     np.testing.assert_allclose(ours.values, ref.values, rtol=1e-12)
+
+
+def test_rolling_datetime_minmax_keeps_dtype():
+    # pandas refuses rolling over datetime64 entirely; hand-computed
+    # expectation (windows of 2, NaT skipped, min_periods=1)
+    times = np.array(['2020-01-03', 'NaT', '2020-01-01', '2020-01-05'],
+                     dtype='datetime64[ns]')
+    da = DataArray(times, dims=('t',))
+    out = da.rolling(t=2, min_periods=1).max()
+    assert out.dtype == times.dtype
+    expect = np.array(['2020-01-03', '2020-01-03', '2020-01-01',
+                       '2020-01-05'], dtype='datetime64[ns]')
+    np.testing.assert_array_equal(
+        out.values.astype('datetime64[ns]'), expect)
+
+
+def test_groupby_map_shrinking():
+    da = DataArray(np.arange(6.0), dims=('t',),
+                   coords={'lab': ('t', list('aabbcc'))})
+    out = da.groupby('lab').map(lambda x: x.isel(t=slice(0, 1)))
+    assert out.shape == (3,)
+    assert out.values.tolist() == [0.0, 2.0, 4.0]

@@ -104,3 +104,60 @@ def test_dataarray_input(tmp_path):
     to_zarr(da, path)
     back = open_zarr(path)
     np.testing.assert_array_equal(back['v'].values, da.values)
+
+
+def test_missing_chunk_uses_fill_value(tmp_path):
+    path = str(tmp_path / 'fill.zarr')
+    ds = Dataset({'v': (('y',), np.array([1.0, 2.0, np.nan, np.nan]))})
+    to_zarr(ds, path, chunks={'y': 2})
+    # drop the all-NaN chunk like write_empty_chunks=False writers do
+    os.remove(os.path.join(path, 'v', '1'))
+    back = open_zarr(path)
+    got = back['v'].values
+    assert got[:2].tolist() == [1.0, 2.0]
+    assert np.isnan(got[2:]).all()
+
+
+def test_nondim_coords_roundtrip(tmp_path):
+    ds = Dataset({'v': (('y', 'x'), np.zeros((2, 3)))},
+                 coords={'y': [0, 1], 'x': [0, 1, 2]})
+    ds = ds.assign_coords(lat=(('y', 'x'), np.random.rand(2, 3)),
+                          tag=('x', ['a', 'b', 'c']))
+    path = str(tmp_path / 'coords.zarr')
+    to_zarr(ds, path)
+    back = open_zarr(path)
+    assert set(back.coords) >= {'y', 'x', 'lat', 'tag'}
+    assert list(back.data_vars) == ['v']
+
+
+def test_scalar_datetime_roundtrip(tmp_path):
+    ds = Dataset({'v': (('y',), np.zeros(2))},
+                 coords={'time': np.datetime64('2020-01-02T03:04:05',
+                                               'ns')})
+    path = str(tmp_path / 'scalar_dt.zarr')
+    to_zarr(ds, path)
+    back = open_zarr(path)
+    tv = back.coords['time'].values
+    assert np.asarray(tv).dtype.kind == 'M'
+    assert np.asarray(tv) == np.datetime64('2020-01-02T03:04:05', 'ns')
+    assert '_nd_tpu_datetime64' not in back.coords['time'].attrs
+
+
+def test_overwrite_removes_ghost_arrays(tmp_path):
+    path = str(tmp_path / 'ghost.zarr')
+    to_zarr(Dataset({'a': (('y',), np.zeros(3)),
+                     'b': (('y',), np.ones(3))}), path)
+    to_zarr(Dataset({'a': (('y',), np.zeros(3))}), path)
+    back = open_zarr(path)
+    assert 'b' not in back
+
+
+def test_foreign_order_rejected(tmp_path):
+    path = str(tmp_path / 'f.zarr')
+    to_zarr(Dataset({'v': (('y', 'x'), np.zeros((2, 2)))}), path)
+    meta_path = os.path.join(path, 'v', '.zarray')
+    meta = json.load(open(meta_path))
+    meta['order'] = 'F'
+    json.dump(meta, open(meta_path, 'w'))
+    with pytest.raises(IOError, match='order'):
+        open_zarr(path)
