@@ -240,6 +240,39 @@ def main():
     except Exception as e:  # pragma: no cover
         detail['reproject_error'] = str(e)
 
+    # ---- tiling config: tile -> filter each tile -> auto_merge ----------
+    # (BASELINE.json's "Reprojection + tiling.tile/merge" out-of-core
+    # config; the filesystem round-trip dominates, mirroring how the
+    # reference streams larger-than-memory cubes through NetCDF tiles)
+    try:
+        import shutil
+        import tempfile
+
+        from nd_tpu.filters import BoxcarFilter
+        from nd_tpu.testing import generate_test_dataset
+        from nd_tpu.tiling import auto_merge, map_over_tiles, tile
+
+        tds = generate_test_dataset(
+            dims={'y': NY // 2, 'x': NX // 2, 'time': 4})
+        for v in list(tds.data_vars):
+            tds[v] = (tds[v].dims, tds[v].values.astype(np.float32))
+        tdir = tempfile.mkdtemp(prefix='nd_tpu_bench_tiles_')
+        flt = BoxcarFilter(w=3)
+        try:
+            t0 = time.perf_counter()
+            tile(tds, tdir, chunks={'y': NY // 4, 'x': NX // 4},
+                 buffer=1)
+            merged = map_over_tiles(
+                os.path.join(tdir, '*.nc'), flt.apply, merge=True,
+                compute=True)
+            t_tl = time.perf_counter() - t0
+            tp = (NY // 2) * (NX // 2) * 4 * 4 / 1e6
+            detail['tile_pipeline_mpix_s'] = round(tp / t_tl, 2)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+    except Exception as e:  # pragma: no cover
+        detail['tile_pipeline_error'] = str(e)
+
     # ---- flagship pipeline forward (multilook + omnibus, one jit) ------
     try:
         from nd_tpu.models import SARChangePipeline
