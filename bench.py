@@ -158,16 +158,28 @@ def main():
     alpha = 0.99
     looks = 9
 
-    # 'mixed': input-precision channel sums (the reference kernel's own
-    # convention) + f64 statistic math — reference-exact decisions
-    from nd_tpu.ops.change import change_detection_hybrid
+    # exact decisions, device-resident: fused f32 Pallas scan + on-
+    # device float64 re-scan of the few near-margin pixels (identical
+    # to the full-grid f64 'mixed' map whenever the suspect count fits
+    # the patch capacity — verified below via the parity check)
+    from nd_tpu.ops.change import (_change_detection_exact_core,
+                                   change_detection_hybrid)
     from nd_tpu.ops.change_pallas import (
         supports_pallas as change_has_pallas)
 
-    def run_omnibus(x):
-        return change_detection(x, alpha=alpha, n=looks,
-                                stat_dtype='mixed')
-    detail['omnibus_kernel'] = 'xla-mixed'
+    cap = max(8192, NY * NX // 64)
+
+    if change_has_pallas():
+        def run_omnibus(x):
+            flags, _ = _change_detection_exact_core(
+                x, alpha, looks, 3e-4, cap)
+            return flags
+        detail['omnibus_kernel'] = 'pallas-exact-device'
+    else:
+        def run_omnibus(x):
+            return change_detection(x, alpha=alpha, n=looks,
+                                    stat_dtype='mixed')
+        detail['omnibus_kernel'] = 'xla-mixed'
 
     t_om, _ = _time_loop(run_omnibus, cube_d)
     t_om_wall, change_map = _time(jax.jit(run_omnibus), cube_d)
@@ -175,14 +187,26 @@ def main():
     detail['omnibus_mpix_s'] = round(mpix / t_om, 2)
     detail['omnibus_wall_mpix_s'] = round(mpix / t_om_wall, 2)
 
-    # hybrid mode (Pallas + exact f64 patching, host-delivered result —
-    # what OmnibusTest uses on TPU); includes its host transfers
     if change_has_pallas():
-        change_detection_hybrid(cube_d, alpha=alpha, n=looks,
-                                values_host=cube)  # warm up
+        # suspect-count sanity: overflow would mean the timed kernel's
+        # patch pass was short — surface it next to the parity figure
+        _, n_suspect = _change_detection_exact_core(
+            cube_d, alpha, looks, 3e-4, cap)
+        detail['omnibus_suspect_pixels'] = int(n_suspect)
+        detail['omnibus_patch_capacity'] = cap
+
+        # full-grid f64 'mixed' XLA path, reported for reference
+        def run_omnibus_mixed(x):
+            return change_detection(x, alpha=alpha, n=looks,
+                                    stat_dtype='mixed')
+        t_mx, _ = _time_loop(run_omnibus_mixed, cube_d)
+        detail['omnibus_mixed_mpix_s'] = round(mpix / t_mx, 2)
+
+        # hybrid mode (exact device scan + bit-packed host delivery —
+        # what OmnibusTest uses on TPU); includes its host transfers
+        change_detection_hybrid(cube_d, alpha=alpha, n=looks)  # warm
         t0 = time.perf_counter()
-        change_detection_hybrid(cube_d, alpha=alpha, n=looks,
-                                values_host=cube)
+        change_detection_hybrid(cube_d, alpha=alpha, n=looks)
         t_hy = time.perf_counter() - t0
         detail['omnibus_hybrid_mpix_s'] = round(mpix / t_hy, 2)
 
@@ -261,10 +285,10 @@ def main():
         try:
             t0 = time.perf_counter()
             tile(tds, tdir, chunks={'y': NY // 4, 'x': NX // 4},
-                 buffer=1)
+                 buffer=1, complevel=1)
             merged = map_over_tiles(
                 os.path.join(tdir, '*.nc'), flt.apply, merge=True,
-                compute=True)
+                compute=True, complevel=1)
             t_tl = time.perf_counter() - t0
             tp = (NY // 2) * (NX // 2) * 4 * 4 / 1e6
             detail['tile_pipeline_mpix_s'] = round(tp / t_tl, 2)

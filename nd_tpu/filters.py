@@ -134,12 +134,34 @@ class Filter(Algorithm):
                                                 invert=True)
             if self.per_variable:
                 result = ds.copy(deep=False)
+                # Same-layout variables are stacked along a new leading
+                # batch axis and filtered in ONE device dispatch: the
+                # ``_filter`` contract broadcasts over every
+                # non-filtered axis, so this is a pure fusion — it cuts
+                # per-variable dispatch latency (dominant on remote/
+                # tunneled backends) and feeds XLA larger batches.
+                groups = {}
                 for v in variables:
-                    vdims = ds[v].dims
-                    axes = tuple(vdims.index(d) for d in self.dims)
-                    filtered = self._filter(ds[v].data, axes)
-                    result._variables[v] = result._variables[v].__class__(
-                        vdims, filtered, ds[v].attrs)
+                    key = (ds[v].dims,
+                           np.dtype(getattr(ds[v].data, 'dtype')))
+                    groups.setdefault(key, []).append(v)
+                for (vdims, _), vs in groups.items():
+                    if len(vs) == 1:
+                        v = vs[0]
+                        axes = tuple(vdims.index(d) for d in self.dims)
+                        filtered = self._filter(ds[v].data, axes)
+                        result._variables[v] = \
+                            result._variables[v].__class__(
+                                vdims, filtered, ds[v].attrs)
+                        continue
+                    axes = tuple(vdims.index(d) + 1 for d in self.dims)
+                    stacked = jnp.stack(
+                        [jnp.asarray(ds[v].data) for v in vs])
+                    filtered = self._filter(stacked, axes)
+                    for i, v in enumerate(vs):
+                        result._variables[v] = \
+                            result._variables[v].__class__(
+                                vdims, filtered[i], ds[v].attrs)
             else:
                 # variables form an extra axis; weights are joint.
                 joint_dims = ordered_dims + ('variable',)

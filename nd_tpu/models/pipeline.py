@@ -97,10 +97,23 @@ class SARChangePipeline:
     def forward(self, values):
         """values (y, x, time, 4) -> boolean change map (y, x, time).
 
-        The jittable single-chip forward step (graft entry)."""
+        The jittable single-chip forward step (graft entry). On TPU the
+        change scan runs as the fused Pallas kernel with on-device
+        float64 re-scan of near-margin pixels (exact decisions while
+        the suspect count fits the patch capacity, which it does by a
+        wide margin on real cubes); elsewhere it falls back to the XLA
+        'mixed' path."""
         looked = multilook(values, self.ml)
-        return change_detection(looked, alpha=self.alpha,
-                                n=self.n * self.ml ** 2)
+        n = self.n * self.ml ** 2
+        from ..ops.change_pallas import supports_pallas
+        if supports_pallas():
+            from ..ops.change import _change_detection_exact_core
+            ny, nx = looked.shape[:2]
+            cap = int(min(max(4096, (ny * nx) // 128), ny * nx))
+            flags, _ = _change_detection_exact_core(
+                looked, float(self.alpha), int(n), 3e-4, cap)
+            return flags
+        return change_detection(looked, alpha=self.alpha, n=n)
 
     # -- training ---------------------------------------------------------------
     def loss(self, params, values, labels):

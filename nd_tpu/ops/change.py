@@ -42,7 +42,8 @@ from jax import lax
 from .stats import chi2_cdf
 
 __all__ = ['omnibus_probabilities', 'change_detection',
-           'change_detection_hybrid', 'omnibus_z']
+           'change_detection_hybrid', 'change_detection_exact',
+           'omnibus_z']
 
 _P = 2.0  # dual-pol covariance matrices are 2x2
 
@@ -155,8 +156,10 @@ def omnibus_probabilities(values, n=1):
                                dtype)
 
 
-@partial(jax.jit, static_argnames=('alpha', 'n', 'stat_dtype'))
-def change_detection(values, alpha, n=1, stat_dtype='mixed'):
+@partial(jax.jit, static_argnames=('alpha', 'n', 'stat_dtype',
+                                   'unroll'))
+def change_detection(values, alpha, n=1, stat_dtype='mixed',
+                     unroll=False):
     """Iterative omnibus change-point detection.
 
     TPU note: the body is written entirely with broadcast compares and
@@ -181,6 +184,12 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed'):
         float64 — reference-exact decisions at ~1.4x the full-f64
         speed. Pass float32 for maximum throughput (~1e-5 decision
         disagreement) or float64 to force everything wide.
+    unroll : bool, optional
+        Statically unroll the restart loop (k-1 rounds, no early
+        exit). The body is a no-op for inactive pixels, so the result
+        is identical; one straight-line XLA graph avoids the per-
+        iteration launch overhead of ``while_loop``, which dominates
+        on small pixel counts (the exact-mode patch rescan uses this).
 
     Returns
     -------
@@ -330,13 +339,157 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed'):
             jnp.zeros((ny, nx), jnp.int32),
             jnp.ones((ny, nx), bool),
             jnp.zeros((ny, nx, k), bool))
-    _, _, _, result = lax.while_loop(cond, body, init)
+    if unroll:
+        state = init
+        for _ in range(max(k - 1, 0)):
+            state = body(state)
+        result = state[3]
+    else:
+        _, _, _, result = lax.while_loop(cond, body, init)
     return result
 
 
-def change_detection_hybrid(values, alpha, n=1, margin_eps=1e-3,
+def _compact_indices(mask, capacity):
+    """Flat indices of the first ``capacity`` True entries of ``mask``.
+
+    TPU-friendly replacement for ``jnp.flatnonzero(size=...)`` (whose
+    sort-based lowering blows scoped VMEM on megapixel masks): the
+    flat mask is viewed as (rows, 128) lanes; an in-lane cumulative
+    count plus a per-row offset scan assigns every True entry a rank,
+    and the entry of each target rank is located with a searchsorted
+    over the (small) row offsets followed by one row-gather and a lane
+    compare. Entries past the true count resolve to an arbitrary valid
+    index (clamped) — callers that only ever *patch* with exact values
+    need no masking. Also returns the total count.
+    """
+    flat = mask.ravel()
+    npix = flat.shape[0]
+    lanes = 128
+    rows = -(-npix // lanes)
+    padded = jnp.pad(flat, (0, rows * lanes - npix))
+    m2 = padded.reshape(rows, lanes).astype(jnp.int32)
+    within = jnp.cumsum(m2, axis=1)                # (rows, lanes)
+    row_off = jnp.cumsum(within[:, -1])            # (rows,) inclusive
+    count = row_off[-1]
+    targets = jnp.arange(1, capacity + 1, dtype=row_off.dtype)
+    b = jnp.searchsorted(row_off, targets, side='left')
+    b = jnp.minimum(b, rows - 1)
+    prev = jnp.where(b > 0, row_off.at[jnp.maximum(b - 1, 0)].get(
+        indices_are_sorted=True), 0)
+    p = targets - prev                             # rank within row
+    rows_w = within.at[b].get(indices_are_sorted=True)
+    rows_m = m2.at[b].get(indices_are_sorted=True)
+    hit = jnp.logical_and(rows_w == p[:, None],
+                          rows_m == 1)             # (capacity, lanes)
+    c = jnp.argmax(hit, axis=1)
+    idx = jnp.minimum(b * lanes + c, npix - 1)
+    return idx, count
+
+
+@partial(jax.jit, static_argnames=('alpha', 'n', 'margin_eps',
+                                   'capacity', 'interpret'))
+def _change_detection_exact_packed(values, alpha, n, margin_eps,
+                                   capacity, interpret=False):
+    """Jittable exact scan: fast Pallas pass + on-device f64 patching.
+
+    Returns ``(packed, n_suspect)`` with ``packed`` the (P, y, x)
+    int32 bit-packed change planes (see
+    :func:`~nd_tpu.ops.change_pallas.unpack_flags`). ``packed`` equals
+    the float64 'mixed' decisions whenever ``n_suspect <= capacity``,
+    executed entirely in HBM: suspect pixels are compacted with a
+    fixed-size sort-free flatnonzero, re-scanned with the f64
+    formulation on a lane-friendly (cap/128, 128) grid, bit-packed and
+    scattered back as SCALARS into the packed planes (a row scatter of
+    (cap, k) bools serializes ~3x slower on TPU). Patching a
+    non-suspect pixel with its exact decision is a no-op, so the
+    capacity fill entries need no masking.
+    """
+    from .change_pallas import change_detection_pallas
+
+    values = jnp.asarray(values)
+    ny, nx, k, _ = values.shape
+    capacity = -(-capacity // 128) * 128        # lane-friendly rescan
+    packed, margin = change_detection_pallas(
+        values, alpha, n=n, return_margin=True, return_packed=True,
+        interpret=interpret)                    # (P, ny, nx) int32
+    nplanes = packed.shape[0]
+    suspect = ~(margin > jnp.float32(margin_eps))   # NaN-inclusive
+    idx, count = _compact_indices(suspect, capacity)
+    # idx is sorted and unique by construction — the hints let XLA
+    # vectorize the gather/scatter instead of serializing them
+    series = values.reshape(ny * nx, k, 4).at[idx].get(
+        indices_are_sorted=True, unique_indices=True)
+    # (cap,) rows rescanned as a (cap/128, 128) grid: a (cap, 1) grid
+    # would put the 128-lane axis on a size-1 dimension and waste >10x
+    series = series.reshape(capacity // 128, 128, k, 4)
+    patched = change_detection(series, alpha, n=n, stat_dtype='mixed')
+    patched = patched.reshape(capacity, k)
+    out_planes = []
+    for pp in range(nplanes):
+        nb = min(31, k - 31 * pp)
+        weights = jnp.asarray(2 ** np.arange(nb), jnp.int32)
+        rows_packed = jnp.sum(
+            patched[:, 31 * pp:31 * pp + nb].astype(jnp.int32)
+            * weights, axis=-1, dtype=jnp.int32)
+        out_planes.append(
+            packed[pp].ravel().at[idx].set(
+                rows_packed, indices_are_sorted=True,
+                unique_indices=True).reshape(ny, nx))
+    packed = jnp.stack(out_planes)
+    return packed, count
+
+
+@partial(jax.jit, static_argnames=('alpha', 'n', 'margin_eps',
+                                   'capacity', 'interpret'))
+def _change_detection_exact_core(values, alpha, n, margin_eps,
+                                 capacity, interpret=False):
+    """Boolean-flag view of :func:`_change_detection_exact_packed`."""
+    from .change_pallas import unpack_flags
+
+    k = values.shape[2]
+    packed, count = _change_detection_exact_packed(
+        values, alpha, n, margin_eps, capacity, interpret=interpret)
+    return unpack_flags(packed, k), count
+
+
+def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
+                           capacity=None, interpret=False):
+    """Exact change detection, fully device-resident (TPU).
+
+    Same decisions as ``change_detection(..., stat_dtype='mixed')`` at
+    nearly the fast f32 Pallas kernel's throughput: the fused kernel
+    reports each pixel's smallest relative decision margin, and only
+    the pixels whose margin is below ``margin_eps`` — the only ones
+    whose f32 decisions could differ from float64 — are re-scanned on
+    device in float64 via a fixed-capacity gather/rescan/scatter. No
+    host transfer happens unless the suspect count overflows
+    ``capacity`` (default 1/128 of the pixels, min 4096), in which case
+    the full-grid 'mixed' scan runs instead.
+    """
+    from .change_pallas import supports_pallas
+
+    if not (supports_pallas() or interpret):
+        return change_detection(values, alpha=alpha, n=n,
+                                stat_dtype='mixed')
+    values = jnp.asarray(values)
+    if not jnp.issubdtype(values.dtype, jnp.floating):
+        values = values.astype(jnp.float32)
+    ny, nx = values.shape[:2]
+    if capacity is None:
+        capacity = max(4096, (ny * nx) // 128)
+    capacity = int(min(capacity, ny * nx))
+    flags, count = _change_detection_exact_core(
+        values, float(alpha), int(n), float(margin_eps), capacity,
+        interpret=interpret)
+    if int(count) > capacity:   # host sync; rare
+        return change_detection(values, alpha=alpha, n=n,
+                                stat_dtype='mixed')
+    return flags
+
+
+def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
                             nthreads=0, values_host=None,
-                            return_device=False):
+                            return_device=False, capacity=None):
     """Exact change detection at fast-mode speed (TPU only).
 
     Runs the fused f32 Pallas kernel, which also reports each pixel's
@@ -344,82 +497,73 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=1e-3,
     every comparison its scan made. Pixels whose margin is below
     ``margin_eps`` — the only ones whose f32 decisions could differ
     from float64 (f32 z carries ~1e-6 relative error; the default
-    margin keeps a ~1000x safety factor) — are recomputed exactly with
-    the native float64 CPU kernel and patched in. Typical cubes flag a
-    small fraction of pixels, so throughput is essentially the Pallas
-    kernel's.
+    margin keeps a ~1000x safety factor) — are re-scanned ON DEVICE in
+    float64 (fixed-capacity gather/rescan/scatter, see
+    :func:`change_detection_exact`), and the boolean map crosses the
+    host link bit-packed in the smallest dtype that holds k bits
+    (1-4 B/pixel). Typical cubes flag a small fraction of pixels, so
+    throughput is essentially the Pallas kernel's. Should the suspect
+    count ever overflow the patch capacity (default 1/128 of the
+    pixels), the full-grid float64 'mixed' scan runs instead — the
+    result is exact either way.
 
     Host-driven (not jittable); ``OmnibusTest`` uses it automatically
-    on TPU.
+    on TPU. ``nthreads``/``values_host`` are accepted for backward
+    compatibility (the patch step no longer runs on the host).
 
     Parameters
     ----------
     values : array (y, x, time, 4)
-        Device or host array; pass ``values_host`` alongside a device
-        array to avoid a device->host copy for the patch step.
+        Device or host array.
     return_device : bool, optional
         Return the (patched) device array instead of numpy.
     """
-    from .change_pallas import change_detection_pallas, supports_pallas
+    from .change_pallas import supports_pallas
+
+    del nthreads, values_host  # device-patched; kept for API compat
 
     if not supports_pallas():
         out = change_detection(values, alpha=alpha, n=n)
         return out if return_device else np.asarray(out)
 
-    if values_host is None and isinstance(values, np.ndarray):
-        values_host = values
-    values_dev = jnp.asarray(values, jnp.float32)
-    k = values_dev.shape[2]
+    if return_device:
+        return change_detection_exact(values, alpha, n=n,
+                                      margin_eps=margin_eps,
+                                      capacity=capacity)
 
-    packed, sus_packed, rest = _packed_fast_kernel(
-        float(alpha), int(n), int(k), float(margin_eps))(values_dev)
-    packed_np = np.asarray(packed)                # 1-4 B/pixel d2h
-    sus_np = np.asarray(sus_packed)               # 1 bit/pixel d2h
-    _, nbits = _flag_pack_dtype(k)
-    nbits = min(k, nbits)
-    ny, nx = packed_np.shape
+    values_dev = jnp.asarray(values)
+    if not jnp.issubdtype(values_dev.dtype, jnp.floating):
+        values_dev = values_dev.astype(jnp.float32)
+    ny, nx, k, _ = values_dev.shape
+    if capacity is None:
+        capacity = max(4096, (ny * nx) // 128)
+    capacity = int(min(capacity, ny * nx))
+
+    packed, count = _packed_exact_kernel(
+        float(alpha), int(n), int(k), float(margin_eps),
+        capacity)(values_dev)
+    packed_np = np.asarray(packed)            # (P, ny, nx), 1-4 B/pix
+    if int(count) > capacity:                     # rare; exact rerun
+        return np.asarray(change_detection(values_dev, alpha=alpha,
+                                           n=n, stat_dtype='mixed'))
     # unpackbits on the little-endian byte view is ~25x faster than
     # broadcast shift-and-mask for megapixel maps
-    bytes_view = packed_np.astype(packed_np.dtype.newbyteorder('<'),
+    parts = []
+    for pp in range(packed_np.shape[0]):
+        nb = min(31, k - 31 * pp)
+        plane = packed_np[pp]
+        bytes_view = plane.astype(plane.dtype.newbyteorder('<'),
                                   copy=False).view(np.uint8) \
-        .reshape(ny, nx, -1)
-    result = np.unpackbits(bytes_view, axis=-1,
-                           bitorder='little')[..., :nbits].astype(bool)
-    if k > nbits:
-        result = np.concatenate(
-            [result, np.asarray(rest).astype(bool)], axis=-1)
-
-    suspect = np.unpackbits(sus_np.astype(np.uint8), axis=-1,
-                            bitorder='little').reshape(ny, -1)[:, :nx] \
-        .astype(bool)
-    n_suspect = int(suspect.sum())
-
-    if n_suspect:
-        if values_host is None:
-            # pull the ORIGINAL (possibly f64) values, not the f32
-            # kernel copy — the patch must be exact in input precision
-            values_host = np.asarray(values)
-        ys, xs = np.nonzero(suspect)
-        series = np.asarray(values_host)[ys, xs].astype(np.float64)
-        try:
-            from .._native import change_detection_native
-            patched = change_detection_native(
-                series[:, None], alpha, n=n,
-                nthreads=nthreads or min(8, n_suspect // 64 + 1))[:, 0]
-        except Exception:
-            # pure-python exact fallback (slow; native lib missing)
-            patched = np.stack([
-                _single_pixel_exact(series[i], alpha, n)
-                for i in range(n_suspect)])
-        result[ys, xs] = patched
-
-    if return_device:
-        return jnp.asarray(result)
-    return result
+            .reshape(ny, nx, -1)
+        parts.append(np.unpackbits(bytes_view, axis=-1,
+                                   bitorder='little')[..., :nb])
+    return np.concatenate(parts, axis=-1).astype(bool) \
+        if len(parts) > 1 else parts[0].astype(bool)
 
 
 def _flag_pack_dtype(k):
-    """Smallest signed dtype whose positive range holds k flag bits."""
+    """Smallest signed dtype holding one packed plane (<=31 bits) of k
+    flag bits."""
     if k <= 7:
         return jnp.int8, 7
     if k <= 15:
@@ -428,37 +572,18 @@ def _flag_pack_dtype(k):
 
 
 @functools.lru_cache(maxsize=32)
-def _packed_fast_kernel(alpha, n, k, margin_eps):
-    """Cached jit: Pallas fast kernel + on-device packing. The change
-    flags cross the host link in the smallest dtype that holds k bits
-    (1-4 bytes/pixel) and the margin test collapses to a bit-packed
-    suspect mask (1 bit/pixel) — the float margins never leave HBM."""
-    from .change_pallas import change_detection_pallas
-
-    dtype, nbits = _flag_pack_dtype(k)
+def _packed_exact_kernel(alpha, n, k, margin_eps, capacity):
+    """Cached jit: exact device scan delivering the kernel's native
+    bit-packed planes, downcast to the smallest dtype that holds the
+    plane's bits (1-4 bytes/pixel over the host link); the suspect
+    count rides along so the caller can detect capacity overflow."""
+    dtype, _ = _flag_pack_dtype(k)
 
     @jax.jit
     def run(v):
-        flags, margin = change_detection_pallas(v, alpha, n=n,
-                                                return_margin=True)
-        weights = jnp.asarray(2 ** np.arange(min(k, nbits)), dtype)
-        # pin the accumulator dtype: x64 mode would promote the sum to
-        # int64 and quadruple the d2h payload
-        packed = jnp.sum(flags[..., :nbits].astype(dtype) * weights,
-                         axis=-1, dtype=dtype)
-        rest = flags[..., nbits:] if k > nbits else jnp.zeros((),
-                                                              jnp.int8)
-        # suspect = margin <= eps (NaN-inclusive), 8 pixels per byte
-        suspect = ~(margin > jnp.float32(margin_eps))
-        ny, nx = suspect.shape
-        pad = (-nx) % 8
-        if pad:
-            suspect = jnp.pad(suspect, ((0, 0), (0, pad)))
-        bits = jnp.asarray(2 ** np.arange(8), jnp.uint8)
-        sus_packed = jnp.sum(
-            suspect.reshape(ny, -1, 8).astype(jnp.uint8) * bits,
-            axis=-1, dtype=jnp.uint8)
-        return packed, sus_packed, rest
+        packed, count = _change_detection_exact_packed(
+            v, alpha, n, margin_eps, capacity)
+        return packed.astype(dtype), count
 
     return run
 

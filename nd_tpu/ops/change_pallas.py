@@ -30,7 +30,8 @@ except ImportError:  # pragma: no cover
 
 from .change import omnibus_thresholds
 
-__all__ = ['change_detection_pallas', 'supports_pallas']
+__all__ = ['change_detection_pallas', 'unpack_flags',
+           'supports_pallas']
 
 _TY = 16
 _TX = 128
@@ -41,13 +42,58 @@ def supports_pallas():
     return jax.default_backend() == 'tpu' and pltpu is not None
 
 
+def _mlog(x):
+    """Accurate f32 natural log (TPU's builtin log has ~1.05e-4
+    ABSOLUTE error — measured, both XLA and Mosaic lowerings — which
+    would dominate the change statistic's error bound and triple the
+    exact-mode suspect count).
+
+    Decomposes x = m * 2^e by bit twiddling (m in [sqrt(1/2), sqrt(2))
+    after centering, so |t| <= 3-2*sqrt(2) ~ 0.1716) and evaluates
+    ln m = 2*atanh(t), t = (m-1)/(m+1) with a short odd polynomial:
+    max error ~1 ulp (~6e-8 absolute for |ln x| < 1). Non-normal inputs
+    (0, subnormals, inf, NaN, negatives) defer to the builtin.
+    """
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = jax.lax.shift_right_logical(
+        xi, jnp.int32(23)) - jnp.int32(127)            # biased exp
+    m = jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_or(jax.lax.bitwise_and(xi, jnp.int32(0x007fffff)),
+                           jnp.int32(0x3f800000)), jnp.float32)  # [1, 2)
+    # center: m in [sqrt(2)/2, sqrt(2)) keeps |t| small
+    big = m > jnp.float32(1.4142135)
+    m = jnp.where(big, m * jnp.float32(0.5), m)
+    ef = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    # atanh(t)/t = 1 + t^2/3 + t^4/5 + t^6/7 + t^8/9  (|t|<=0.1716:
+    # next term t^10/11 < 3e-9)
+    p = jnp.float32(1 / 9.0)
+    p = p * t2 + jnp.float32(1 / 7.0)
+    p = p * t2 + jnp.float32(1 / 5.0)
+    p = p * t2 + jnp.float32(1 / 3.0)
+    p = p * t2 + jnp.float32(1.0)
+    # ln 2 split hi/lo: hi has 9 mantissa bits, so ef*hi is EXACT in
+    # f32 for |e| < 2^14; the residual rides in the small term
+    res = (ef * jnp.float32(0.693359375)
+           + (2.0 * t * p + ef * jnp.float32(-2.121944400546905e-04)))
+    normal = jnp.logical_and(x >= jnp.float32(1.17549435e-38),
+                             x < jnp.float32(np.inf))
+    return jnp.where(normal, res, jnp.log(x))
+
+
 def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
-            thresholds):
-    """in_ref (k, 4, TY, TX) f32 -> out_ref (k, TY, TX) flags and
-    margin_ref (TY, TX): the smallest relative |z - threshold| over
-    every comparison the pixel's scan actually made — pixels with tiny
-    margins are the only ones whose f32 decisions could differ from
-    float64 (consumed by the hybrid exact mode)."""
+            thresholds, with_margin):
+    """in_ref (k, 4, TY, TX) f32 -> out_ref (P, TY, TX) int32
+    BIT-PACKED change flags (bit t%31 of plane t//31 = flag at time t;
+    P = ceil(k/31)) and margin_ref (TY, TX): the smallest relative
+    |z - threshold| (minus the f32 error bound) over every comparison
+    the pixel's scan actually made — pixels with tiny margins are the
+    only ones whose f32 decisions could differ from float64 (consumed
+    by the exact mode). Packing in-kernel removes the k-plane one-hot
+    flag update from the round loop and cuts the HBM write k-fold;
+    margin work is skipped entirely when ``with_margin`` is False."""
+    nplanes = (k + 30) // 31
     dtype = jnp.float32
     tile = in_ref[:]                               # (k, 4, TY, TX)
     ty, tx = tile.shape[2], tile.shape[3]
@@ -57,8 +103,25 @@ def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
     c12i_t = tile[:, 2]
     c22_t = tile[:, 3]
     dets = c11_t * c22_t - c12r_t ** 2 - c12i_t ** 2
-    logdet_t = jnp.log(jnp.abs(dets))
+    logdet_t = _mlog(jnp.abs(dets))
     neg_t = (dets < 0).astype(dtype)
+
+    # determinant conditioning (for the margin error bound): the f32
+    # error of log|det| is ~cond * u with cond = (|products|)/|det| —
+    # near-cancelling determinants make z arbitrarily inaccurate no
+    # matter how far it sits from the threshold, so the margin must
+    # carry this term (and a sign flip of a tiny det turns log into
+    # NaN in one precision but not the other).
+    if with_margin:
+        prods_t = (jnp.abs(c11_t * c22_t) + c12r_t ** 2 + c12i_t ** 2)
+        cond_t = jnp.minimum(
+            prods_t / jnp.maximum(jnp.abs(dets), jnp.float32(1e-37)),
+            jnp.float32(1e18))
+        # sign of det_t is within f32 rounding of zero (the sum of
+        # these flags over a window also drives sign_uncertain below)
+        uncertain_t = (jnp.abs(dets)
+                       < jnp.float32(64 * 1.2e-7) * prods_t) \
+            .astype(dtype)
 
     # All index arithmetic stays in float32: Mosaic's vector argmax /
     # int reductions don't lower, f32 compares and min-reduces do, and
@@ -66,14 +129,34 @@ def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
     tt = jax.lax.broadcasted_iota(jnp.int32, (k, ty, tx), 0) \
         * jnp.float32(1.0)
 
-    out_ref[:] = jnp.zeros((k, ty, tx), jnp.float32)
+    out_ref[:] = jnp.zeros((nplanes, ty, tx), jnp.int32)
     margin_ref[:] = jnp.full((ty, tx), jnp.float32(np.inf))
     l_ref[:] = jnp.zeros((ty, tx), jnp.float32)
     active_ref[:] = jnp.ones((ty, tx), jnp.float32)
 
-    # thresholds per window length (host f64 immediates); inf -> never
-    thr = [np.float32(thresholds[j]) if np.isfinite(thresholds[j])
-           else np.float32(np.inf) for j in range(k + 1)]
+    # Folded per-window-length immediates (host f64): the decision
+    #   z = -2·rho(j)·n·(P·j·ln j + log_prod − j·ln det_sum) > thr(j)
+    # is, since rho(j) > 0 for p = 2 and n >= 1, equivalent to
+    #   s := n·log_prod − n·j·ln det_sum  <  C(j),
+    #   C(j) = −thr(j)/(2·rho(j)) − n·P·j·ln j
+    # so the kernel evaluates ONE log per element-round and no
+    # divisions. The margin stays in z-threshold-relative units via
+    # the scale S(j) = 2·rho(j)/max(|thr(j)|, 1):
+    #   |z − thr| / max(|thr|, 1) = |s − C(j)| · S(j).
+    from .change import omnibus_rho
+    with np.errstate(divide='ignore', invalid='ignore'):
+        _rho = omnibus_rho(np.arange(k + 1), nf)
+    c_tab, s_tab = [], []
+    for j in range(k + 1):
+        if j >= 2 and np.isfinite(thresholds[j]):
+            c_tab.append(np.float32(
+                -thresholds[j] / (2 * _rho[j])
+                - nf * _P * j * np.log(j)))
+            s_tab.append(np.float32(
+                2 * _rho[j] / max(abs(thresholds[j]), 1.0)))
+        else:
+            c_tab.append(np.float32(-np.inf))   # never hits
+            s_tab.append(np.float32(0.0))
 
     for _round in range(k - 1):
         l = l_ref[:]
@@ -94,39 +177,68 @@ def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
         c22 = cum(c22_t)
         logdet = cum(logdet_t)
         negsum = cum(neg_t)
+        if with_margin:
+            conds = cum(cond_t)
+            uncert = cum(uncertain_t)
         # odd parity without integer casts
         odd_neg = (negsum - 2.0 * jnp.floor(negsum * 0.5)) > 0.5
 
         jt = tt - l[None] + 1.0                    # window length, f32
         det_of_sum = c11 * c22 - c12r ** 2 - c12i ** 2
         log_prod = jnp.where(odd_neg, jnp.nan, logdet)
-        logQ = nf * (_P * jt * jnp.log(jt) + log_prod
-                     - jt * jnp.log(det_of_sum))
-        rho = 1 - (2 * _P ** 2 - 1) / (6 * (jt - 1) * _P) \
-            * (jt / nf - 1 / (nf * jt))
-        z = -2 * rho * logQ
+        s = nf * log_prod - (nf * jt) * _mlog(det_of_sum)
 
-        thresh = jnp.full((k, ty, tx), np.float32(np.inf), dtype)
+        c_t = jnp.full((k, ty, tx), np.float32(-np.inf), dtype)
+        s_t = jnp.zeros((k, ty, tx), dtype)
         for j in range(2, k + 1):
-            if np.isfinite(thr[j]):
-                thresh = jnp.where(jt == float(j), thr[j], thresh)
+            if np.isfinite(c_tab[j]):
+                c_t = jnp.where(jt == float(j), c_tab[j], c_t)
+                s_t = jnp.where(jt == float(j), s_tab[j], s_t)
 
-        hit = jnp.logical_and(z > thresh, tt >= l[None] + 1.0)
+        hit = jnp.logical_and(s < c_t, tt >= l[None] + 1.0)
 
-        # decision margin: min relative |z - thresh| over the windows
-        # this (still-active) pixel actually evaluated. NaN z counts as
-        # a hard decision (NaN is sign-exact), so it keeps margin inf.
-        rel = jnp.abs(z - thresh) / jnp.maximum(jnp.abs(thresh), 1.0)
-        rel = jnp.where(
-            jnp.logical_and(tt >= l[None] + 1.0,
-                            jnp.logical_and(jnp.isfinite(thresh),
-                                            jnp.isfinite(z))),
-            rel, jnp.float32(np.inf))
-        round_margin = jnp.min(rel, axis=0)
-        margin_ref[:] = jnp.where(active,
-                                  jnp.minimum(margin_ref[:],
-                                              round_margin),
-                                  margin_ref[:])
+        # decision margin: min over the windows this (still-active)
+        # pixel actually evaluated of the z-relative distance
+        # |s − C(j)|·S(j) MINUS a first-order f32 error bound on s:
+        #   |Δs| ≲ n·[(Σ cond_t + j·cond_sum)·u + (j+1)·LOG_ERR]
+        # The first term is determinant cancellation (cond =
+        # products/|det| amplifies both f32 arithmetic and the f32
+        # rounding of f64 inputs; u carries a 64x safety factor). The
+        # second covers the ~1-2 ulp absolute error of _mlog (the
+        # TPU's BUILTIN f32 log has ~1.05e-4 absolute error — measured
+        # on v5e for both the XLA and Mosaic lowerings — which would
+        # triple the suspect count), hitting j+1 log evaluations per
+        # window. A NaN s (negative determinant product) is a hard
+        # decision UNLESS the offending determinant's sign is itself
+        # within f32 rounding of zero — those windows force the pixel
+        # suspect.
+        if with_margin:
+            det_prods = (jnp.abs(c11 * c22) + c12r ** 2 + c12i ** 2)
+            cond_sum = jnp.minimum(
+                det_prods / jnp.maximum(jnp.abs(det_of_sum),
+                                        jnp.float32(1e-37)),
+                jnp.float32(1e18))
+            serr = (nf * ((conds + jt * cond_sum)
+                          * jnp.float32(64 * 1.2e-7)
+                          + (jt + 1.0) * jnp.float32(1e-5)))
+            sign_uncertain = jnp.logical_or(
+                uncert > 0.5,
+                jnp.abs(det_of_sum)
+                < jnp.float32(64 * 1.2e-7) * det_prods)
+            rel = (jnp.abs(s - c_t) - serr) * s_t
+            rel = jnp.where(jnp.isfinite(s), rel,
+                            jnp.where(sign_uncertain,
+                                      jnp.float32(-np.inf),
+                                      jnp.float32(np.inf)))
+            rel = jnp.where(
+                jnp.logical_and(tt >= l[None] + 1.0,
+                                jnp.isfinite(c_t)),
+                rel, jnp.float32(np.inf))
+            round_margin = jnp.min(rel, axis=0)
+            margin_ref[:] = jnp.where(active,
+                                      jnp.minimum(margin_ref[:],
+                                                  round_margin),
+                                      margin_ref[:])
 
         active = jnp.logical_and(active, hit[k - 1])
 
@@ -139,10 +251,19 @@ def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
         pos = jnp.maximum(pos, l + 1.0)
 
         set_mask = jnp.logical_and(active, any_hit)
-        upd = jnp.logical_and(tt == pos[None], set_mask[None])
-        out_ref[:] = jnp.maximum(out_ref[:],
-                                 jnp.where(upd, jnp.float32(1.0),
-                                           jnp.float32(0.0)))
+        # accumulate the flag BIT: pos strictly increases round over
+        # round for a pixel, so each bit is added at most once and the
+        # int32 adds are exact
+        pos_i = pos.astype(jnp.int32)
+        for pp in range(nplanes):
+            amt = jnp.clip(pos_i - jnp.int32(31 * pp), jnp.int32(0),
+                           jnp.int32(30))
+            inplane = jnp.logical_and(pos_i >= jnp.int32(31 * pp),
+                                      pos_i < jnp.int32(31 * (pp + 1)))
+            add = jnp.where(jnp.logical_and(set_mask, inplane),
+                            jax.lax.shift_left(jnp.int32(1), amt),
+                            jnp.int32(0))
+            out_ref[pp] = out_ref[pp] + add
 
         l = jnp.where(active, pos, l)
         active = jnp.logical_and(active, l < k - 1)
@@ -151,16 +272,35 @@ def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
                                   jnp.float32(0.0))
 
 
+def unpack_flags(packed, k):
+    """(P, ..., ny, nx) int32 bit-packed planes -> (..., ny, nx, k)
+    bool (bit t%31 of plane t//31 = flag at time t)."""
+    packed = jnp.asarray(packed)
+    parts = []
+    for pp in range((k + 30) // 31):
+        nb = min(31, k - 31 * pp)
+        shifts = jnp.arange(nb, dtype=jnp.int32)
+        parts.append(
+            (jnp.right_shift(packed[pp][..., None], shifts)
+             & jnp.int32(1)) > 0)
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 \
+        else parts[0]
+
+
 def change_detection_pallas(values, alpha, n=1, interpret=False,
-                            return_margin=False):
+                            return_margin=False, return_packed=False):
     """Fast (f32) omnibus change detection as a fused Pallas kernel.
 
     Same decision rule as :func:`nd_tpu.ops.change.change_detection`
     with float32 statistics. values: (y, x, time, 4) -> (y, x, time)
-    bool.
+    bool — or, with ``return_packed``, the raw (P, y, x) int32
+    bit-packed planes the kernel produces (P = ceil(k/31); see
+    :func:`unpack_flags`). Margin tracking costs ~20% kernel time and
+    is only compiled in when ``return_margin`` is set.
     """
     values = jnp.asarray(values, jnp.float32)
     ny, nx, k, _ = values.shape
+    nplanes = (k + 30) // 31
     thresholds = omnibus_thresholds(k, n, float(alpha))
 
     data = jnp.transpose(values, (2, 3, 0, 1))     # (k, 4, y, x)
@@ -173,12 +313,13 @@ def change_detection_pallas(values, alpha, n=1, interpret=False,
     grid = (ny_pad // ty, nx_pad // tx)
 
     kernel = functools.partial(_kernel, k=k, nf=float(n),
-                               thresholds=thresholds)
+                               thresholds=thresholds,
+                               with_margin=bool(return_margin))
 
-    out, margin = pl.pallas_call(
+    packed, margin = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((k, ny_pad, nx_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nplanes, ny_pad, nx_pad), jnp.int32),
             jax.ShapeDtypeStruct((ny_pad, nx_pad), jnp.float32),
         ),
         grid=grid,
@@ -186,7 +327,7 @@ def change_detection_pallas(values, alpha, n=1, interpret=False,
                                lambda i, j: (i * 0, j * 0, i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((k, ty, tx), lambda i, j: (i * 0, i, j),
+            pl.BlockSpec((nplanes, ty, tx), lambda i, j: (i * 0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ty, tx), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -198,8 +339,8 @@ def change_detection_pallas(values, alpha, n=1, interpret=False,
         interpret=interpret,
     )(data)
 
-    out = out[:, :ny, :nx]
-    result = jnp.transpose(out, (1, 2, 0)) > 0.5
+    packed = packed[:, :ny, :nx]
+    result = packed if return_packed else unpack_flags(packed, k)
     if return_margin:
         return result, margin[:ny, :nx]
     return result

@@ -45,7 +45,7 @@ class Delayed:
         return self._fn(*args, **self._kwargs)
 
 
-def tile(ds, path, prefix='part', chunks=None, buffer=0):
+def tile(ds, path, prefix='part', chunks=None, buffer=0, complevel=5):
     """Split a dataset into (buffered) tiles and write them to disk.
 
     Parameters
@@ -60,6 +60,10 @@ def tile(ds, path, prefix='part', chunks=None, buffer=0):
         Chunk size per dimension to split along, e.g. ``{'y': 100}``.
     buffer : int or dict, optional
         Overlapping pixels stored around each tile (default: 0).
+    complevel : int, optional
+        zlib level for the tile files (default 5, like ``to_netcdf``).
+        Tiles are intermediates — level 1 typically halves the write
+        time of a streaming pipeline for a modest size increase.
     """
     if os.path.isfile(path):
         raise ValueError('`path` cannot be a file!')
@@ -97,7 +101,7 @@ def tile(ds, path, prefix='part', chunks=None, buffer=0):
         tile_path = os.path.join(path, tile_name)
         if not os.path.isfile(tile_path):
             # to_netcdf writes to .part and renames atomically
-            to_netcdf(subset, tile_path)
+            to_netcdf(subset, tile_path, complevel=complevel)
 
     for slice_dict in utils.dict_product(slices):
         _write_tile(slice_dict)
@@ -105,7 +109,7 @@ def tile(ds, path, prefix='part', chunks=None, buffer=0):
 
 def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
                    merge=True, overwrite=False, compute=True,
-                   max_workers=4):
+                   max_workers=4, complevel=5):
     """Apply a function to each tile file: open -> fn -> write.
 
     Parameters
@@ -128,6 +132,8 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
         If False, return a ``Delayed`` instead of computing now.
     max_workers : int, optional
         Thread-pool width for pipelining tiles (default: 4).
+    complevel : int, optional
+        zlib level for the per-tile outputs (default 5).
 
     Returns
     -------
@@ -148,7 +154,7 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
         out_file = os.path.join(out_path, out_name)
         if not overwrite and os.path.exists(out_file):
             out_file = '{}_new{}'.format(*os.path.splitext(out_file))
-        to_netcdf(result, out_file)
+        to_netcdf(result, out_file, complevel=complevel)
         return out_file
 
     def _run_all(fs):

@@ -50,3 +50,71 @@ def test_pallas_omnibus_matches_xla_f32(shape, alpha, n):
     got = np.asarray(change_detection_pallas(cube, alpha=alpha, n=n,
                                              interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def _change_cube(ny, nx, k, seed=0):
+    rng = np.random.RandomState(seed)
+    c11 = np.abs(rng.normal(1, .25, (ny, nx, k))) + .3
+    c22 = np.abs(rng.normal(1, .25, (ny, nx, k))) + .3
+    mag = .4 * np.sqrt(c11 * c22) * rng.uniform(0, 1, (ny, nx, k))
+    ph = rng.uniform(0, 2 * np.pi, (ny, nx, k))
+    cube = np.stack([c11, mag * np.cos(ph), mag * np.sin(ph), c22],
+                    -1).astype(np.float32)
+    cube[:, :, k // 2:, 0] *= 2.5
+    cube[:, :, k // 2:, 3] *= 2.5
+    return cube
+
+
+@pytest.mark.parametrize('density', [0.0, 0.01, 0.6])
+def test_compact_indices(density):
+    import jax.numpy as jnp
+    from nd_tpu.ops.change import _compact_indices
+    rng = np.random.RandomState(3)
+    mask = rng.rand(37, 211) < density
+    cap = 64
+    idx, count = _compact_indices(jnp.asarray(mask), cap)
+    ref = np.flatnonzero(mask.ravel())
+    assert int(count) == len(ref)
+    head = min(cap, len(ref))
+    np.testing.assert_array_equal(np.asarray(idx)[:head], ref[:head])
+    # every returned index is a valid flat pixel index
+    assert (np.asarray(idx) >= 0).all()
+    assert (np.asarray(idx) < mask.size).all()
+
+
+def test_exact_device_matches_mixed():
+    """Pallas fast scan + on-device f64 patching == full 'mixed' map."""
+    from nd_tpu.ops.change import (change_detection,
+                                   change_detection_exact)
+    cube = _change_cube(40, 48, 8, seed=7)
+    ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
+                                      stat_dtype='mixed'))
+    got = np.asarray(change_detection_exact(
+        cube, alpha=0.99, n=9, capacity=256, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_exact_device_overflow_falls_back():
+    """Suspect counts beyond capacity rerun the full exact scan."""
+    from nd_tpu.ops.change import (change_detection,
+                                   change_detection_exact)
+    cube = _change_cube(12, 16, 6, seed=1)
+    ref = np.asarray(change_detection(cube, alpha=0.9, n=4,
+                                      stat_dtype='mixed'))
+    # margin_eps so large every pixel is suspect -> guaranteed overflow
+    got = np.asarray(change_detection_exact(
+        cube, alpha=0.9, n=4, capacity=8, margin_eps=1e12,
+        interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_exact_device_multiplane_k_over_31():
+    """k > 31 packs into multiple int32 planes."""
+    from nd_tpu.ops.change import (change_detection,
+                                   change_detection_exact)
+    cube = _change_cube(8, 12, 35, seed=2)
+    ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
+                                      stat_dtype='mixed'))
+    got = np.asarray(change_detection_exact(
+        cube, alpha=0.99, n=9, capacity=96, interpret=True))
+    np.testing.assert_array_equal(got, ref)
