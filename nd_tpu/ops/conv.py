@@ -25,6 +25,12 @@ from jax import lax
 __all__ = ['convolve', 'separable_convolve', 'gaussian_kernel1d',
            'uniform_sums', 'pad_reflect']
 
+# Filtered-axis sizes are rounded up to a multiple of this before the
+# device convolution (and cropped after): distinct ragged shapes then
+# share compiled executables. 64 divides the TPU lane/sublane tiles and
+# keeps the worst-case compute overhead small.
+_SHAPE_BUCKET = 64
+
 _SCIPY_TO_NP_PAD = {
     'reflect': 'symmetric',   # scipy.ndimage 'reflect' repeats the edge
     'mirror': 'reflect',      # scipy.ndimage 'mirror' excludes the edge
@@ -110,6 +116,21 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     for ax, ks in zip(axes, kernel.shape):
         pad_width[ax] = ((ks - 1) // 2, ks // 2)
     padded = pad_reflect(arr, pad_width, mode, cval)
+
+    # Shape bucketing: round the filtered axes up to a multiple of
+    # ``_SHAPE_BUCKET`` with zeros and crop the output back. The kept
+    # output positions' windows span only real (boundary-padded)
+    # samples, so results are unchanged — but ragged shapes (tile
+    # grids with halos, odd edge tiles) now share one compiled
+    # executable instead of paying a fresh XLA compile each (minutes
+    # per shape on remote-compile backends).
+    trail = [(0, (-padded.shape[ax]) % _SHAPE_BUCKET) if ax in axes
+             else (0, 0) for ax in range(arr.ndim)]
+    if any(t for _, t in trail):
+        bucketed = jnp.pad(padded, trail)
+        out = _conv_valid(bucketed, kernel, axes)
+        return out[tuple(slice(0, arr.shape[ax]) for ax in
+                         range(arr.ndim))]
     return _conv_valid(padded, kernel, axes)
 
 

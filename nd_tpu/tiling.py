@@ -158,8 +158,17 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
         return out_file
 
     def _run_all(fs):
+        if len(fs) <= 1 or max_workers <= 1:
+            return [_wrapper(f) for f in fs]
+        # Run the FIRST tile alone: tiles share compiled programs, and
+        # launching them all at once makes every thread compile the
+        # same executable concurrently (none sees the others' cache
+        # entry until one finishes) — with remote-compile backends that
+        # multiplies a ~minute compile by the pool width. One warm tile
+        # populates the jit caches; the rest then pipeline I/O.
+        head = [_wrapper(fs[0])]
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            return list(pool.map(_wrapper, fs))
+            return head + list(pool.map(_wrapper, fs[1:]))
 
     if merge:
         result = Delayed(lambda fs: auto_merge(_run_all(fs)), files)
