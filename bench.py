@@ -261,6 +261,39 @@ def main():
         t_rp = (time.perf_counter() - t0) / reps
         wp = (NY // 2) * (NX // 2) * 4 * 4 / 1e6
         detail['reproject_mpix_s'] = round(wp / t_rp, 2)
+
+        # device kernel rate (chained in one jit like the other
+        # kernels; the wall figure above is dominated by per-call
+        # host-link latency on tunneled dev hosts): the separable
+        # epsg:4326->3395 warp runs as two MXU matmuls
+        from nd_tpu import warp as _warp
+        from nd_tpu.crs import CRS
+        try:
+            hw = (NY // 2, NX // 2)
+            plan = _warp._cached_plan(
+                tuple(np.asarray(o.attrs['transform']))[:6], hw,
+                tuple(np.asarray(wds.attrs['transform']))[:6],
+                CRS.from_user_input('epsg:4326').to_proj4(),
+                CRS.from_user_input('epsg:3395').to_proj4(),
+                hw, 'bilinear', '<f4')
+        except Exception as e:
+            detail['reproject_device_error'] = str(e)
+            plan = None
+        if plan is not None:
+            from nd_tpu.ops.interp import matmul_resample
+            stacked = jnp.stack(
+                [jnp.asarray(wds[v].data) for v in wds.data_vars])
+            stacked = jnp.moveaxis(stacked, -1, 1).reshape(
+                -1, hw[0], hw[1])
+
+            def run_warp(x):
+                # nan_to_num: the chained-loop epsilon dependency reads
+                # out[0], which must stay finite across iterations
+                return jnp.nan_to_num(matmul_resample(
+                    x, *plan[:6], jnp.float32(np.nan), plan[6]))
+
+            t_rd, _ = _time_loop(run_warp, stacked)
+            detail['reproject_device_mpix_s'] = round(wp / t_rd, 2)
     except Exception as e:  # pragma: no cover
         detail['reproject_error'] = str(e)
 
@@ -283,6 +316,11 @@ def main():
         tdir = tempfile.mkdtemp(prefix='nd_tpu_bench_tiles_')
         flt = BoxcarFilter(w=3)
         try:
+            # warm the tile-shaped executable (other configs exclude
+            # compile via their warmup rep too)
+            warm = tds.isel(y=slice(0, NY // 4 + 1),
+                            x=slice(0, NX // 4 + 1))
+            _sync(flt.apply(warm)['C11'].data)
             t0 = time.perf_counter()
             tile(tds, tdir, chunks={'y': NY // 4, 'x': NX // 4},
                  buffer=1, complevel=1)

@@ -124,7 +124,10 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     # grids with halos, odd edge tiles) now share one compiled
     # executable instead of paying a fresh XLA compile each (minutes
     # per shape on remote-compile backends).
-    trail = [(0, (-padded.shape[ax]) % _SHAPE_BUCKET) if ax in axes
+    # round the LOGICAL size (not the halo-padded one): an aligned
+    # input stays exactly as-is, and every size in the same 64-window
+    # maps to the same executable
+    trail = [(0, (-arr.shape[ax]) % _SHAPE_BUCKET) if ax in axes
              else (0, 0) for ax in range(arr.ndim)]
     if any(t for _, t in trail):
         bucketed = jnp.pad(padded, trail)

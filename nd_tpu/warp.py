@@ -398,15 +398,26 @@ def _gather_jit():
 
 
 @functools.lru_cache(maxsize=8)
+def _cached_host_grid(dst_transform6, dst_shape, src_transform6,
+                      src_proj4, dst_proj4):
+    """Host f64 source-pixel coordinate grid for the warp geometry.
+    Shared by the gather path (`_cached_grid`) and the separable-plan
+    builder (`_cached_plan`) so the CRS transform runs once."""
+    from .crs import CRS
+    return grid_from_transforms(
+        Affine(*dst_transform6), dst_shape, Affine(*src_transform6),
+        src_crs=CRS.from_proj4(src_proj4),
+        dst_crs=CRS.from_proj4(dst_proj4), xp=np)
+
+
+@functools.lru_cache(maxsize=8)
 def _cached_grid(dst_transform6, dst_shape, src_transform6, src_proj4,
                  dst_proj4, dtype_str):
     """Device-resident source-pixel coordinate grid, keyed by the full
     warp geometry. One host transform + upload per distinct grid."""
-    from .crs import CRS
-    rows, cols = grid_from_transforms(
-        Affine(*dst_transform6), dst_shape, Affine(*src_transform6),
-        src_crs=CRS.from_proj4(src_proj4),
-        dst_crs=CRS.from_proj4(dst_proj4), xp=np)
+    rows, cols = _cached_host_grid(dst_transform6, dst_shape,
+                                   src_transform6, src_proj4,
+                                   dst_proj4)
     dtype = np.dtype(dtype_str)
     return (jnp.asarray(np.asarray(rows, dtype)),
             jnp.asarray(np.asarray(cols, dtype)))
@@ -414,6 +425,58 @@ def _cached_grid(dst_transform6, dst_shape, src_transform6, src_proj4,
 
 def _jitted_gather(values, rows, cols, method, cval):
     return _gather_jit()(values, rows, cols, method=method, cval=cval)
+
+
+@functools.lru_cache(maxsize=1)
+def _matmul_jit():
+    import jax
+    from .ops.interp import matmul_resample
+    return jax.jit(matmul_resample, static_argnames=('expected',))
+
+
+# weight matrices above this many entries would not pay for themselves
+# (64 MB f32 each); the O(N) gather wins asymptotically anyway
+_MATMUL_PLAN_CAP = 1 << 24
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
+                 dst_proj4, src_shape, method, coord_dtype_str):
+    """Separable-resample plan (device weight matrices) or None.
+
+    Axis-aligned affine warps and per-axis-factoring CRS pairs
+    (e.g. geographic <-> Mercator) resolve to two 1-d interpolation
+    operators; sampling then runs as dense MXU matmuls instead of
+    per-pixel gathers (`ops.interp.matmul_resample`). Keyed like
+    `_cached_grid` plus the source shape and method.
+    """
+    from .ops.interp import axis_weights, separable_coords
+
+    if method not in ('bilinear', 'nearest'):
+        return None
+    height, width = dst_shape
+    H, W = src_shape
+    if height * H > _MATMUL_PLAN_CAP or width * W > _MATMUL_PLAN_CAP:
+        return None
+    rows, cols = _cached_host_grid(dst_transform6, dst_shape,
+                                   src_transform6, src_proj4,
+                                   dst_proj4)
+    rc = separable_coords(rows, cols)
+    if rc is None:
+        return None
+    # round through the gather path's coordinate precision so both
+    # paths touch IDENTICAL source pixels (else NaN footprints and
+    # edge validity can differ by one pixel where a coordinate lands
+    # exactly on a pixel center)
+    cdt = np.dtype(coord_dtype_str)
+    r1 = rc[0].astype(cdt).astype(np.float64)
+    c1 = rc[1].astype(cdt).astype(np.float64)
+    wy, wym, vy = axis_weights(r1, H, method)
+    wx, wxm, vx = axis_weights(c1, W, method)
+    expected = 4.0 if method == 'bilinear' else 1.0
+    return (jnp.asarray(wy), jnp.asarray(wym), jnp.asarray(wx),
+            jnp.asarray(wxm), jnp.asarray(vy), jnp.asarray(vx),
+            expected)
 
 def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                width=None, height=None, res=None, extent=None, **kwargs):
@@ -491,12 +554,29 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
     coord_dtype = np.float32 if max(height, width) < 16384 \
         and max(ds.sizes.get('y', 1), ds.sizes.get('x', 1)) < 16384 \
         else np.float64
-    rows, cols = _cached_grid(tuple(dst_transform)[:6], (height, width),
-                              tuple(src_transform)[:6],
-                              src_crs.to_proj4(), dst_crs.to_proj4(),
-                              np.dtype(coord_dtype).str)
-
     resampling = kwargs.get('resampling')
+
+    grid_key = (tuple(dst_transform)[:6], (height, width),
+                tuple(src_transform)[:6], src_crs.to_proj4(),
+                dst_crs.to_proj4())
+
+    def _sample(values, method, nodata):
+        """Resample ``values`` (..., y, x): separable warps in f32 run
+        as MXU matmuls (same NaN/validity semantics as the gather, see
+        `ops.interp.matmul_resample`); everything else — f64-exact
+        paths, curvilinear warps, big rasters — uses the device
+        gather (whose coordinate grid is only built and uploaded when
+        this fallback actually fires)."""
+        if values.dtype == jnp.float32:
+            plan = _cached_plan(*grid_key, values.shape[-2:], method,
+                                np.dtype(coord_dtype).str)
+            if plan is not None:
+                return _matmul_jit()(values, *plan[:6],
+                                     np.float32(nodata),
+                                     expected=plan[6])
+        rows, cols = _cached_grid(*grid_key,
+                                  np.dtype(coord_dtype).str)
+        return _jitted_gather(values, rows, cols, method, nodata)
 
     def _restore_dtype(out, out_dtype):
         """Undo the gather-precision promotion: f16 back to f16, ints
@@ -537,12 +617,10 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
             values = values.astype(jnp.float64)
 
         if jnp.iscomplexobj(values):
-            out = (_jitted_gather(values.real, rows, cols, method,
-                                  np.nan)
-                   + 1j * _jitted_gather(values.imag, rows, cols,
-                                         method, np.nan))
+            out = (_sample(values.real, method, np.nan)
+                   + 1j * _sample(values.imag, method, np.nan))
         else:
-            out = _jitted_gather(values, rows, cols, method, nodata)
+            out = _sample(values, method, nodata)
         out = _restore_dtype(out, out_dtype)
         return out
 
@@ -621,8 +699,7 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                 if im_v is not None:
                     parts.append(im_v)
             stacked = jnp.stack(parts, axis=0)
-            gathered = _jitted_gather(stacked, rows, cols, method,
-                                      nodata)
+            gathered = _sample(stacked, method, nodata)
             i = 0
             for (v, _, im_v, proj_dims, orig_order, out_dtype) in entries:
                 if im_v is not None:

@@ -359,3 +359,83 @@ def test_translate_cubic_integer_shift_exact():
     # interior must match an exact integer roll
     np.testing.assert_allclose(got[5:15, 5:15],
                                img[3:13, 8:18], atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Separable matmul resampling fast path (ops.interp.matmul_resample)
+# ---------------------------------------------------------------------------
+
+def _f32_ds(ny=31, nx=45, with_nan=True):
+    ds = generate_test_dataset(dims={'y': ny, 'x': nx, 'time': 3})
+    for v in list(ds.data_vars):
+        vals = ds[v].values.astype(np.float32)
+        if with_nan:
+            vals[ny // 3, nx // 4] = np.nan
+        ds[v] = (ds[v].dims, vals)
+    return ds
+
+
+@pytest.mark.parametrize('dst', ['epsg:3395', None])
+def test_matmul_resample_matches_gather(dst):
+    """f32 (matmul plan) vs f64 (gather) reprojections must agree —
+    including NaN propagation into every touched output pixel."""
+    ds32 = _f32_ds()
+    ds64 = ds32.copy()
+    for v in list(ds64.data_vars):
+        ds64[v] = (ds64[v].dims, ds64[v].values.astype(np.float64))
+    kw = {'crs': dst} if dst else {'crs': 'epsg:4326',
+                                   'extent': (-9.9, 50.1, -0.2, 59.8),
+                                   'width': 40, 'height': 37}
+    r32 = Reprojection(**kw).apply(ds32)
+    r64 = Reprojection(**kw).apply(ds64)
+    a = np.asarray(r32['C11'].values, np.float64)
+    b = np.asarray(r64['C11'].values, np.float64)
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                               rtol=0, atol=1e-5)
+    # the f32 run actually took the matmul plan: rebuilding the plan
+    # for this exact geometry must succeed (a None here would mean the
+    # fast path silently fell back to the gather)
+    from nd_tpu.warp import _cached_plan, get_crs, get_transform
+    plan = _cached_plan(
+        tuple(np.asarray(r32.attrs['transform']))[:6],
+        (r32.sizes['y'], r32.sizes['x']),
+        tuple(get_transform(ds32))[:6],
+        get_crs(ds32).to_proj4(), get_crs(r32).to_proj4(),
+        (ds32.sizes['y'], ds32.sizes['x']), 'bilinear', '<f4')
+    assert plan is not None
+
+
+def test_matmul_resample_op_parity():
+    """Direct op-level check: matmul_resample == map_coordinates on a
+    separable coordinate set, for bilinear and nearest."""
+    from nd_tpu.ops.interp import (axis_weights, map_coordinates,
+                                   matmul_resample)
+    rng = np.random.RandomState(0)
+    H, W = 23, 37
+    vals = rng.normal(size=(2, H, W)).astype(np.float32)
+    vals[0, 5, 7] = np.nan
+    vals[1, 11, 20] = np.inf      # non-finite contract: -> NaN output
+    rows1 = np.linspace(-1.2, H + 0.3, 29)    # includes out-of-range
+    cols1 = np.linspace(-0.4, W - 0.7, 33)
+    R, C = np.meshgrid(rows1, cols1, indexing='ij')
+    for method, expected in [('bilinear', 4.0), ('nearest', 1.0)]:
+        ref = np.asarray(map_coordinates(vals, R, C, method=method,
+                                         cval=np.nan))
+        wy, wym, vy = axis_weights(rows1, H, method)
+        wx, wxm, vx = axis_weights(cols1, W, method)
+        got = np.asarray(matmul_resample(
+            vals, wy, wym, wx, wxm, vy, vx, np.float32(np.nan),
+            expected))
+        assert np.array_equal(np.isnan(got), np.isnan(ref)), method
+        np.testing.assert_allclose(np.nan_to_num(got),
+                                   np.nan_to_num(ref),
+                                   rtol=0, atol=1e-5, err_msg=method)
+
+
+def test_separable_coords_rejects_curvilinear():
+    from nd_tpu.ops.interp import separable_coords
+    ii, jj = np.meshgrid(np.arange(10.0), np.arange(12.0),
+                         indexing='ij')
+    assert separable_coords(ii, jj) is not None
+    assert separable_coords(ii + 0.01 * jj, jj) is None
