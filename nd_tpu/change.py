@@ -74,7 +74,7 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
     sharding = getattr(values, 'sharding', None)
     multi_device = sharding is not None and \
         len(getattr(sharding, 'device_set', ())) > 1
-    if supports_pallas() and not multi_device:
+    if supports_pallas(values.shape[2]) and not multi_device:
         # fused Pallas kernel + exact float64 patching of the rare
         # near-margin pixels — exact decisions at fast-mode speed
         change = change_detection_hybrid(values, alpha=float(alpha),

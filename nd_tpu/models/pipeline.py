@@ -106,7 +106,7 @@ class SARChangePipeline:
         looked = multilook(values, self.ml)
         n = self.n * self.ml ** 2
         from ..ops.change_pallas import supports_pallas
-        if supports_pallas():
+        if supports_pallas(looked.shape[2]):
             from ..ops.change import _change_detection_exact_core
             ny, nx = looked.shape[:2]
             cap = int(min(max(4096, (ny * nx) // 128), ny * nx))

@@ -204,7 +204,7 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
         # f32 XLA path and ~2x faster (and compiles ~30x faster)
         from .change_pallas import (change_detection_pallas,
                                     supports_pallas)
-        if supports_pallas():
+        if supports_pallas(values.shape[2]):
             return change_detection_pallas(values, alpha, n=n)
     mixed = (stat_dtype == 'mixed')
     if mixed:
@@ -468,7 +468,7 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
     """
     from .change_pallas import supports_pallas
 
-    if not (supports_pallas() or interpret):
+    if not (supports_pallas(np.shape(values)[2]) or interpret):
         return change_detection(values, alpha=alpha, n=n,
                                 stat_dtype='mixed')
     values = jnp.asarray(values)
@@ -522,7 +522,7 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
 
     del nthreads, values_host  # device-patched; kept for API compat
 
-    if not supports_pallas():
+    if not supports_pallas(np.shape(values)[2]):
         out = change_detection(values, alpha=alpha, n=n)
         return out if return_device else np.asarray(out)
 

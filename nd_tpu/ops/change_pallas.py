@@ -38,8 +38,20 @@ _TX = 128
 _P = 2.0
 
 
-def supports_pallas():
-    return jax.default_backend() == 'tpu' and pltpu is not None
+# The kernel statically unrolls the restart-scan rounds, so its graph
+# is O(k^2) in the series length: past ~this many time steps XLA
+# compile time explodes (minutes on remote-compile backends) while the
+# while_loop 'mixed' XLA path stays O(k) and remains the better choice.
+_K_MAX = 48
+
+
+def supports_pallas(k=None):
+    """True when the fused TPU kernel applies (optionally: to a series
+    of length ``k`` — long stacks fall back to the XLA scan, whose
+    compile time does not grow quadratically)."""
+    if jax.default_backend() != 'tpu' or pltpu is None:
+        return False
+    return k is None or k <= _K_MAX
 
 
 def _mlog(x):

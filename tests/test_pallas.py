@@ -118,3 +118,15 @@ def test_exact_device_multiplane_k_over_31():
     got = np.asarray(change_detection_exact(
         cube, alpha=0.99, n=9, capacity=96, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_k_cap(monkeypatch):
+    """Long time series (O(k^2) unrolled kernel graph) fall back to
+    the XLA scan: supports_pallas(k) gates on _K_MAX."""
+    import nd_tpu.ops.change_pallas as cp
+    if cp.pltpu is None:
+        pytest.skip('pallas tpu module unavailable')
+    monkeypatch.setattr(cp.jax, 'default_backend', lambda: 'tpu')
+    assert cp.supports_pallas()
+    assert cp.supports_pallas(cp._K_MAX)
+    assert not cp.supports_pallas(cp._K_MAX + 1)
