@@ -37,3 +37,10 @@ def test_concat_new_dim_dataset():
     assert out['C11'].dims == ('y', 'x', 'time')
     np.testing.assert_allclose(
         out['C11'].isel(time=1).values, parts[1]['C11'].values)
+
+
+def test_out_of_core_mosaic(tmp_path):
+    from out_of_core_mosaic import main
+    out = main(outdir=str(tmp_path), ny=96, nx=120, k=2)
+    import os
+    assert os.path.exists(os.path.join(out, 'mosaic_3395.nc'))
