@@ -107,9 +107,10 @@ class SARChangePipeline:
         n = self.n * self.ml ** 2
         from ..ops.change_pallas import supports_pallas
         if supports_pallas(looked.shape[2]):
-            from ..ops.change import _change_detection_exact_core
+            from ..ops.change import (_change_detection_exact_core,
+                                      _patch_capacity)
             ny, nx = looked.shape[:2]
-            cap = int(min(max(4096, (ny * nx) // 128), ny * nx))
+            cap = _patch_capacity(ny, nx)
             flags, _ = _change_detection_exact_core(
                 looked, float(self.alpha), int(n), 3e-4, cap)
             return flags

@@ -200,8 +200,13 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
     if not jnp.issubdtype(values.dtype, jnp.floating):
         values = values.astype(jnp.float32)
     if stat_dtype in ('float32', jnp.float32):
-        # fast mode: the fused Pallas kernel is bit-identical to the
-        # f32 XLA path and ~2x faster (and compiles ~30x faster)
+        # fast mode: the fused Pallas kernel computes the same f32
+        # decision rule ~2x faster (and compiles ~30x faster). Its
+        # decisions agree with this XLA path everywhere both logs are
+        # exact (CPU interpret tests assert equality); on real TPU the
+        # kernel's _mlog is ~1e-7-accurate while the XLA path inherits
+        # the builtin log's ~1e-4 absolute error, so rare
+        # near-threshold pixels can differ — in the kernel's favor.
         from .change_pallas import (change_detection_pallas,
                                     supports_pallas)
         if supports_pallas(values.shape[2]):
@@ -386,6 +391,19 @@ def _compact_indices(mask, capacity):
     return idx, count
 
 
+def _patch_capacity(ny, nx, capacity=None):
+    """Effective f64-rescan capacity: default 1/128 of the pixels
+    (min 4096), rounded UP to a 128-lane multiple. This is the exact
+    number of suspect rows the device rescan patches, so overflow
+    checks must compare against this value (comparing against the
+    pre-rounded request would needlessly discard an already-exact
+    result for counts inside the rounding slack)."""
+    if capacity is None:
+        capacity = max(4096, (ny * nx) // 128)
+    capacity = int(min(capacity, ny * nx))
+    return -(-capacity // 128) * 128
+
+
 @partial(jax.jit, static_argnames=('alpha', 'n', 'margin_eps',
                                    'capacity', 'interpret'))
 def _change_detection_exact_packed(values, alpha, n, margin_eps,
@@ -415,14 +433,22 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
     nplanes = packed.shape[0]
     suspect = ~(margin > jnp.float32(margin_eps))   # NaN-inclusive
     idx, count = _compact_indices(suspect, capacity)
-    # idx is sorted and unique by construction — the hints let XLA
-    # vectorize the gather/scatter instead of serializing them
+    # The real suspect indices come out sorted and unique, but the
+    # capacity-fill entries past `count` resolve to an arbitrary
+    # (clamped) pixel and may repeat it — so sort the whole vector
+    # (cheap at <=16k lanes) to make the indices_are_sorted hint
+    # legal, and do NOT claim unique_indices (a false hint is
+    # undefined behavior in XLA's gather/scatter lowering). Duplicate
+    # fills are benign: each gathers the same series, rescans to the
+    # same decision, and scatters the same value.
+    idx = jnp.sort(idx)
     series = values.reshape(ny * nx, k, 4).at[idx].get(
-        indices_are_sorted=True, unique_indices=True)
+        indices_are_sorted=True)
     # (cap,) rows rescanned as a (cap/128, 128) grid: a (cap, 1) grid
     # would put the 128-lane axis on a size-1 dimension and waste >10x
     series = series.reshape(capacity // 128, 128, k, 4)
-    patched = change_detection(series, alpha, n=n, stat_dtype='mixed')
+    patched = change_detection(series, alpha, n=n, stat_dtype='mixed',
+                               unroll=True)
     patched = patched.reshape(capacity, k)
     out_planes = []
     for pp in range(nplanes):
@@ -433,8 +459,7 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
             * weights, axis=-1, dtype=jnp.int32)
         out_planes.append(
             packed[pp].ravel().at[idx].set(
-                rows_packed, indices_are_sorted=True,
-                unique_indices=True).reshape(ny, nx))
+                rows_packed, indices_are_sorted=True).reshape(ny, nx))
     packed = jnp.stack(out_planes)
     return packed, count
 
@@ -463,8 +488,14 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
     whose f32 decisions could differ from float64 — are re-scanned on
     device in float64 via a fixed-capacity gather/rescan/scatter. No
     host transfer happens unless the suspect count overflows
-    ``capacity`` (default 1/128 of the pixels, min 4096), in which case
-    the full-grid 'mixed' scan runs instead.
+    ``capacity`` (default 1/128 of the pixels, min 4096, rounded up to
+    a 128-lane multiple), in which case the full-grid 'mixed' scan
+    runs instead.
+
+    Requires jax x64 (the default here) for the float64 rescan; with
+    ``ND_TPU_X64=0`` the rescan math degrades to f32 — use
+    :func:`change_detection_hybrid`, which host-patches in that
+    configuration.
     """
     from .change_pallas import supports_pallas
 
@@ -475,9 +506,7 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
     if not jnp.issubdtype(values.dtype, jnp.floating):
         values = values.astype(jnp.float32)
     ny, nx = values.shape[:2]
-    if capacity is None:
-        capacity = max(4096, (ny * nx) // 128)
-    capacity = int(min(capacity, ny * nx))
+    capacity = _patch_capacity(ny, nx, capacity)
     flags, count = _change_detection_exact_core(
         values, float(alpha), int(n), float(margin_eps), capacity,
         interpret=interpret)
@@ -508,8 +537,10 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
     result is exact either way.
 
     Host-driven (not jittable); ``OmnibusTest`` uses it automatically
-    on TPU. ``nthreads``/``values_host`` are accepted for backward
-    compatibility (the patch step no longer runs on the host).
+    on TPU. With jax x64 disabled (``ND_TPU_X64=0``) the patch step
+    runs on the host with the native f64 kernel instead (the device
+    rescan cannot hold float64 then); ``nthreads``/``values_host``
+    apply to that path.
 
     Parameters
     ----------
@@ -518,13 +549,44 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
     return_device : bool, optional
         Return the (patched) device array instead of numpy.
     """
-    from .change_pallas import supports_pallas
-
-    del nthreads, values_host  # device-patched; kept for API compat
+    from .change_pallas import change_detection_pallas, supports_pallas
 
     if not supports_pallas(np.shape(values)[2]):
         out = change_detection(values, alpha=alpha, n=n)
         return out if return_device else np.asarray(out)
+
+    if not jax.config.jax_enable_x64:
+        # Device float64 is unavailable (ND_TPU_X64=0): the on-device
+        # rescan would silently degrade to f32, so patch near-margin
+        # pixels on the HOST with the native f64 kernel instead —
+        # exactness must not depend on the jax precision config.
+        if values_host is None:
+            values_host = values if isinstance(values, np.ndarray) \
+                else np.asarray(values)
+        values_dev = jnp.asarray(values, jnp.float32)
+        flags, margin = change_detection_pallas(values_dev, alpha, n=n,
+                                                return_margin=True)
+        result = np.array(flags)        # writable copy (asarray views
+                                        # of device buffers are RO)
+        suspect = ~(np.asarray(margin) > margin_eps)
+        ys, xs = np.nonzero(suspect)
+        if len(ys):
+            series = np.asarray(values_host)[ys, xs] \
+                .astype(np.float64)
+            try:
+                from .._native import change_detection_native
+                patched = change_detection_native(
+                    series[:, None], alpha, n=n,
+                    nthreads=nthreads or min(8, len(ys) // 64 + 1)
+                )[:, 0]
+            except Exception:   # native lib missing: pure-python
+                patched = np.stack([
+                    _single_pixel_exact(series[i], alpha, n)
+                    for i in range(len(ys))])
+            result[ys, xs] = patched
+        return jnp.asarray(result) if return_device else result
+
+    del nthreads, values_host  # device-patched; kept for API compat
 
     if return_device:
         return change_detection_exact(values, alpha, n=n,
@@ -535,9 +597,7 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
     if not jnp.issubdtype(values_dev.dtype, jnp.floating):
         values_dev = values_dev.astype(jnp.float32)
     ny, nx, k, _ = values_dev.shape
-    if capacity is None:
-        capacity = max(4096, (ny * nx) // 128)
-    capacity = int(min(capacity, ny * nx))
+    capacity = _patch_capacity(ny, nx, capacity)
 
     packed, count = _packed_exact_kernel(
         float(alpha), int(n), int(k), float(margin_eps),

@@ -328,31 +328,44 @@ def change_detection_pallas(values, alpha, n=1, interpret=False,
                                thresholds=thresholds,
                                with_margin=bool(return_margin))
 
-    packed, margin = pl.pallas_call(
+    # Without return_margin the margin plane lives as VMEM SCRATCH —
+    # the kernel body is identical (it still initializes margin_ref;
+    # pallas passes outputs before scratch, and margin is the first
+    # scratch entry, so the positional signature is unchanged) but the
+    # (ny, nx) f32 HBM write disappears, halving the fast path's
+    # output traffic for k <= 31.
+    packed_shape = jax.ShapeDtypeStruct((nplanes, ny_pad, nx_pad),
+                                        jnp.int32)
+    packed_spec = pl.BlockSpec((nplanes, ty, tx),
+                               lambda i, j: (i * 0, i, j),
+                               memory_space=pltpu.VMEM)
+    margin_spec = pl.BlockSpec((ty, tx), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((ty, tx), jnp.float32) for _ in range(2)]
+    if return_margin:
+        out_shape = (packed_shape,
+                     jax.ShapeDtypeStruct((ny_pad, nx_pad),
+                                          jnp.float32))
+        out_specs = (packed_spec, margin_spec)
+    else:
+        out_shape = (packed_shape,)
+        out_specs = (packed_spec,)
+        scratch = [pltpu.VMEM((ty, tx), jnp.float32)] + scratch
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nplanes, ny_pad, nx_pad), jnp.int32),
-            jax.ShapeDtypeStruct((ny_pad, nx_pad), jnp.float32),
-        ),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[pl.BlockSpec((k, 4, ty, tx),
                                lambda i, j: (i * 0, j * 0, i, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((nplanes, ty, tx), lambda i, j: (i * 0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ty, tx), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((ty, tx), jnp.float32),
-            pltpu.VMEM((ty, tx), jnp.float32),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(data)
 
-    packed = packed[:, :ny, :nx]
+    packed = outs[0][:, :ny, :nx]
     result = packed if return_packed else unpack_flags(packed, k)
     if return_margin:
-        return result, margin[:ny, :nx]
+        return result, outs[1][:ny, :nx]
     return result

@@ -130,3 +130,41 @@ def test_pallas_k_cap(monkeypatch):
     assert cp.supports_pallas()
     assert cp.supports_pallas(cp._K_MAX)
     assert not cp.supports_pallas(cp._K_MAX + 1)
+
+
+def test_hybrid_x64_off_host_patches(monkeypatch):
+    """With jax x64 off, the hybrid patches near-margin pixels on the
+    HOST with the f64 kernel (the device rescan can't hold f64).
+    Simulated on CPU: pallas forced to interpret mode, x64 flag faked
+    off — result must still equal the f64 oracle."""
+    import functools
+
+    import jax
+
+    import nd_tpu.ops.change as ch
+    import nd_tpu.ops.change_pallas as cp
+    from nd_tpu.ops.change import change_detection
+
+    monkeypatch.setattr(cp, 'supports_pallas', lambda k=None: True)
+    monkeypatch.setattr(
+        cp, 'change_detection_pallas',
+        functools.partial(cp.change_detection_pallas, interpret=True))
+
+    class _FakeCfg:
+        jax_enable_x64 = False
+
+        def __getattr__(self, name):
+            return getattr(jax.config, name)
+
+    monkeypatch.setattr(ch, 'jax',
+                        type('J', (), {'config': _FakeCfg(),
+                                       'jit': jax.jit})())
+
+    cube = _change_cube(10, 14, 6, seed=4).astype(np.float64)
+    # huge margin_eps: every pixel is suspect, so the host patch loop
+    # actually runs (it must write into a WRITABLE flags copy)
+    got = ch.change_detection_hybrid(cube, alpha=0.9, n=4,
+                                     margin_eps=1e12)
+    ref = np.asarray(change_detection(cube, alpha=0.9, n=4,
+                                      stat_dtype='mixed'))
+    np.testing.assert_array_equal(np.asarray(got), ref)
