@@ -136,7 +136,10 @@ def translate(img, translation, method='cubic'):
     ``skimage.transform.warp(img, AffineTransform(translation))``.
     'cubic' (default, Catmull-Rom — the reference coregisters with
     order-3 interpolation) runs as a separable 4-tap convolution;
-    'bilinear'/'nearest' fall back to the gather sampler.
+    'bilinear'/'nearest' fall back to the gather sampler. In the
+    gather modes, out-of-frame and non-finite source pixels (the
+    sampler's framework-wide contract maps inf contributors to NaN)
+    fill with 0.
     """
     img = jnp.asarray(img)
     if method == 'cubic':

@@ -158,7 +158,8 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
         return out_file
 
     def _run_all(fs):
-        if len(fs) <= 1 or max_workers <= 1:
+        if len(fs) <= 1 or (max_workers is not None
+                            and max_workers <= 1):
             return [_wrapper(f) for f in fs]
         # Run the FIRST tile alone: tiles share compiled programs, and
         # launching them all at once makes every thread compile the

@@ -435,11 +435,13 @@ def _matmul_jit():
 
 
 # weight matrices above this many entries would not pay for themselves
-# (64 MB f32 each); the O(N) gather wins asymptotically anyway
-_MATMUL_PLAN_CAP = 1 << 24
+# (32 MB f32 each); the O(N) gather wins asymptotically anyway. The cap
+# times the cache width also bounds the HBM the plan cache can pin
+# (4 plans x 4 matrices x 32 MB = 512 MB worst case).
+_MATMUL_PLAN_CAP = 1 << 23
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=4)
 def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
                  dst_proj4, src_shape, method, coord_dtype_str):
     """Separable-resample plan (device weight matrices) or None.
