@@ -23,14 +23,17 @@ __all__ = ['save_params', 'load_params', 'Checkpointer']
 
 
 def save_params(params, path):
-    """Save a pytree of arrays to an .npz file (atomic rename)."""
+    """Save a pytree of arrays to an .npz file (atomic rename).
+
+    The tree structure's string form is stored alongside the leaves so
+    :func:`load_params` can reject a mismatched ``like`` tree instead
+    of silently rebinding leaves to the wrong positions.
+    """
     flat, treedef = jax.tree_util.tree_flatten(params)
     arrays = {('arr_%d' % i): np.asarray(a) for i, a in enumerate(flat)}
     tmp = str(path) + '.part'
     np.savez(tmp, __treedef__=np.array(str(treedef)), **arrays)
-    # np.savez appends .npz to the filename it creates
-    os.replace(tmp + '.npz' if not tmp.endswith('.npz') else tmp,
-               path)
+    os.replace(tmp + '.npz', path)   # np.savez appends .npz to `tmp`
     return path
 
 
@@ -38,14 +41,21 @@ def load_params(path, like=None):
     """Load a pytree saved by :func:`save_params`.
 
     ``like`` supplies the tree structure (e.g. freshly initialized
-    params); without it a flat list of arrays is returned.
+    params) and is validated against the structure recorded at save
+    time; without it a flat list of arrays is returned.
     """
     with np.load(path, allow_pickle=False) as data:
         n = len([k for k in data.files if k.startswith('arr_')])
         flat = [data['arr_%d' % i] for i in range(n)]
+        saved_tree = str(data['__treedef__']) \
+            if '__treedef__' in data.files else None
     if like is None:
         return flat
     treedef = jax.tree_util.tree_structure(like)
+    if saved_tree is not None and str(treedef) != saved_tree:
+        raise ValueError(
+            'checkpoint tree structure %s does not match `like` %s'
+            % (saved_tree, treedef))
     return jax.tree_util.tree_unflatten(treedef, flat)
 
 

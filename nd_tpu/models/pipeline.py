@@ -27,7 +27,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.change import change_detection, omnibus_probabilities
 from ..ops.conv import convolve
-from ..parallel.halo import halo_pad, halo_trim
 
 __all__ = ['SARChangePipeline', 'multilook', 'change_features']
 
@@ -99,21 +98,28 @@ class SARChangePipeline:
 
         The jittable single-chip forward step (graft entry). On TPU the
         change scan runs as the fused Pallas kernel with on-device
-        float64 re-scan of near-margin pixels (exact decisions while
-        the suspect count fits the patch capacity, which it does by a
-        wide margin on real cubes); elsewhere it falls back to the XLA
-        'mixed' path."""
+        float64 re-scan of near-margin pixels; should the suspect
+        count ever overflow the patch capacity, a jit-safe
+        ``lax.cond`` recomputes the full grid with the unrolled
+        'mixed' scan — decisions are exact either way. Elsewhere (or
+        with jax x64 disabled, where a device f64 rescan cannot
+        exist) it falls back to the XLA 'mixed' path."""
         looked = multilook(values, self.ml)
         n = self.n * self.ml ** 2
         from ..ops.change_pallas import supports_pallas
-        if supports_pallas(looked.shape[2]):
+        if supports_pallas(looked.shape[2]) \
+                and jax.config.jax_enable_x64:
             from ..ops.change import (_change_detection_exact_core,
                                       _patch_capacity)
             ny, nx = looked.shape[:2]
             cap = _patch_capacity(ny, nx)
-            flags, _ = _change_detection_exact_core(
+            flags, count = _change_detection_exact_core(
                 looked, float(self.alpha), int(n), 3e-4, cap)
-            return flags
+            return jax.lax.cond(
+                count > cap,
+                lambda: change_detection(looked, alpha=self.alpha,
+                                         n=n, unroll=True),
+                lambda: flags)
         return change_detection(looked, alpha=self.alpha, n=n)
 
     # -- training ---------------------------------------------------------------
@@ -148,20 +154,17 @@ class SARChangePipeline:
         return params, loss
 
     def _sharded_multilook(self, values, mesh):
+        """Multilook with halos over ICI — delegates to the shared
+        `parallel.halo.shard_apply` engine (which also handles pixel
+        grids that don't divide the mesh)."""
+        from ..parallel.halo import shard_apply
         w = self.ml
         halo = w // 2
         kernel = jnp.ones((w, w), values.dtype) / (w * w)
-
-        def local(x):
-            x = halo_pad(x, 'y', 0, halo, mode='symmetric')
-            x = halo_pad(x, 'x', 1, halo, mode='symmetric')
-            y = convolve(x, kernel, axes=(0, 1), mode='reflect')
-            y = halo_trim(y, 0, halo)
-            return halo_trim(y, 1, halo)
-
-        spec = P('y', 'x', None, None)
-        return jax.shard_map(local, mesh=mesh, in_specs=spec,
-                             out_specs=spec)(values)
+        return shard_apply(
+            lambda x: convolve(x, kernel, axes=(0, 1), mode='reflect'),
+            values, mesh, {'y': (0, halo), 'x': (1, halo)},
+            mode='symmetric')
 
     # -- full sharded step, jitted over the mesh ---------------------------------
     def make_sharded_step(self, mesh):

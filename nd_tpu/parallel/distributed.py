@@ -31,7 +31,10 @@ def initialize(coordinator_address=None, num_processes=None,
             num_processes=num_processes, process_id=process_id,
             **kwargs)
     except RuntimeError as e:  # already initialized
-        if 'already' not in str(e).lower():
+        # jax <=0.4 raises '... is already initialized'; jax 0.9 raises
+        # 'distributed.initialize should only be called once.'
+        msg = str(e).lower()
+        if 'already' not in msg and 'only be called once' not in msg:
             raise
 
 

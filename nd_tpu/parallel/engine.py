@@ -92,6 +92,12 @@ def apply_sharded(algo, ds, mesh=None):
                   if d in ds.sizes and d in algo.dims]
     mesh = _fit_mesh_to_dims(mesh, ds, shard_dims, halos)
     mode = _filter_pad_mode(algo)
+    cval = float(getattr(algo, 'kwargs', {}).get('cval', 0.0))
+    if mode == 'wrap':
+        # periodic halos cannot ride divisibility padding (see
+        # halo.shard_apply); keep such axes replicated instead
+        shard_dims = [d for d in shard_dims
+                      if ds.sizes[d] % mesh.shape[d] == 0]
 
     convert_complex = is_complex(ds) and not algo.supports_complex
     if convert_complex:
@@ -105,7 +111,7 @@ def apply_sharded(algo, ds, mesh=None):
             return algo._filter(jnp.asarray(arr), axes)
         return shard_apply(lambda x: algo._filter(x, axes),
                            jnp.asarray(arr), mesh, sharded_axes,
-                           mode=mode)
+                           mode=mode, cval=cval)
 
     if isinstance(ds, DataArray):
         if algo.per_variable:
@@ -124,10 +130,27 @@ def apply_sharded(algo, ds, mesh=None):
 
     if algo.per_variable:
         result = ds.copy(deep=False)
+        # same-layout variables stack into ONE sharded dispatch (the
+        # stacking axis is a plain batch axis: `_run` indexes filter/
+        # shard axes by dim name, so the +1 shift is automatic) —
+        # mirrors Filter.apply's fusion, which exists because each
+        # dispatch costs ~40 ms of host-link latency on tunneled hosts
+        groups = {}
         for v in get_vars_for_dims(ds, algo.dims):
-            filtered = _run(ds[v].data, ds[v].dims)
-            result._variables[v] = Variable(ds[v].dims, filtered,
-                                            ds[v].attrs)
+            key = (ds[v].dims, np.dtype(getattr(ds[v].data, 'dtype')))
+            groups.setdefault(key, []).append(v)
+        for (vdims, _), vs in groups.items():
+            if len(vs) == 1:
+                v = vs[0]
+                filtered = _run(ds[v].data, vdims)
+                result._variables[v] = Variable(vdims, filtered,
+                                                ds[v].attrs)
+                continue
+            stacked = jnp.stack([jnp.asarray(ds[v].data) for v in vs])
+            filtered = _run(stacked, ('_stack_',) + tuple(vdims))
+            for i, v in enumerate(vs):
+                result._variables[v] = Variable(vdims, filtered[i],
+                                                ds[v].attrs)
         return result
 
     # joint-variable path (NLMeans)

@@ -61,9 +61,14 @@ def halo_pad(x, axis_name, axis, halo, mode='symmetric', cval=0.0):
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     size = x.shape[axis]
-    if halo > size:
-        raise ValueError('halo (%d) exceeds shard size (%d) along %r'
-                         % (halo, size, axis_name))
+    # 'reflect' (edge excluded) mirrors indices 1..halo, so it needs
+    # one row more than the halo itself
+    limit = size - 1 if mode == 'reflect' else size
+    if halo > limit:
+        raise ValueError(
+            'halo (%d) exceeds the largest supported value (%d) for a '
+            'shard of %d rows with mode %r along %r — use fewer shards'
+            % (halo, limit, size, mode, axis_name))
 
     left_edge = lax.slice_in_dim(x, 0, halo, axis=axis)
     right_edge = lax.slice_in_dim(x, size - halo, size, axis=axis)
@@ -142,6 +147,16 @@ def shard_apply(fn, arr, mesh, sharded_axes, mode='symmetric', cval=0.0,
         size = arr.shape[axis]
         rem = (-size) % n_shards
         if rem:
+            if mode == 'wrap':
+                # Padding breaks periodicity: the wrap exchange would
+                # hand shard 0 rows from the pad region instead of the
+                # true opposite edge, silently corrupting left-edge
+                # outputs. Callers must pick a divisible decomposition
+                # (apply_sharded drops such axes automatically).
+                raise ValueError(
+                    "mode='wrap' requires the %r axis size (%d) to "
+                    'divide the mesh (%d shards)'
+                    % (axis_name, size, n_shards))
             # The pad must be at least `halo` wide, otherwise outputs
             # near the true edge would see the last shard's local
             # boundary slab instead of the global boundary condition.

@@ -160,3 +160,52 @@ def test_sharded_reproject_equals_serial():
         np.testing.assert_allclose(
             np.asarray(sharded[v].values), np.asarray(serial[v].values),
             equal_nan=True)
+
+
+def test_sharded_wrap_non_divisible_falls_back(mesh):
+    """Periodic halos can't ride divisibility padding: wrap-mode
+    filters on awkward sizes keep those axes replicated and still
+    equal the serial result (a padded wrap exchange used to hand
+    shard 0 pad rows instead of the true opposite edge)."""
+    ds = generate_test_dataset(dims={'y': 10, 'x': 11, 'time': 2})
+    algo = BoxcarFilter(w=3, mode='wrap')
+    serial = algo.apply(ds)
+    sharded = apply_sharded(algo, ds, mesh=mesh)
+    assert_equal_data(serial, sharded, rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_constant_cval_forwarded(mesh):
+    """mode='constant' with a nonzero cval must fill global edges with
+    the kernel's cval, not 0."""
+    ds = generate_test_dataset(dims={'y': 24, 'x': 32, 'time': 2})
+    algo = BoxcarFilter(w=3, mode='constant', cval=2.5)
+    serial = algo.apply(ds)
+    sharded = apply_sharded(algo, ds, mesh=mesh)
+    assert_equal_data(serial, sharded, rtol=1e-10, atol=1e-12)
+
+
+def test_shard_apply_wrap_divisible(mesh):
+    """Wrap halos on a divisible grid match numpy's periodic pad."""
+    from nd_tpu.ops.conv import convolve
+    rng = np.random.RandomState(1)
+    arr = rng.rand(16, 16)
+    k = jnp.ones((3, 3)) / 9
+
+    def fn(x):
+        return convolve(x, k, axes=(0, 1), mode='wrap')
+
+    out = shard_apply(fn, jnp.asarray(arr), mesh,
+                      {'y': (0, 1), 'x': (1, 1)}, mode='wrap')
+    ref = fn(jnp.asarray(arr))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-12)
+
+
+def test_checkpoint_treedef_mismatch_raises(tmp_path):
+    from nd_tpu.models.checkpoint import load_params, save_params
+    p = str(tmp_path / 'ckpt.npz')
+    save_params({'w': np.ones((2, 2)), 'b': np.zeros(2)}, p)
+    ok = load_params(p, like={'w': 0, 'b': 0})
+    assert set(ok) == {'w', 'b'}
+    with pytest.raises(ValueError):
+        load_params(p, like={'w': 0, 'b': 0, 'extra': 0})
