@@ -18,7 +18,7 @@ from collections import OrderedDict
 import numpy as np
 
 from . import utils
-from .core import DataArray, Dataset
+from .core import DataArray, Dataset, concat
 
 try:
     from sklearn import metrics, preprocessing
@@ -37,6 +37,11 @@ def class_mean(ds, labels):
     labels : DataArray
         Class label per pixel; label dims may be a subset of data dims.
     """
+    # Deliberate parity with the reference's sequential fillna loop
+    # (reference classify.py:15-44): each class's fill step replaces
+    # EVERY remaining NaN — including NaN pixels of classes processed
+    # later — so earlier classes' means leak into later ones exactly
+    # as they do upstream.
     labels_arr = labels
     uniques = np.unique(np.asarray(
         labels.values if isinstance(labels, DataArray) else labels))
@@ -105,7 +110,6 @@ def _broadcast_labels(labels, ds, feature_dims=[]):
         data_dims = _get_data_dims(ds, feature_dims=feature_dims)
         bc_dims = set(data_dims) - set(labels.dims) - set(feature_dims)
         for dim in bc_dims:
-            from .core import concat
             labels = concat([labels] * ds.sizes[dim], dim=dim)
             labels._coords[dim] = ds._coords[dim]
         return labels.transpose(*data_dims)
@@ -163,6 +167,9 @@ class Classifier:
             y = labels_np.reshape(-1)[ymask][Xmask]
 
         if self.scale:
+            if preprocessing is None:
+                raise ImportError(
+                    'scale=True requires scikit-learn')
             self._scaler = preprocessing.StandardScaler()
             self._scaler.fit(X)
             X = self._scaler.transform(X)
@@ -210,6 +217,8 @@ class Classifier:
 
     def score(self, ds, labels=None, method='accuracy'):
         """Classification score using a scikit-learn scorer by name."""
+        if metrics is None:
+            raise ImportError('score() requires scikit-learn')
         try:
             scorer = metrics.get_scorer(method)
         except Exception:
@@ -312,6 +321,10 @@ class JaxClassifier:
         helper = Classifier(clf=None, feature_dims=self.feature_dims)
         X, y = helper.make_Xy(ds, labels)
         self._classes, y_idx = np.unique(y, return_inverse=True)
+        if self.n_classes and len(self._classes) > self.n_classes:
+            raise ValueError(
+                'labels contain %d distinct classes but n_classes=%d'
+                % (len(self._classes), self.n_classes))
         n_classes = self.n_classes or len(self._classes)
 
         Xd = jnp.asarray(X, jnp.float32)
@@ -340,12 +353,18 @@ class JaxClassifier:
         X = _build_X(ds, feature_dims=self.feature_dims)
         mask = ~np.isnan(X).any(axis=1)
         Xd = (jnp.asarray(X[mask], jnp.float32) - self._mu) / self._sd
+        if func not in ('predict', 'predict_proba'):
+            raise AttributeError('unknown prediction func %r' % func)
         logits = self._forward(self.params, Xd)
         if func == 'predict_proba':
             import jax
             result = np.asarray(jax.nn.softmax(logits))
         else:
-            idx = np.asarray(jnp.argmax(logits, axis=1))
+            # argmax only over the classes observed in fit(): with an
+            # explicit wider n_classes the surplus columns are
+            # untrained and must never win
+            idx = np.asarray(jnp.argmax(
+                logits[:, :len(self._classes)], axis=1))
             result = self._classes[idx]
 
         data_dims = _get_data_dims(ds, feature_dims=self.feature_dims)

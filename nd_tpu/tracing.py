@@ -9,6 +9,7 @@ runs to find host/device imbalance.
 from __future__ import annotations
 
 import contextlib
+import functools
 import json
 import threading
 import time
@@ -41,11 +42,10 @@ def trace(name=None):
     def deco(fn):
         label = name or fn.__qualname__
 
+        @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             with span(label):
                 return fn(*args, **kwargs)
-        wrapper.__name__ = fn.__name__
-        wrapper.__doc__ = fn.__doc__
         return wrapper
     return deco
 

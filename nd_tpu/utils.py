@@ -450,11 +450,18 @@ def apply(ds, fn, signature=None, njobs=1):
         stacked = da.stack(z=extra_dims).transpose('z', *dims_in)
 
         data = stacked.data
-        # Fast path: vmap over the stacked leading dimension.
+        # Fast path: vmap over the stacked leading dimension. Only
+        # trace-INCOMPATIBILITY errors select the np.vectorize slow
+        # path (host-python fns hit ConcretizationTypeError /
+        # TracerArrayConversionError — both JAXTypeError — or
+        # TypeError/NotImplementedError from non-traceable ops);
+        # genuine bugs in `fn` (e.g. ValueError from a shape mistake)
+        # propagate instead of silently re-running element-wise.
         try:
             out = jax.vmap(fn)(jnp.asarray(data))
             out = np.asarray(out)
-        except Exception:
+        except (jax.errors.JAXTypeError, TypeError,
+                NotImplementedError, AttributeError):
             fn_vec = np.vectorize(fn, signature=signature)
             out = fn_vec(np.asarray(data))
 

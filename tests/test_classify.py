@@ -135,3 +135,35 @@ def test_jax_classifier_proba(mock):
     c.fit(ds, labels)
     proba = c.predict(ds, func='predict_proba')
     assert 'label' in proba.dims
+
+
+def test_jax_classifier_wide_n_classes():
+    """Explicit n_classes wider than the observed labels: surplus
+    (untrained) output columns must never win predictions."""
+    from nd_tpu.classify import JaxClassifier
+    from nd_tpu.testing import create_mock_classes
+    ds, labels = create_mock_classes()
+    c = JaxClassifier(n_classes=5, epochs=20)
+    c.fit(ds, labels)
+    pred = c.predict(ds)
+    vals = np.asarray(pred.values)
+    observed = set(np.unique(np.asarray(labels.values)))
+    assert set(np.unique(vals[~np.isnan(vals)])).issubset(observed)
+
+
+def test_jax_classifier_too_many_classes_raises():
+    from nd_tpu.classify import JaxClassifier
+    from nd_tpu.testing import create_mock_classes
+    ds, labels = create_mock_classes()
+    with pytest.raises(ValueError):
+        JaxClassifier(n_classes=1, epochs=1).fit(ds, labels)
+
+
+def test_jax_classifier_unknown_func_raises():
+    from nd_tpu.classify import JaxClassifier
+    from nd_tpu.testing import create_mock_classes
+    ds, labels = create_mock_classes()
+    c = JaxClassifier(epochs=5)
+    c.fit(ds, labels)
+    with pytest.raises(AttributeError):
+        c.predict(ds, func='predict_probab')
