@@ -11,74 +11,101 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+
 import jax.numpy as jnp
 
 __all__ = ['phase_cross_correlation', 'fourier_shift', 'translate']
 
 
 def _upsampled_dft(data, upsampled_region_size, upsample_factor,
-                   axis_offsets):
+                   axis_offsets, xp=jnp):
     """Matrix-multiply DFT on an upsampled grid around a region."""
     im2pi = 1j * 2 * np.pi
     dim_properties = list(zip(data.shape, upsampled_region_size,
                               axis_offsets))
     for (n_items, ups_size, ax_offset) in dim_properties[::-1]:
-        kernel = ((jnp.arange(ups_size) - ax_offset)[:, None]
-                  * jnp.fft.fftfreq(n_items, upsample_factor))
-        kernel = jnp.exp(-im2pi * kernel)
-        data = jnp.tensordot(kernel, data, axes=(1, -1))
+        kernel = ((xp.arange(ups_size) - ax_offset)[:, None]
+                  * xp.fft.fftfreq(n_items, upsample_factor))
+        kernel = xp.exp(-im2pi * kernel)
+        data = xp.tensordot(kernel, data, axes=(1, -1))
     return data
 
 
-def phase_cross_correlation(src, ref, upsample_factor=1):
+def _fft_xp():
+    """Array module for the registration FFTs: jnp when the default
+    backend can lower an FFT, numpy otherwise. TPU backends commonly
+    can't (UNIMPLEMENTED) — the reference runs skimage's FFTs on the
+    host too (warp.py:1150), and registration is O(HW log HW) on tiny
+    reference frames, so the host path costs nothing at cube scale."""
+    return np if jax.default_backend() == 'tpu' else jnp
+
+
+def phase_cross_correlation(src, ref, upsample_factor=1,
+                            normalization='phase'):
     """Estimate the translation between two images.
 
     Returns the (row, col) shift that must be applied to ``src`` to
-    register it onto ``ref`` — same convention as skimage.
+    register it onto ``ref`` — same convention (and same default
+    ``normalization='phase'``, i.e. the cross-power spectrum is
+    whitened before the inverse transform) as skimage >= 0.19, which
+    the reference calls at warp.py:1150. Phase normalization is what
+    keeps registration robust when low-frequency energy dominates —
+    e.g. a smooth brightness gradient across the scene. Pass
+    ``normalization=None`` for plain cross-correlation.
     """
-    src = jnp.asarray(src)
-    ref = jnp.asarray(ref)
-    src_f = jnp.fft.fft2(src)
-    ref_f = jnp.fft.fft2(ref)
-    image_product = src_f * jnp.conj(ref_f)
-    cross_correlation = jnp.fft.ifft2(image_product)
-    A = jnp.abs(cross_correlation)
-    maxima = jnp.unravel_index(jnp.argmax(A), A.shape)
+    xp = _fft_xp()
+    src = xp.asarray(np.asarray(src))
+    ref = xp.asarray(np.asarray(ref))
+    src_f = xp.fft.fft2(src)
+    ref_f = xp.fft.fft2(ref)
+    image_product = src_f * xp.conj(ref_f)
+    if normalization == 'phase':
+        eps = np.finfo(np.dtype(str(image_product.real.dtype))).eps
+        image_product = image_product / xp.maximum(
+            xp.abs(image_product), 100 * eps)
+    elif normalization is not None:
+        raise ValueError('unknown normalization %r' % normalization)
+    cross_correlation = xp.fft.ifft2(image_product)
+    A = xp.abs(cross_correlation)
+    maxima = xp.unravel_index(xp.argmax(A), A.shape)
     shape = src.shape
-    midpoints = jnp.asarray([int(np.fix(s / 2)) for s in shape])
-    shifts = jnp.stack([m.astype(jnp.float64) for m in maxima])
-    shifts = jnp.where(shifts > midpoints, shifts - jnp.asarray(shape,
-                                                               shifts.dtype),
-                       shifts)
+    midpoints = xp.asarray([int(np.fix(s / 2)) for s in shape])
+    shifts = xp.stack([m.astype(xp.float64) for m in maxima])
+    shifts = xp.where(shifts > midpoints,
+                      shifts - xp.asarray(shape, shifts.dtype),
+                      shifts)
 
     if upsample_factor > 1:
         # refine around the integer peak with an upsampled DFT
         upsample_factor = float(upsample_factor)
         upsampled_region_size = int(np.ceil(upsample_factor * 1.5))
         dftshift = np.fix(upsampled_region_size / 2.0)
-        shifts = jnp.round(shifts * upsample_factor) / upsample_factor
+        shifts = xp.round(shifts * upsample_factor) / upsample_factor
         sample_region_offset = dftshift - shifts * upsample_factor
         correlation = _upsampled_dft(
-            jnp.conj(image_product),
+            xp.conj(image_product),
             [upsampled_region_size] * 2,
-            upsample_factor, sample_region_offset).conj()
-        A = jnp.abs(correlation)
-        maxima = jnp.unravel_index(jnp.argmax(A), A.shape)
-        maxima = jnp.stack([m.astype(jnp.float64) for m in maxima]) \
+            upsample_factor, sample_region_offset, xp=xp).conj()
+        A = xp.abs(correlation)
+        maxima = xp.unravel_index(xp.argmax(A), A.shape)
+        maxima = xp.stack([m.astype(xp.float64) for m in maxima]) \
             - dftshift
         shifts = shifts + maxima / upsample_factor
 
-    return shifts
+    return jnp.asarray(np.asarray(shifts))
 
 
 def fourier_shift(img, shift):
-    """Shift an image by (row, col) via the Fourier shift theorem."""
-    img = jnp.asarray(img)
-    f = jnp.fft.fft2(img)
-    fy = jnp.fft.fftfreq(img.shape[0])[:, None]
-    fx = jnp.fft.fftfreq(img.shape[1])[None, :]
-    phase = jnp.exp(-2j * np.pi * (shift[0] * fy + shift[1] * fx))
-    return jnp.real(jnp.fft.ifft2(f * phase))
+    """Shift an image by (row, col) via the Fourier shift theorem.
+    Runs on the host when the device backend has no FFT."""
+    xp = _fft_xp()
+    img = xp.asarray(np.asarray(img))
+    f = xp.fft.fft2(img)
+    fy = xp.fft.fftfreq(img.shape[0])[:, None]
+    fx = xp.fft.fftfreq(img.shape[1])[None, :]
+    phase = xp.exp(-2j * np.pi * (shift[0] * fy + shift[1] * fx))
+    return jnp.asarray(np.asarray(xp.real(xp.fft.ifft2(f * phase))))
 
 
 def _catmull_rom_taps(t):

@@ -121,10 +121,10 @@ def _kernel(refs, out_ref, *, ry, rx, fy, fx, sigma, h, n_eff,
     if n_eff < 0:
         w_self = jnp.where(wmax == 0, jnp.asarray(1, dtype), wmax)
     else:
-        ne = jnp.asarray(n_eff, dtype)
-        wsq = wsq_ref[:]
-        disc = ne * wsum * wsum - ne * ne * wsq + ne * wsq
-        w_self = (wsum + jnp.sqrt(disc)) / (ne - 1)
+        from .nlmeans import find_weight_vectorized
+        w_self = find_weight_vectorized(wsum, wsq_ref[:],
+                                        jnp.asarray(n_eff, dtype),
+                                        xp=jnp)
 
     total = wsum + w_self
     center = in_ref[:, :, p_y:p_y + ty, p_x:p_x + tx]
@@ -139,20 +139,33 @@ def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
     NLMeansFilter with dims=('y', 'x').
 
     Parameters match :func:`nd_tpu.ops.nlmeans.nlmeans` with
-    ``r = (ry, rx, 0)`` and ``f = (fy, fx, 0)``.
+    ``r = (ry, rx, 0)`` and ``f = (fy, fx, 0)``; like that kernel,
+    ``r + f`` must be smaller than the filtered extent, and an empty
+    neighborhood (``r == (0, 0)``) is the identity. Computation is
+    float32 (the TPU fast path); other input dtypes are cast.
     """
     ry, rx = int(r[0]), int(r[1])
     fy, fx = int(f[0]), int(f[1])
     p_y = ry + fy
     p_x = rx + fx
+
+    arr = jnp.asarray(arr)
+    if arr.dtype != jnp.float32:
+        arr = arr.astype(jnp.float32)
+    ny, nx, nt, nv = arr.shape
+    for name, ext, pad in (('dim 0', ny, p_y), ('dim 1', nx, p_x)):
+        if pad >= ext:
+            raise ValueError(
+                'r + f (%d) must be smaller than %s size (%d)'
+                % (pad, name, ext))
+    if ry == 0 and rx == 0:
+        return arr                      # no neighbors: identity
+
     # Mosaic DMA slices must respect the (8, 128) tiling: round the
     # halo up so the window extents stay aligned; the extra ring is
     # dead data the kernel never reads.
     hp_y = int(np.ceil(p_y / 4)) * 4
     hp_x = int(np.ceil(p_x / 64)) * 64
-
-    arr = jnp.asarray(arr)
-    ny, nx, nt, nv = arr.shape
     dtype = arr.dtype
     dsq_norm = float(nv * (2 * fy + 1) * (2 * fx + 1))
 

@@ -60,9 +60,10 @@ def rasterize_values(geom_value_pairs, xs, ys, fill=0, dtype=None):
     Mirrors rasterio.features.rasterize semantics (last geometry wins).
     """
     values = [v for _, v in geom_value_pairs]
-    dtype = dtype or np.result_type(*(np.asarray(v).dtype
-                                      for v in values)) \
-        if values else (dtype or np.float64)
+    if dtype is None:
+        dtype = np.result_type(*(np.asarray(v).dtype
+                                 for v in values)) \
+            if values else np.float64
     out = jnp.full((len(ys), len(xs)), fill, dtype=dtype)
     for geom, value in geom_value_pairs:
         mask = polygon_mask(geom, xs, ys)

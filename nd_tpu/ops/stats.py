@@ -8,6 +8,7 @@ TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -26,8 +27,12 @@ def chi2_cdf(x, df):
     handed a NaN statistic).
     """
     x = jnp.asarray(x)
-    df = jnp.asarray(df, x.dtype if jnp.issubdtype(
-        jnp.asarray(x).dtype, jnp.floating) else jnp.float32)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # integer statistics: both operands must land on ONE float
+        # dtype (lax.igamma rejects mixed precisions)
+        x = x.astype(jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
+    df = jnp.asarray(df, x.dtype)
     safe_x = jnp.maximum(x, 0.0)
     out = lax.igamma(df / 2.0, safe_x / 2.0)
     out = jnp.where(x < 0, jnp.zeros_like(out), out)

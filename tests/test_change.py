@@ -190,3 +190,10 @@ def test_threshold_equivalence_with_probability(n, alpha):
         got = zs > thresholds[j]
         np.testing.assert_array_equal(got, want,
                                       err_msg='j=%d' % j)
+
+
+def test_chi2_cdf_integer_input():
+    """Integer statistics must not crash under x64 (mixed-dtype igamma)."""
+    from scipy.stats import chi2
+    got = np.asarray(chi2_cdf(np.array([0, 4, 9]), 2))
+    np.testing.assert_allclose(got, chi2.cdf([0, 4, 9], 2), atol=1e-12)

@@ -168,3 +168,16 @@ def test_hybrid_x64_off_host_patches(monkeypatch):
     ref = np.asarray(change_detection(cube, alpha=0.9, n=4,
                                       stat_dtype='mixed'))
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_pallas_nlmeans_guards():
+    """Pallas NLMeans enforces the same r+f bound and identity cases
+    as the XLA kernel."""
+    from nd_tpu.ops.nlmeans_pallas import nlmeans_spatial_pallas
+    arr = np.random.RandomState(0).rand(4, 20, 1, 1).astype(np.float32)
+    with pytest.raises(ValueError, match='must be smaller'):
+        nlmeans_spatial_pallas(arr, (3, 1), (1, 1), 0.5, 0.8,
+                               interpret=True)
+    out = nlmeans_spatial_pallas(arr, (0, 0), (1, 1), 0.5, 0.8,
+                                 n_eff=4.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), arr)

@@ -439,3 +439,17 @@ def test_separable_coords_rejects_curvilinear():
                          indexing='ij')
     assert separable_coords(ii, jj) is not None
     assert separable_coords(ii + 0.01 * jj, jj) is None
+
+
+def test_phase_cross_correlation_low_frequency_bias():
+    """Phase normalization (skimage's default) recovers the true shift
+    even when a smooth brightness gradient dominates the spectrum."""
+    from nd_tpu.ops.fft import phase_cross_correlation
+    rng = np.random.RandomState(0)
+    base = rng.rand(64, 64)
+    grad = np.linspace(0, 40, 64)[:, None] * np.ones((1, 64))
+    img = base + grad
+    shifted = np.roll(np.roll(img, 3, axis=0), -5, axis=1)
+    sh = np.asarray(phase_cross_correlation(shifted, img,
+                                            upsample_factor=10))
+    np.testing.assert_allclose(sh, [3.0, -5.0], atol=0.1)
