@@ -108,11 +108,12 @@ class NDAccessor:
                pmin=2, pmax=98, categorical=False, mask=None, shape=None,
                cmap=None):
         from .visualize import to_rgb
-        if rgb is None:
+        if rgb is None and isinstance(self._obj, Dataset):
             def rgb(d):
                 return [d['C11'], d['C22'], d['C11'] / d['C22']]
-        data = rgb(self._obj) if isinstance(self._obj, Dataset) \
-            else self._obj
+        # a user-supplied rgb callable applies to DataArrays too
+        # (reference _xarray.py:108-114 skips it only when None)
+        data = rgb(self._obj) if rgb is not None else self._obj
         return to_rgb(data, output=output, vmin=vmin, vmax=vmax,
                       pmin=pmin, pmax=pmax, categorical=categorical,
                       mask=mask, shape=shape, cmap=cmap)

@@ -53,6 +53,11 @@ class Point(Geometry):
     def coords(self):
         return [(self.x, self.y)]
 
+    def contains(self, pt):
+        """Point containment: coincidence (within float rounding)."""
+        return (abs(self.x - pt.x) <= 1e-12 * max(1.0, abs(self.x))
+                and abs(self.y - pt.y) <= 1e-12 * max(1.0, abs(self.y)))
+
     def __repr__(self):
         return 'Point(%g, %g)' % (self.x, self.y)
 
@@ -66,6 +71,20 @@ class LineString(Geometry):
     def _all_coords(self):
         a = np.asarray(self.coords)
         return a[:, 0], a[:, 1]
+
+    def contains(self, pt):
+        """True when the point lies on one of the segments (within
+        float rounding) — the meaningful 'intersects' for a curve."""
+        a = np.asarray(self.coords)
+        p0, p1 = a[:-1], a[1:]
+        d = p1 - p0
+        v = np.array([pt.x, pt.y]) - p0
+        seg_len2 = np.maximum((d ** 2).sum(axis=1), 1e-300)
+        t = np.clip((v * d).sum(axis=1) / seg_len2, 0.0, 1.0)
+        nearest = p0 + t[:, None] * d
+        dist2 = ((np.array([pt.x, pt.y]) - nearest) ** 2).sum(axis=1)
+        scale = max(1.0, abs(pt.x), abs(pt.y))
+        return bool(np.any(dist2 <= (1e-9 * scale) ** 2))
 
 
 class _Ring:

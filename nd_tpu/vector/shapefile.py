@@ -123,11 +123,13 @@ def _read_dbf(path):
                         row[name] = int(text)
                     except ValueError:
                         row[name] = np.nan
-            elif ftype == 'D' and len(text) == 8:
+            elif ftype == 'D':
+                # unset date fields (all spaces) -> None, like fiona
                 try:
                     row[name] = datetime.date(int(text[:4]),
                                               int(text[4:6]),
-                                              int(text[6:8]))
+                                              int(text[6:8])) \
+                        if len(text) == 8 else None
                 except ValueError:
                     row[name] = None
             elif ftype == 'L':
@@ -145,7 +147,7 @@ def read_shapefile(path):
     base = os.path.splitext(path)[0]
     geoms = _read_shp(base + '.shp')
     records = _read_dbf(base + '.dbf') if os.path.exists(base + '.dbf') \
-        else [{}] * len(geoms)
+        else [{} for _ in geoms]   # distinct dicts: no shared aliasing
     crs_wkt = None
     if os.path.exists(base + '.prj'):
         crs_wkt = open(base + '.prj').read().strip()

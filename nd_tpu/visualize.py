@@ -80,8 +80,14 @@ def calculate_shape(new_shape, orig_shape):
     return (int(height), int(width))
 
 
+def _require_cv2():
+    if cv2 is None:
+        raise ImportError('this function requires opencv-python (cv2)')
+
+
 def colorize(labels, N=None, nan_vals=[], cmap='jet'):
     """Apply a colormap to an integer label image -> BGR image."""
+    _require_cv2()
     labels = np.asarray(labels)
     if N is None:
         N = min(10, len(np.unique(labels)))
@@ -121,6 +127,7 @@ def to_rgb(data, output=None, vmin=None, vmax=None, pmin=2, pmax=98,
     -------
     np.ndarray (RGB) or None
     """
+    _require_cv2()
     if isinstance(data, list):
         n_channels = len(data)
     elif isinstance(data, (DataArray, np.ndarray)):
@@ -200,6 +207,7 @@ def write_video(ds, path, timestamp='upper left', fontcolor=(0, 0, 0),
     cmap, mask :
         Forwarded to :func:`to_rgb`.
     """
+    _require_cv2()
     if rgb is None:
         if isinstance(ds, DataArray):
             def rgb(d):
@@ -250,26 +258,60 @@ def plot_map(ds, buffer=None, background='_default', imscale=6,
              gridlines_kwargs={}):
     """Plot a dataset's footprint on an orthographic basemap.
 
-    Requires cartopy (optional dependency).
+    Option semantics follow the reference (visualize.py:463-563):
+    ``buffer`` is the extra margin around the footprint relative to its
+    size (default ~20% per side), ``background`` an
+    ``cartopy.io.img_tiles`` tile source ('_default' tries Stamen
+    terrain and degrades to no basemap when tiles are unavailable,
+    e.g. offline), ``imscale`` the tile zoom level, ``scalebar`` adds
+    a geodesic scale bar. Requires cartopy (optional dependency).
     """
+    import warnings
+
     import matplotlib.pyplot as plt
     import cartopy.crs as ccrs
     from . import warp
 
+    if background == '_default':
+        try:
+            import cartopy.io.img_tiles as cimgt
+            background = cimgt.Stamen('terrain-background') \
+                if hasattr(cimgt, 'Stamen') else cimgt.StamenTerrain()
+        except Exception:
+            background = None
+
     extent = warp.get_extent(ds)
+    factor = 1.2 if buffer is None else 1.0 + buffer
     lon0 = (extent.left + extent.right) / 2
     lat0 = (extent.bottom + extent.top) / 2
+    half_w = (extent.right - extent.left) / 2 * factor
+    half_h = (extent.top - extent.bottom) / 2 * factor
+    view = [max(lon0 - half_w, -180), min(lon0 + half_w, 180),
+            max(lat0 - half_h, -90), min(lat0 + half_h, 90)]
+
     proj = ccrs.Orthographic(lon0, lat0)
     ax = plt.axes(projection=proj)
+    ax.set_extent(view, crs=ccrs.PlateCarree())
+    if background is not None:
+        try:
+            ax.add_image(background, imscale)
+        except Exception as e:   # offline / tile service unavailable
+            warnings.warn('background tiles unavailable (%s); '
+                          'plotting without a basemap' % e)
+            background = None
     if coastlines:
-        ax.coastlines()
+        ax.coastlines(resolution='10m',
+                      color='black' if background is None else 'white')
     geom = warp.get_geometry(ds)
     xs = [c[0] for c in geom.exterior.coords]
     ys = [c[1] for c in geom.exterior.coords]
-    ax.plot(xs, ys, transform=ccrs.PlateCarree(), color='red')
+    ax.fill(xs, ys, transform=ccrs.PlateCarree(),
+            facecolor=(1, 0, 0, 0.2), edgecolor=(0, 0, 0, 1))
+    if scalebar:
+        scale_bar(ax, (0.05, 0.05), None)
     if gridlines:
-        ax.gridlines(**gridlines_kwargs)
-    ax.set_global()
+        color = '0.5' if background is None else 'white'
+        gridlines_with_labels(ax, color=color, **gridlines_kwargs)
     return ax
 
 
@@ -284,53 +326,84 @@ def gridlines_with_labels(ax, top=True, bottom=True, left=True,
     import cartopy.crs as ccrs
     import matplotlib.ticker as mticker
 
-    gl = ax.gridlines(draw_labels=False, **kwargs)
-    gl.xlocator = mticker.MaxNLocator(8)
-    gl.ylocator = mticker.MaxNLocator(8)
-
-    # Project graticule intersections with the axes boundary and place
-    # text labels manually (works for arbitrary projections).
+    # lon/lat range of the view: transform a boundary sampling
     x0, x1 = ax.get_xlim()
     y0, y1 = ax.get_ylim()
     pc = ccrs.PlateCarree()
-    edges = {
-        'bottom': ([x0 + (x1 - x0) * f for f in
-                    np.linspace(0.1, 0.9, 5)], y0, bottom, (0, -12)),
-        'left': (x0, [y0 + (y1 - y0) * f for f in
-                      np.linspace(0.1, 0.9, 5)], left, (-30, 0)),
-    }
-    for name, spec in edges.items():
-        if name == 'bottom':
-            xs, y, enabled, offset = spec
-            pts = [(x, y) for x in xs]
-        else:
-            x, ys, enabled, offset = spec
-            pts = [(x, y) for y in ys]
+    bx = np.linspace(x0, x1, 25)
+    by = np.linspace(y0, y1, 25)
+    pts = ([(x, y0) for x in bx] + [(x, y1) for x in bx]
+           + [(x0, y) for y in by] + [(x1, y) for y in by])
+    lonlats = np.array([pc.transform_point(px, py, ax.projection)
+                        for px, py in pts])
+    lonlats = lonlats[np.all(np.isfinite(lonlats), axis=1)]
+    lon_lo, lon_hi = lonlats[:, 0].min(), lonlats[:, 0].max()
+    lat_lo, lat_hi = lonlats[:, 1].min(), lonlats[:, 1].max()
+    lon_ticks = mticker.MaxNLocator(8).tick_values(lon_lo, lon_hi)
+    lat_ticks = mticker.MaxNLocator(8).tick_values(lat_lo, lat_hi)
+
+    # gridlines at exactly the tick values the labels will name
+    gl = ax.gridlines(draw_labels=False, **kwargs)
+    gl.xlocator = mticker.FixedLocator(lon_ticks)
+    gl.ylocator = mticker.FixedLocator(lat_ticks)
+
+    def _lon_label(lon):
+        return '%g°%s' % (abs(lon), 'E' if lon >= 0 else 'W')
+
+    def _lat_label(lat):
+        return '%g°%s' % (abs(lat), 'N' if lat >= 0 else 'S')
+
+    # place each label where ITS graticule meets the axes edge (works
+    # for arbitrary projections; unprojectable points are skipped)
+    def _edge_labels(values, fixed, is_lon, enabled, offset, va, ha):
         if not enabled:
-            continue
-        for (px, py) in pts:
-            lonlat = pc.transform_point(px, py, ax.projection)
-            if not np.all(np.isfinite(lonlat)):
+            return
+        for v in values:
+            lon, lat = (v, fixed) if is_lon else (fixed, v)
+            try:
+                px, py = ax.projection.transform_point(lon, lat, pc)
+            except Exception:
                 continue
-            lon, lat = lonlat
-            label = ('%.1f°%s' % (abs(lon), 'E' if lon >= 0 else 'W')
-                     if name == 'bottom' else
-                     '%.1f°%s' % (abs(lat), 'N' if lat >= 0 else 'S'))
-            ax.annotate(label, xy=(px, py), xytext=offset,
+            if not (np.isfinite(px) and np.isfinite(py)):
+                continue
+            if not (x0 - 1e-9 <= px <= x1 + 1e-9
+                    and y0 - 1e-9 <= py <= y1 + 1e-9):
+                continue
+            ax.annotate(_lon_label(v) if is_lon else _lat_label(v),
+                        xy=(px, py), xytext=offset,
                         textcoords='offset points', fontsize=8,
-                        ha='center', va='top')
+                        ha=ha, va=va)
+
+    _edge_labels(lon_ticks, lat_lo, True, bottom, (0, -12),
+                 'top', 'center')
+    _edge_labels(lon_ticks, lat_hi, True, top, (0, 12),
+                 'bottom', 'center')
+    _edge_labels(lat_ticks, lon_lo, False, left, (-8, 0),
+                 'center', 'right')
+    _edge_labels(lat_ticks, lon_hi, False, right, (8, 0),
+                 'center', 'left')
     return gl
 
 
 @requires('cartopy')
-def scale_bar(ax, length_km=None, location=(0.1, 0.05), linewidth=3):
+def scale_bar(ax, location=(0.1, 0.05), length=None,
+              metres_per_unit=1000, unit_name='km', color='black',
+              linewidth=3, text_offset=0.01, ha='center', va='bottom',
+              **kwargs):
     """Draw a geodesic scale bar on a cartopy axis.
 
-    The bar length is computed with the framework's own geodesic math
-    (no cartopy.geodesic needed). Requires cartopy for the axis.
+    Positional contract matches the reference's
+    ``scale_bar(ax, location, length, ...)`` (visualize.py:723):
+    ``location`` is the bar's left end in axes coordinates and
+    ``length`` its geodesic length in ``unit_name`` units (None picks
+    a round number ~20% of the view width). The length is computed
+    with the framework's own geodesic math (no cartopy.geodesic
+    needed). Requires cartopy for the axis.
     """
     import cartopy.crs as ccrs
 
+    length_km = None if length is None \
+        else float(length) * metres_per_unit / 1000.0
     x0, x1 = ax.get_xlim()
     y0, y1 = ax.get_ylim()
     sbx = x0 + (x1 - x0) * location[0]
@@ -352,7 +425,11 @@ def scale_bar(ax, length_km=None, location=(0.1, 0.05), linewidth=3):
         length_km = float(int(span_km / mag) * mag) or mag
     frac = length_km / span_km * 0.2
     ax.plot([sbx, sbx + (x1 - x0) * frac], [sby, sby],
-            transform=ax.projection, color='k', linewidth=linewidth)
-    ax.text(sbx + (x1 - x0) * frac / 2, sby + (y1 - y0) * 0.01,
-            '%g km' % length_km, ha='center', va='bottom', fontsize=8)
+            transform=ax.projection, color=color, linewidth=linewidth,
+            **kwargs)
+    label_units = length_km * 1000.0 / metres_per_unit
+    ax.text(sbx + (x1 - x0) * frac / 2,
+            sby + (y1 - y0) * text_offset,
+            '%g %s' % (label_units, unit_name), ha=ha, va=va,
+            fontsize=8, color=color)
     return length_km

@@ -136,3 +136,50 @@ def test_read_geojson(tmp_path):
     clipped = read_file(p, clip=box(4, 4, 6, 6))
     assert len(clipped) == 1
     assert clipped['name'].iloc[0] == 'b'
+
+
+def test_point_linestring_intersects():
+    """Point/LineString clip geometries must not crash intersects()
+    (read_file(clip=...) dispatches Point args to contains())."""
+    from nd_tpu.vector.geometry import LineString, Point, box
+    p = Point(0.5, 0.5)
+    assert p.intersects(Point(0.5, 0.5))
+    assert not p.intersects(Point(2.0, 0.5))
+    ln = LineString([(0, 0), (1, 1)])
+    assert ln.intersects(Point(0.5, 0.5))
+    assert not ln.intersects(Point(0.9, 0.1))
+    assert box(0, 0, 1, 1).intersects(p)
+
+
+def test_rasterize_points_and_lines():
+    """Point and LineString geometries burn onto the grid (the
+    reference's rasterio.features.rasterize handles them)."""
+    import jax.numpy as jnp
+    from nd_tpu.ops.rasterize import rasterize_values
+    from nd_tpu.vector.geometry import LineString, Point
+    xs = np.arange(10) + 0.5
+    ys = np.arange(8) + 0.5
+    out = np.asarray(rasterize_values(
+        [(Point(3.4, 2.6), 7), (LineString([(0.5, 0.5), (6.5, 6.5)]),
+                                2)], xs, ys, fill=0))
+    assert out[2, 3] == 7                     # point's containing cell
+    assert out[out == 2].size >= 6            # line touched >= 6 cells
+
+
+def test_dbf_unset_date_is_none(tmp_path):
+    """Blank DBF date fields read as None (fiona parity), not ''. """
+    import datetime
+    import struct
+    dbf = tmp_path / 't.dbf'
+    # minimal dbf: 1 field 'D' date, 2 records (one blank)
+    nrec, hdr_len, rec_len = 2, 32 + 32 + 1, 1 + 8
+    header = struct.pack('<BBBBIHH20x', 3, 24, 1, 1, nrec, hdr_len,
+                         rec_len)
+    field = b'DATE\x00\x00\x00\x00\x00\x00\x00' + b'D' + b'\x00' * 4 \
+        + bytes([8]) + b'\x00' * 15
+    recs = b' ' + b'20200115' + b' ' + b' ' * 8
+    dbf.write_bytes(header + field + b'\x0d' + recs + b'\x1a')
+    from nd_tpu.vector.shapefile import _read_dbf
+    rows = _read_dbf(str(dbf))
+    assert rows[0]['DATE'] == datetime.date(2020, 1, 15)
+    assert rows[1]['DATE'] is None
