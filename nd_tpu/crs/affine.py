@@ -103,7 +103,8 @@ class Affine:
         return self.a * self.e - self.b * self.d
 
     def almost_equals(self, other, precision=None):
-        precision = precision or self.precision
+        if precision is None:           # precision=0 means exact
+            precision = self.precision
         return all(abs(getattr(self, k) - getattr(other, k)) <= precision
                    for k in self.__slots__)
 
@@ -112,9 +113,9 @@ class Affine:
             return NotImplemented
         return self.almost_equals(other)
 
-    def __hash__(self):
-        return hash(tuple(round(getattr(self, k), 12)
-                          for k in self.__slots__))
+    # tolerance-based __eq__ cannot satisfy the hash contract (equal
+    # transforms could hash differently); hash tuple(transform) instead
+    __hash__ = None
 
     def __iter__(self):
         return iter((self.a, self.b, self.c, self.d, self.e, self.f))

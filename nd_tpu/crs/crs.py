@@ -167,8 +167,8 @@ class CRS:
     def from_user_input(cls, value):
         if isinstance(value, CRS):
             return value
-        if isinstance(value, int):
-            return cls.from_epsg(value)
+        if isinstance(value, (int, np.integer)):
+            return cls.from_epsg(int(value))
         if isinstance(value, dict):
             return cls.from_dict(value)
         if isinstance(value, str):
@@ -198,6 +198,12 @@ class CRS:
                     # list-valued parameters (e.g. +towgs84=dx,dy,dz,...)
                     try:
                         v = tuple(float(x) for x in v.split(','))
+                        if k == 'towgs84':
+                            # 3-parameter form pads to the 7-parameter
+                            # Helmert (rotations 0, scale 0) — also
+                            # keeps proj4-vs-WKT equality canonical
+                            v = v + (0.0,) * (7 - len(v)) if len(v) < 7 \
+                                else v
                     except ValueError:
                         pass
                 params[k] = v
@@ -308,6 +314,16 @@ class CRS:
                 }.get(pk)
                 if key:
                     params[key] = pv
+            if pname.startswith('polar_stereographic') \
+                    and 'lat_ts' not in params \
+                    and abs(params.get('lat_0', 0.0)) != 90.0:
+                # WKT1 convention (GDAL/ESRI): latitude_of_origin IS
+                # the standard parallel; the pole is implied by its
+                # hemisphere. Without this, EPSG:3413-style files
+                # failed ('only polar aspects') or scaled wrongly.
+                params['lat_ts'] = params.get('lat_0', 90.0)
+                params['lat_0'] = 90.0 if params['lat_ts'] >= 0 \
+                    else -90.0
             params.setdefault('units', 'm')
         else:
             params['proj'] = 'longlat'
@@ -395,6 +411,7 @@ class CRS:
         if self.is_geographic:
             return geogcs
         pname = _PROJECTION_WKT_NAMES.get(self.proj, self.proj)
+        polar = self.proj == 'stere' and 'lat_ts' in self._params
         par = []
         for wk, pk in [('latitude_of_origin', 'lat_0'),
                        ('central_meridian', 'lon_0'),
@@ -402,6 +419,20 @@ class CRS:
                        ('scale_factor', 'k'),
                        ('false_easting', 'x_0'),
                        ('false_northing', 'y_0')]:
+            if pk == 'lat_0' and polar:
+                # WKT1 Polar_Stereographic: latitude_of_origin IS the
+                # standard parallel (GDAL/ESRI convention)
+                par.append('PARAMETER["latitude_of_origin",%.12g]'
+                           % float(self._params['lat_ts']))
+                continue
+            if pk == 'lat_ts' and polar:
+                continue
+            if pk == 'k':
+                k = self._params.get('k', self._params.get('k_0'))
+                if k is not None:
+                    par.append('PARAMETER["scale_factor",%.12g]'
+                               % float(k))
+                continue
             if pk in self._params or pk in ('lat_0', 'lon_0'):
                 par.append('PARAMETER["%s",%.12g]'
                            % (wk, float(self._params.get(pk, 0.0))))

@@ -411,6 +411,23 @@ _INVERSE = {
 }
 
 
+def _scale_factor(proj, params, ell):
+    """Central scale factor k0, honoring Mercator's standard parallel.
+
+    +proj=merc with +lat_ts (or WKT Mercator_2SP's
+    standard_parallel_1, which the parser stores as lat_ts) defines
+    the scale implicitly: k0 = cos(lat_ts) / sqrt(1 - e^2 sin^2
+    lat_ts) (PROJ's merc). An explicit +k/+k_0 wins.
+    """
+    if 'k' in params or 'k_0' in params:
+        return params.get('k', params.get('k_0', 1.0))
+    if proj == 'merc' and params.get('lat_ts'):
+        phi = math.radians(float(params['lat_ts']))
+        e2 = ell.e2
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    return 1.0
+
+
 def project_forward(proj, lon_deg, lat_deg, ell, params, xp=np):
     """(lon, lat) degrees -> projected (x, y) meters."""
     if proj in ('longlat', 'latlong'):
@@ -421,7 +438,7 @@ def project_forward(proj, lon_deg, lat_deg, ell, params, xp=np):
                      if xp is np else lat_deg)
     lon0 = math.radians(params.get('lon_0', 0.0))
     lat0 = math.radians(params.get('lat_0', 0.0))
-    k0 = params.get('k', params.get('k_0', 1.0))
+    k0 = _scale_factor(proj, params, ell)
     x0 = params.get('x_0', 0.0)
     y0 = params.get('y_0', 0.0)
     fwd = _FORWARD.get(proj)
@@ -445,7 +462,7 @@ def project_inverse(proj, x, y, ell, params, xp=np):
         return x, y
     lon0 = math.radians(params.get('lon_0', 0.0))
     lat0 = math.radians(params.get('lat_0', 0.0))
-    k0 = params.get('k', params.get('k_0', 1.0))
+    k0 = _scale_factor(proj, params, ell)
     x0 = params.get('x_0', 0.0)
     y0 = params.get('y_0', 0.0)
     x = (xp.asarray(x, dtype=np.float64) if xp is np else x) - x0

@@ -187,10 +187,21 @@ def open_rasterio(path, *args, **kwargs):
     if transform is not None:
         cols = np.arange(width) + 0.5
         rows = np.arange(height) + 0.5
-        x = transform.a * cols + transform.c
-        y = transform.e * rows + transform.f
-        coords['x'] = x
-        coords['y'] = y
+        if transform.b or transform.d:
+            # rotated/sheared grid: 1-d x/y coords cannot represent it
+            # — emit the full 2-d coordinate fields (like xarray's
+            # rasterio backend for non-rectilinear rasters) instead of
+            # silently dropping the rotation terms
+            C, R = np.meshgrid(cols, rows)
+            coords['xc'] = (('y', 'x'),
+                            transform.a * C + transform.b * R
+                            + transform.c)
+            coords['yc'] = (('y', 'x'),
+                            transform.d * C + transform.e * R
+                            + transform.f)
+        else:
+            coords['x'] = transform.a * cols + transform.c
+            coords['y'] = transform.e * rows + transform.f
         attrs['transform'] = tuple(transform)[:6]
         attrs['res'] = (abs(transform.a), abs(transform.e))
     if t.crs is not None:

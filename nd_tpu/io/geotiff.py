@@ -110,7 +110,12 @@ def _decompress(data, compression):
 
 
 def _sample_dtype(fmt, bits, bo):
-    kind = {1: 'u', 2: 'i', 3: 'f', 4: 'V', 5: 'i', 6: 'c'}.get(fmt, 'u')
+    if fmt == 5:
+        # complex-integer (CInt16/CInt32 SLC products): decoding the
+        # int pairs as one integer would be silent corruption
+        raise IOError('complex-integer TIFF (SampleFormat 5) is not '
+                      'supported')
+    kind = {1: 'u', 2: 'i', 3: 'f', 4: 'V', 6: 'c'}.get(fmt, 'u')
     if kind == 'c':
         return np.dtype('%sc%d' % (bo, bits // 8))
     return np.dtype('%s%s%d' % (bo, kind, bits // 8))
@@ -120,8 +125,15 @@ class TiffFile:
     """A parsed single-IFD (optionally multi-band) GeoTIFF."""
 
     def __init__(self, path):
-        with open(path, 'rb') as fh:
-            self._data = fh.read()
+        import mmap
+        self._fh = open(path, 'rb')
+        try:
+            # map instead of slurping: strip/tile slices page in on
+            # demand, so peak memory is the decoded raster alone
+            self._data = mmap.mmap(self._fh.fileno(), 0,
+                                   access=mmap.ACCESS_READ)
+        except (ValueError, OSError):   # empty file / mmap-less fs
+            self._data = self._fh.read()
         d = self._data
         if d[:2] == b'MM':
             self.bo = '>'

@@ -310,9 +310,12 @@ def write_netcdf_file(ds, path, compress=True, complevel=5,
                 compression='gzip' if use_comp else None,
                 compression_opts=enc.get('complevel', complevel)
                 if use_comp else None)
-            # CF coordinates attribute for aux coords covering this var
+            # CF coordinates attribute for aux coords covering this
+            # var; scalar (0-d) coords attach to every variable, like
+            # xarray (else a sel()-produced scalar 'time' coord reads
+            # back as a data variable)
             cov = [c for c, cv in aux_coords.items()
-                   if set(cv.dims) and set(cv.dims).issubset(set(var.dims))]
+                   if set(cv.dims).issubset(set(var.dims))]
             if cov:
                 attrs.setdefault('coordinates', ' '.join(cov))
             for k, v in attrs.items():

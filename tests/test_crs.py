@@ -192,3 +192,66 @@ def test_polar_stereographic_roundtrips():
     np.testing.assert_allclose(((lon2 - lon + 180) % 360) - 180, 0,
                                atol=1e-8)
     np.testing.assert_allclose(lat2, lat_s, atol=1e-8)
+
+
+def test_mercator_lat_ts_scale():
+    """+lat_ts implies k0 = cos(phi)/sqrt(1-e2 sin2 phi) (PROJ merc)."""
+    import math
+    from nd_tpu.crs import CRS, transform_coords
+    c0 = CRS.from_proj4('+proj=merc +ellps=WGS84')
+    c1 = CRS.from_proj4('+proj=merc +lat_ts=41 +ellps=WGS84')
+    wgs = CRS.from_epsg(4326)
+    x0, _ = transform_coords(wgs, c0, np.array([10.0]), np.array([0.0]))
+    x1, _ = transform_coords(wgs, c1, np.array([10.0]), np.array([0.0]))
+    phi = math.radians(41)
+    e2 = 0.00669437999014
+    k0 = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    np.testing.assert_allclose(np.asarray(x1) / np.asarray(x0), k0,
+                               rtol=1e-9)
+
+
+def test_towgs84_three_param():
+    """3-parameter +towgs84 pads to the 7-parameter Helmert."""
+    from nd_tpu.crs import CRS, transform_coords
+    ed50 = CRS.from_proj4('+proj=longlat +ellps=intl '
+                          '+towgs84=-87,-98,-121')
+    wgs = CRS.from_epsg(4326)
+    lon, lat = transform_coords(ed50, wgs, np.array([10.0]),
+                                np.array([50.0]))
+    # the ED50->WGS84 shift moves coordinates by ~100m (~1e-3 deg)
+    assert 1e-4 < abs(float(np.asarray(lon)) - 10.0) < 5e-3
+
+
+def test_polar_stereographic_wkt1():
+    """GDAL WKT1: latitude_of_origin IS the standard parallel."""
+    from nd_tpu.crs import CRS
+    wkt = ('PROJCS["NSIDC Sea Ice Polar Stereographic North",'
+           'GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],'
+           'PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Polar_Stereographic"],'
+           'PARAMETER["latitude_of_origin",70],'
+           'PARAMETER["central_meridian",-45],'
+           'PARAMETER["false_easting",0],'
+           'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    crs = CRS.from_wkt(wkt)
+    assert crs._params.get('lat_ts') == 70
+    assert crs._params.get('lat_0') == 90.0
+    # roundtrips through our writer with the same convention
+    again = CRS.from_wkt(crs.to_wkt())
+    assert again._params.get('lat_ts') == 70
+    assert again._params.get('lat_0') == 90.0
+
+
+def test_to_wkt_k0_alias():
+    from nd_tpu.crs import CRS
+    crs = CRS.from_proj4('+proj=tmerc +lat_0=0 +lon_0=9 +k_0=0.9996 '
+                         '+x_0=500000 +ellps=WGS84')
+    assert 'scale_factor",0.9996' in crs.to_wkt()
+
+
+def test_from_user_input_numpy_int():
+    from nd_tpu.crs import CRS
+    crs = CRS.from_user_input(np.int64(4326))
+    assert crs.is_geographic

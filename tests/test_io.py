@@ -207,3 +207,17 @@ def test_geotiff_reread_reference_after_rewrite(tmp_path):
     ndio.to_geotiff(da, p)
     back = ndio.open_rasterio(p)
     np.testing.assert_array_equal(back.values, da.values)
+
+
+def test_netcdf_scalar_coord_roundtrip(tmp_path):
+    """A sel()-produced scalar coord stays a coordinate on reload."""
+    from nd_tpu.io import open_netcdf, to_netcdf
+    from nd_tpu.testing import generate_test_dataset
+    ds = generate_test_dataset(dims={'y': 6, 'x': 5, 'time': 3})
+    sub = ds.isel(time=1)
+    assert 'time' in sub.coords and sub.coords['time'].dims == ()
+    p = str(tmp_path / 'scalar.nc')
+    to_netcdf(sub, p)
+    back = open_netcdf(p)
+    assert 'time' in back.coords, 'scalar coord demoted to variable'
+    assert back.coords['time'].dims == ()
