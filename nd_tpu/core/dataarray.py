@@ -155,13 +155,60 @@ def _coerce_coord(name, value, dim_sizes):
 
 
 def _needs_float_fill(fill_value, dtype):
-    """True when filling with NaN requires promoting an int/bool dtype."""
+    """True when filling with NaN requires promoting an int/bool dtype.
+    Datetimes/timedeltas never promote — their null is NaT (see
+    :func:`_fill_for`)."""
+    if np.dtype(str(dtype)).kind in 'mM':
+        return False
     try:
         is_nan = bool(np.isnan(fill_value))
     except (TypeError, ValueError):
         return False
     return is_nan and not (np.issubdtype(dtype, np.floating)
                            or np.issubdtype(dtype, np.complexfloating))
+
+
+def _fill_for(fill_value, dtype):
+    """The concrete fill for a dtype: NaN requested on a datetime /
+    timedelta array means NaT (keeping the dtype), like xarray."""
+    dt = np.dtype(str(dtype))
+    if dt.kind in 'mM':
+        try:
+            if np.isnan(fill_value):
+                return (np.datetime64('NaT') if dt.kind == 'M'
+                        else np.timedelta64('NaT'))
+        except (TypeError, ValueError):
+            pass
+    return fill_value
+
+
+def _validate_swap(mapping, coords):
+    """swap_dims contract (xarray): an existing replacement coordinate
+    must be 1-d along the dimension it replaces."""
+    for old, new in mapping.items():
+        if new in coords and coords[new].dims != (old,):
+            raise ValueError(
+                'replacement dimension %r must be a 1-d variable '
+                'along %r, not dims %r'
+                % (new, old, coords[new].dims))
+
+
+def _mask_missing(var, d, missing, fill_value):
+    """Variable with ``missing`` positions along dim ``d`` set to the
+    fill (float-promoting ints, NaT for datetimes)."""
+    data = var.data
+    fill = _fill_for(fill_value, data.dtype)
+    if _needs_float_fill(fill, data.dtype):
+        data = data.astype(np.float64)
+    xp = get_xp(data)
+    mshape = [1] * var.ndim
+    mshape[var.dims.index(d)] = len(missing)
+    return Variable(var.dims,
+                    xp.where(missing.reshape(mshape),
+                             xp.asarray(fill, data.dtype)
+                             if np.dtype(str(data.dtype)).kind in 'mM'
+                             else fill, data),
+                    var.attrs)
 
 
 def _pad_coord(cv, widths):
@@ -551,10 +598,20 @@ class DataArray(_NDOpsMixin):
 
     def expand_dims(self, dim, axis=0):
         if isinstance(dim, dict):
+            # reversed: each insertion lands at ``axis``, so walking
+            # the dict backwards leaves the FIRST key outermost (the
+            # xarray order)
             out = self
-            for d, val in dim.items():
+            for d, val in reversed(list(dim.items())):
                 out = out.expand_dims(d, axis)
-                if not np.isscalar(val):
+                if np.isscalar(val):
+                    # integer size (xarray: expand_dims({'z': 3}))
+                    n = int(val)
+                    if n != 1:
+                        out = out._replace(
+                            get_xp(out.data).broadcast_to(
+                                out.data, (n,) + out.shape[1:]))
+                else:
                     out = out._replace(
                         get_xp(out.data).broadcast_to(
                             out.data,
@@ -592,13 +649,24 @@ class DataArray(_NDOpsMixin):
     def where(self, cond, other=np.nan):
         xp = get_xp(self.data)
         cond_data = cond.data if isinstance(cond, DataArray) else cond
-        other_data = other.data if isinstance(other, DataArray) else other
         if isinstance(cond, DataArray):
             a, b = broadcast_variables(self.variable,
                                        Variable(cond.dims, cond_data))
+            if isinstance(other, DataArray):
+                # align `other` by DIMENSION NAME (a positional
+                # broadcast would silently mix axes)
+                a, o = broadcast_variables(a, other.variable)
+                b, _ = broadcast_variables(b, o)
+                other_data = o.data
+            else:
+                other_data = other
             data = xp.where(b.data, a.data, other_data)
             return self._replace(data, dims=a.dims)
-        return self._replace(xp.where(cond_data, self.data, other_data))
+        if isinstance(other, DataArray):
+            a, o = broadcast_variables(self.variable, other.variable)
+            return self._replace(xp.where(cond_data, a.data, o.data),
+                                 dims=a.dims)
+        return self._replace(xp.where(cond_data, self.data, other))
 
     def isnull(self):
         xp = get_xp(self.data)
@@ -759,8 +827,29 @@ class DataArray(_NDOpsMixin):
                             dim, **kw)
 
     def quantile(self, q, dim=None, **kw):
-        return self._reduce(np.nanquantile,
-                            jnp.nanquantile if jnp else None, dim, q=q, **kw)
+        q_arr = np.asarray(q, np.float64)
+        if q_arr.ndim == 0:
+            return self._reduce(np.nanquantile,
+                                jnp.nanquantile if jnp else None, dim,
+                                q=float(q_arr), **kw)
+        # vector q: a NEW leading 'quantile' dim (xarray) — the rank-
+        # preserving result would otherwise be mistaken for a keepdims
+        # reduction and keep the reduced dim's stale coords
+        xp = get_xp(self.data)
+        func = (jnp.nanquantile if xp is jnp and jnp else np.nanquantile)
+        if dim is None:
+            red = self.dims
+        else:
+            red = (dim,) if isinstance(dim, str) else tuple(dim)
+        axes = tuple(self.dims.index(d) for d in red)
+        data = func(self.data, xp.asarray(q_arr), axis=axes, **kw)
+        out_dims = ('quantile',) + tuple(d for d in self.dims
+                                         if d not in red)
+        coords = {k: v for k, v in self._coords.items()
+                  if set(v.dims).issubset(set(out_dims))}
+        coords['quantile'] = Variable(('quantile',), q_arr)
+        return DataArray._from_parts(Variable(out_dims, data), coords,
+                                     self.attrs, self.name)
 
     def reduce(self, func, dim=None, **kwargs):
         """Reduce with an arbitrary ``func(data, axis=...)`` callable."""
@@ -822,6 +911,7 @@ class DataArray(_NDOpsMixin):
         shifts = _normalize_indexers(shifts, kwargs)
         data = self.data
         xp = get_xp(data)
+        fill_value = _fill_for(fill_value, data.dtype)
         if _needs_float_fill(fill_value, data.dtype):
             data = data.astype(np.float64)
         for d, k in shifts.items():
@@ -868,9 +958,10 @@ class DataArray(_NDOpsMixin):
         widths = [norm.get(d, (0, 0)) for d in self.dims]
         xp = get_xp(self.data)
         data = self.data
-        if mode == 'constant' and _needs_float_fill(constant_values,
-                                                    data.dtype):
-            data = data.astype(np.float64)
+        if mode == 'constant':
+            constant_values = _fill_for(constant_values, data.dtype)
+            if _needs_float_fill(constant_values, data.dtype):
+                data = data.astype(np.float64)
         kw = ({'constant_values': constant_values}
               if mode == 'constant' else {})
         data = xp.pad(data, widths, mode=mode, **kw)
@@ -906,15 +997,16 @@ class DataArray(_NDOpsMixin):
                 out._coords[d], new_labels, method)
             sub = out.isel({d: idx})
             if missing.any():
-                ax = sub.dims.index(d)
-                data = sub.data
-                if _needs_float_fill(fill_value, data.dtype):
-                    data = data.astype(np.float64)
-                xp = get_xp(data)
-                mshape = [1] * sub.ndim
-                mshape[ax] = len(labels)
-                data = xp.where(missing.reshape(mshape), fill_value, data)
-                sub = sub._replace(data)
+                masked = _mask_missing(sub.variable, d, missing,
+                                       fill_value)
+                sub = sub._replace(masked.data)
+                # non-index coords along d would otherwise keep stale
+                # position-0 values at the missing labels
+                for ck in list(sub._coords):
+                    cv = sub._coords[ck]
+                    if ck != d and d in cv.dims:
+                        sub._coords[ck] = _mask_missing(cv, d, missing,
+                                                        fill_value)
             sub._coords[d] = Variable((d,), labels)
             out = sub
         return out
@@ -975,6 +1067,7 @@ class DataArray(_NDOpsMixin):
     def swap_dims(self, mapping=None, **kwargs):
         mapping = dict(mapping or {})
         mapping.update(kwargs)
+        _validate_swap(mapping, self._coords)
         var = self.variable.rename_dims(mapping)
         coords = {k: v.rename_dims(mapping)
                   for k, v in self._coords.items()}
@@ -1295,8 +1388,16 @@ class Dataset(_NDOpsMixin):
         return self.isel(isel_kw)
 
     def transpose(self, *dims):
+        if not dims:
+            # xarray: no arguments reverses every variable's dims
+            dims = tuple(reversed(tuple(self.sizes)))
         ds = Dataset(attrs=self.attrs)
         ds._coords = dict(self._coords)
+        for ck, cv in self._coords.items():
+            if cv.ndim > 1:
+                order = tuple(d for d in dims if d in cv.dims)
+                extra = tuple(d for d in cv.dims if d not in order)
+                ds._coords[ck] = cv.transpose(*(order + extra))
         for k, v in self._variables.items():
             order = tuple(d for d in dims if d in v.dims)
             extra = tuple(d for d in v.dims if d not in order)
@@ -1627,19 +1728,14 @@ class Dataset(_NDOpsMixin):
             if missing.any():
                 for k in list(sub._variables):
                     v = sub._variables[k]
-                    if d not in v.dims:
-                        continue
-                    data = v.data
-                    if _needs_float_fill(fill_value, data.dtype):
-                        data = data.astype(np.float64)
-                    xp = get_xp(data)
-                    mshape = [1] * v.ndim
-                    mshape[v.dims.index(d)] = len(labels)
-                    sub._variables[k] = Variable(
-                        v.dims,
-                        xp.where(missing.reshape(mshape), fill_value,
-                                 data),
-                        v.attrs)
+                    if d in v.dims:
+                        sub._variables[k] = _mask_missing(
+                            v, d, missing, fill_value)
+                for ck in list(sub._coords):
+                    cv = sub._coords[ck]
+                    if ck != d and d in cv.dims:
+                        sub._coords[ck] = _mask_missing(cv, d, missing,
+                                                        fill_value)
             sub._coords[d] = Variable((d,), labels)
             out = sub
         return out
@@ -1677,12 +1773,15 @@ class Dataset(_NDOpsMixin):
 
     # -- metadata / variable assignment ----------------------------------------------
     def update(self, other):
-        """Merge ``other``'s variables/coords in place (xarray contract)."""
+        """Merge ``other``'s variables/coords in place (xarray contract).
+
+        Routed through ``__setitem__`` so dim-size conflicts raise
+        instead of leaving the Dataset internally inconsistent."""
         if isinstance(other, Dataset):
             for k, v in other._coords.items():
                 self._coords[k] = v
             for k, v in other._variables.items():
-                self._variables[k] = v
+                self[k] = (v.dims, v.data, v.attrs)
         else:
             for k, v in dict(other).items():
                 self[k] = v
@@ -1741,6 +1840,7 @@ class Dataset(_NDOpsMixin):
     def swap_dims(self, mapping=None, **kwargs):
         mapping = dict(mapping or {})
         mapping.update(kwargs)
+        _validate_swap(mapping, self._coords)
         ds = Dataset(attrs=self.attrs)
         ds._coords = {k: v.rename_dims(mapping)
                       for k, v in self._coords.items()}
@@ -1999,10 +2099,27 @@ def concat(objs, dim):
         for k, v in objs[0]._coords.items():
             if dim in v.dims:
                 axis = v.dims.index(dim)
-                vals = [o._coords[k] for o in objs if k in o._coords]
+                # inputs missing the coord contribute NaN/NaT fill so
+                # the coord's length always matches the concatenated
+                # dim (xarray's alignment behavior)
+                parts = []
+                for o in objs:
+                    if k in o._coords:
+                        parts.append(o._coords[k].values)
+                    else:
+                        shape = list(v.shape)
+                        shape[axis] = o.sizes.get(dim, 1)
+                        vals0 = np.asarray(v.values)
+                        if vals0.dtype.kind in 'mM':
+                            fill = np.full(shape, 'NaT',
+                                           dtype=vals0.dtype)
+                        elif vals0.dtype.kind in 'fc':
+                            fill = np.full(shape, np.nan, vals0.dtype)
+                        else:
+                            fill = np.full(shape, np.nan)
+                        parts.append(fill)
                 coords[k] = Variable(
-                    v.dims, np.concatenate([c.values for c in vals],
-                                           axis=axis), v.attrs)
+                    v.dims, np.concatenate(parts, axis=axis), v.attrs)
             else:
                 coords[k] = v
         if not dim_exists:

@@ -71,7 +71,12 @@ class GroupBy:
         dim = gvar.dims[0]
         values = gvar.values
         labels, inverse = np.unique(values, return_inverse=True)
-        indices = [np.nonzero(inverse == i)[0] for i in range(len(labels))]
+        # single argsort + split: O(n log n), not one full scan per
+        # label (groupby over ~1e5 unique labels was O(n * n_groups))
+        order_all = np.argsort(inverse, kind='stable')
+        bounds = np.searchsorted(inverse[order_all],
+                                 np.arange(1, len(labels)))
+        indices = np.split(order_all, bounds)
         # map back: original position of each element after group-concat
         order = np.concatenate(indices) if indices else np.empty(0, int)
         restore = np.argsort(order, kind='stable')

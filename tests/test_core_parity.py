@@ -19,7 +19,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from nd_tpu.core import DataArray, Dataset, is_device_array
+from nd_tpu.core import DataArray, Dataset, concat, is_device_array
 
 
 @pytest.fixture
@@ -378,3 +378,98 @@ def test_to_index():
     da = DataArray(np.arange(3.0), dims=('x',), coords={'x': [5, 6, 7]})
     idx = da['x'].to_index()
     assert idx.tolist() == [5, 6, 7]
+
+
+# ---------------------------------------------------------------------------
+# Thirteenth review round regressions
+# ---------------------------------------------------------------------------
+
+def test_where_other_aligns_by_name():
+    a = DataArray(np.arange(9.).reshape(3, 3), dims=('y', 'x'))
+    got = a.where(a > 4, a.transpose('x', 'y') * 100)
+    # name-aligned: the fill at (y, x) is a[y, x]*100, NOT a[x, y]*100
+    assert float(got.values[0, 1]) == 100.0
+    # non-square shapes broadcast instead of crashing
+    b = DataArray(np.arange(6.).reshape(2, 3), dims=('y', 'x'))
+    got2 = b.where(b > 2, b.transpose('x', 'y') * 10)
+    assert float(got2.values[0, 1]) == 10.0
+
+
+def test_quantile_vector_q_new_dim():
+    da = DataArray(np.arange(20.).reshape(4, 5), dims=('x', 'y'),
+                   coords={'x': np.arange(4)})
+    out = da.quantile([0.25, 0.75], dim='x')
+    assert out.dims == ('quantile', 'y')
+    assert out.shape == (2, 5)
+    np.testing.assert_allclose(out.coords['quantile'].values,
+                               [0.25, 0.75])
+    assert 'x' not in out.coords
+
+
+def test_shift_pad_reindex_datetime_nat():
+    t = np.array(['2020-01-01', '2020-01-02', '2020-01-03'],
+                 dtype='datetime64[ns]')
+    da = DataArray(t, dims=('time',), coords={'time': np.arange(3)})
+    sh = da.shift(time=1)
+    assert sh.dtype == t.dtype
+    assert np.isnat(sh.values[0])
+    np.testing.assert_array_equal(sh.values[1:], t[:-1])
+    pd_ = da.pad(time=(1, 0))
+    assert pd_.dtype == t.dtype and np.isnat(pd_.values[0])
+    re = da.reindex(time=[0, 7])
+    assert re.dtype == t.dtype
+    assert not np.isnat(re.values[0]) and np.isnat(re.values[1])
+
+
+def test_dataset_update_validates_sizes():
+    ds = Dataset({'v': (('x',), np.arange(3.))})
+    with pytest.raises(ValueError):
+        ds.update(Dataset({'w': (('x',), np.arange(5.))}))
+
+
+def test_reindex_masks_nonindex_coords():
+    da = DataArray(np.arange(3.), dims=('x',),
+                   coords={'x': np.array([0, 1, 2]),
+                           'c': ('x', np.array([10., 11., 12.]))})
+    out = da.reindex(x=[0, 3])
+    np.testing.assert_allclose(out.values, [0.0, np.nan])
+    vals = out.coords['c'].values
+    assert vals[0] == 10.0 and np.isnan(vals[1])
+
+
+def test_concat_missing_coord_fills():
+    a = DataArray(np.arange(3.), dims=('t',),
+                  coords={'c': ('t', np.array([1., 2., 3.]))})
+    b = DataArray(np.arange(3.), dims=('t',))
+    out = concat([a, b], 't')
+    assert out.sizes['t'] == 6
+    cv = out.coords['c'].values
+    assert len(cv) == 6
+    assert np.isnan(cv[3:]).all()
+
+
+def test_expand_dims_dict_sizes_and_order():
+    da = DataArray(np.arange(4.), dims=('x',))
+    out = da.expand_dims({'z': 3})
+    assert out.dims == ('z', 'x') and out.shape == (3, 4)
+    out2 = da.expand_dims({'z': 2, 'w': 3})
+    assert out2.dims == ('z', 'w', 'x') and out2.shape == (2, 3, 4)
+
+
+def test_dataset_transpose_no_args_reverses():
+    ds = Dataset({'v': (('x', 'y'), np.arange(6.).reshape(2, 3))})
+    out = ds.transpose()
+    assert out['v'].dims == ('y', 'x')
+
+
+def test_swap_dims_validates_replacement():
+    da = DataArray(np.arange(3.), dims=('x',),
+                   coords={'c': (('x',), np.array([7, 8, 9]))})
+    sw = da.swap_dims({'x': 'c'})
+    assert sw.dims == ('c',)
+    assert np.array_equal(sw.coords['c'].values, [7, 8, 9])
+    bad = DataArray(np.arange(4.).reshape(2, 2), dims=('x', 'y'),
+                    coords={'m': (('x', 'y'), np.arange(4.).reshape(2,
+                                                                    2))})
+    with pytest.raises(ValueError):
+        bad.swap_dims({'x': 'm'})
