@@ -30,9 +30,18 @@ class NativeUnavailable(RuntimeError):
 
 def _build():
     srcs = [os.path.join(_HERE, s) for s in _SOURCES]
+    # compile to a temp name + atomic rename: concurrent processes
+    # must never dlopen a half-written .so
+    tmp = _LIB_PATH + '.%d.tmp' % os.getpid()
     cmd = ['g++', '-O3', '-march=native', '-fopenmp', '-shared',
-           '-fPIC', '-std=c++17', '-o', _LIB_PATH] + srcs
-    subprocess.run(cmd, check=True, capture_output=True)
+           '-fPIC', '-std=c++17', '-o', tmp] + srcs
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError as e:
+        raise subprocess.CalledProcessError(
+            e.returncode, e.cmd,
+            e.output, (e.stderr or b'')[-2000:])  # keep diagnostics
+    os.replace(tmp, _LIB_PATH)
 
 
 def _load():
@@ -46,8 +55,10 @@ def _load():
             try:
                 _build()
             except (OSError, subprocess.CalledProcessError) as e:
+                stderr = getattr(e, 'stderr', b'') or b''
                 raise NativeUnavailable(
-                    'could not build native library: %s' % e)
+                    'could not build native library: %s\n%s'
+                    % (e, stderr.decode('utf-8', 'replace')))
         lib = ctypes.CDLL(_LIB_PATH)
         i64 = ctypes.c_int64
         dbl = ctypes.c_double
@@ -69,7 +80,9 @@ def available():
     try:
         _load()
         return True
-    except NativeUnavailable:
+    except (NativeUnavailable, OSError, AttributeError):
+        # corrupt/foreign .so (CDLL OSError) or stale symbols
+        # (AttributeError) also mean 'not available'
         return False
 
 
@@ -91,6 +104,13 @@ def nlmeans_native(arr, r, f, sigma, h, n_eff=-1.0, nthreads=1):
     d0, d1, d2, nv = arr.shape
     r = [int(v) for v in r]
     f = [int(v) for v in f]
+    for i, dim in enumerate((d0, d1, d2)):
+        if r[i] + f[i] >= dim:
+            # same bound the XLA kernel enforces; beyond it the C++
+            # single-bounce reflect would read out of bounds
+            raise ValueError(
+                'r + f (%d) must be smaller than dim %d size (%d)'
+                % (r[i] + f[i], i, dim))
     fn(arr.ctypes.data_as(cptr), out.ctypes.data_as(cptr),
        d0, d1, d2, nv, r[0], r[1], r[2], f[0], f[1], f[2],
        float(sigma), float(h), float(n_eff), int(nthreads))
@@ -101,11 +121,15 @@ def change_detection_native(values, alpha, n=1, nthreads=1):
     """Omnibus change detection over (y, x, time, 4) on the host CPU."""
     lib = _load()
     values = np.ascontiguousarray(values)
+    if values.ndim != 4 or values.shape[-1] != 4:
+        raise ValueError(
+            'expected (y, x, time, 4) dual-pol covariance channels, '
+            'got shape %r' % (values.shape,))
     if values.dtype == np.float32:
         fn = lib.nd_change_f32
         cptr = ctypes.POINTER(ctypes.c_float)
     else:
-        values = values.astype(np.float64)
+        values = values.astype(np.float64, copy=False)
         fn = lib.nd_change_f64
         cptr = ctypes.POINTER(ctypes.c_double)
     ny, nx, k, _ = values.shape

@@ -60,6 +60,11 @@ double gammp(double a, double x) {
 inline double chi2_cdf(double x, double df) {
     if (std::isnan(x)) return std::numeric_limits<double>::quiet_NaN();
     if (x <= 0.0) return 0.0;
+    // +inf statistic (exactly singular per-step determinant): CDF is
+    // 1 — the continued fraction would produce NaN and silently drop
+    // the detection (scipy chi2.cdf(inf)=1; the TPU threshold path
+    // flags it too)
+    if (std::isinf(x)) return 1.0;
     return gammp(df / 2.0, x / 2.0);
 }
 

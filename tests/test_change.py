@@ -197,3 +197,30 @@ def test_chi2_cdf_integer_input():
     from scipy.stats import chi2
     got = np.asarray(chi2_cdf(np.array([0, 4, 9]), 2))
     np.testing.assert_allclose(got, chi2.cdf([0, 4, 9], 2), atol=1e-12)
+
+
+def test_native_singular_step_detected():
+    """A zero-filled acquisition (singular determinant -> z=+inf) must
+    be flagged by the native kernel like scipy/TPU (chi2_cdf(inf)=1);
+    the continued fraction used to yield NaN and silently miss it."""
+    pytest.importorskip('ctypes')
+    from nd_tpu._native import NativeUnavailable, change_detection_native
+    rng = np.random.RandomState(0)
+    v = np.abs(rng.normal(1, .1, (2, 2, 6, 4))).astype(np.float64)
+    v[..., 1] *= .01
+    v[..., 2] *= .01
+    v[:, :, 3, :] = 0.0                     # singular time step
+    try:
+        out = change_detection_native(v, alpha=0.9, n=9)
+    except NativeUnavailable:
+        pytest.skip('native lib unavailable')
+    assert out[:, :, 3].all()
+
+
+def test_native_rejects_bad_channel_count():
+    from nd_tpu._native import NativeUnavailable, change_detection_native
+    try:
+        with pytest.raises(ValueError):
+            change_detection_native(np.ones((2, 2, 4, 3)), alpha=0.9)
+    except NativeUnavailable:
+        pytest.skip('native lib unavailable')
