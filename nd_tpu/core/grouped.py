@@ -71,12 +71,26 @@ class GroupBy:
         dim = gvar.dims[0]
         values = gvar.values
         labels, inverse = np.unique(values, return_inverse=True)
+        # NaN-labeled elements are EXCLUDED (xarray drops them; a NaN
+        # group would also be unreachable via sel on the label)
+        if len(labels) and np.issubdtype(labels.dtype, np.floating) \
+                and np.isnan(labels[-1]):
+            nan_code = len(labels) - 1
+            keep = inverse != nan_code
+            labels = labels[:-1]
+            values_idx = np.nonzero(keep)[0]
+            inverse = inverse[keep]
+        else:
+            values_idx = None
         # single argsort + split: O(n log n), not one full scan per
         # label (groupby over ~1e5 unique labels was O(n * n_groups))
         order_all = np.argsort(inverse, kind='stable')
         bounds = np.searchsorted(inverse[order_all],
                                  np.arange(1, len(labels)))
         indices = np.split(order_all, bounds)
+        if values_idx is not None:
+            # re-map positions to the original (NaN-inclusive) axis
+            indices = [values_idx[i] for i in indices]
         # map back: original position of each element after group-concat
         order = np.concatenate(indices) if indices else np.empty(0, int)
         restore = np.argsort(order, kind='stable')
@@ -209,6 +223,12 @@ class Rolling:
     def __init__(self, obj, dim, window, min_periods=None, center=False):
         if window < 1:
             raise ValueError('window must be >= 1')
+        if min_periods is not None and not \
+                (1 <= int(min_periods) <= int(window)):
+            # pandas/xarray contract — a typo'd min_periods would
+            # otherwise silently produce an all-NaN result
+            raise ValueError('min_periods %r must be in [1, window=%d]'
+                             % (min_periods, int(window)))
         self._obj = obj
         self._dim = dim
         self._window = int(window)

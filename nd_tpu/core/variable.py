@@ -167,9 +167,14 @@ class Variable:
                     idx = np.asarray(idx)
                     if idx.dtype == bool:
                         idx = np.nonzero(idx)[0]
-                    key.append(idx)
+                    # applied via take() AFTER the basic indexing:
+                    # mixing an array index with integer indices makes
+                    # numpy move the broadcast advanced axes to the
+                    # FRONT (x[0, :, [0,1]] is the transpose of
+                    # x[0][:, [0,1]]), silently mislabeling dims
+                    key.append(slice(None))
                     new_dims.append(d)
-                    adv_dims[d] = True
+                    adv_dims[d] = idx
             else:
                 key.append(slice(None))
                 new_dims.append(d)
@@ -177,9 +182,16 @@ class Variable:
             raise NotImplementedError(
                 'fancy indexing over multiple dims is not supported')
         data = self.data[tuple(key)]
+        for d, idx in adv_dims.items():
+            xp = get_xp(data)
+            data = xp.take(data, xp.asarray(idx),
+                           axis=new_dims.index(d))
         return Variable(tuple(new_dims), data, self.attrs)
 
     def squeeze(self, dim=None):
+        if dim is not None and dim not in self.dims:
+            raise KeyError('cannot squeeze unknown dim %r (dims %r)'
+                           % (dim, self.dims))
         dims = []
         key = []
         for d, s in zip(self.dims, self.shape):
@@ -197,6 +209,10 @@ class Variable:
         xp = get_xp(self.data)
         data = xp.expand_dims(self.data, axis)
         dims = list(self.dims)
+        # normalize: a negative axis APPENDS in numpy (-1 == end), but
+        # list.insert(-1, ...) inserts BEFORE the last entry
+        if axis < 0:
+            axis = self.ndim + 1 + axis
         dims.insert(axis, dim)
         return Variable(tuple(dims), data, self.attrs)
 

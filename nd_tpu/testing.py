@@ -23,7 +23,9 @@ from .crs import CRS, Affine
 __all__ = ['requires', 'generate_test_dataset', 'generate_test_dataarray',
            'create_mock_classes', 'equal_list_of_dicts',
            'assert_equal_dict', 'assert_all_true', 'assert_equal_data',
-           'assert_equal_crs', 'all_algorithms', 'assert_equal_files']
+           'assert_equal_crs', 'all_algorithms', 'assert_equal_files',
+           'random_polygon', 'generate_test_polygons',
+           'generate_test_geodataframe']
 
 
 def requires(dep):
@@ -83,11 +85,18 @@ def generate_test_dataset(dims={'y': 20, 'x': 20, 'time': 10},
         mean = [mean] * len(var)
     if not isinstance(sigma, (list, tuple, np.ndarray)):
         sigma = [sigma] * len(var)
+    if len(mean) != len(var) or len(sigma) != len(var):
+        raise ValueError(
+            'mean/sigma lists must match var (%d entries), got %d/%d'
+            % (len(var), len(mean), len(sigma)))
 
     shape = tuple(dims.values())
     dim_names = tuple(dims.keys())
-    ds = Dataset(coords=coords,
-                 attrs=_geo_attrs(extent, nx, ny, crs))
+    # geo metadata only applies to spatial cubes (reference guards the
+    # same way, testing.py:34-70); a time-only cube must not crash
+    attrs = _geo_attrs(extent, nx, ny, crs) \
+        if 'x' in dims and 'y' in dims and nx > 1 and ny > 1 else {}
+    ds = Dataset(coords=coords, attrs=attrs)
     for v, m, s in zip(var, mean, sigma):
         ds[v] = (dim_names,
                  (rng.normal(m, s, shape)).astype(np.float64))

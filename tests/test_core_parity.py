@@ -473,3 +473,55 @@ def test_swap_dims_validates_replacement():
                                                                     2))})
     with pytest.raises(ValueError):
         bad.swap_dims({'x': 'm'})
+
+
+# ---------------------------------------------------------------------------
+# Fifteenth review round regressions
+# ---------------------------------------------------------------------------
+
+def test_isel_scalar_plus_array_keeps_axis_order():
+    """int + array indexers separated by a slice must not transpose
+    (numpy moves broadcast advanced axes to the front)."""
+    arr = np.arange(2 * 3 * 4.).reshape(2, 3, 4)
+    da = DataArray(arr, dims=('time', 'y', 'x'))
+    out = da.isel(time=0, x=[0, 1, 2])
+    assert out.dims == ('y', 'x') and out.shape == (3, 3)
+    np.testing.assert_array_equal(out.values, arr[0][:, [0, 1, 2]])
+
+
+def test_expand_dims_negative_axis():
+    da = DataArray(np.arange(6.).reshape(2, 3), dims=('y', 'x'))
+    out = da.variable.expand_dims('z', axis=-1)
+    assert out.dims == ('y', 'x', 'z') and out.shape == (2, 3, 1)
+
+
+def test_squeeze_unknown_dim_raises():
+    da = DataArray(np.arange(3.), dims=('x',))
+    with pytest.raises(KeyError):
+        da.squeeze('tme')
+
+
+def test_groupby_drops_nan_labels():
+    da = DataArray(np.arange(5.), dims=('t',),
+                   coords={'g': ('t', np.array([1., np.nan, 1., 2.,
+                                                np.nan]))})
+    out = da.groupby('g').mean()
+    assert len(out.coords['g'].values) == 2
+    np.testing.assert_allclose(sorted(out.coords['g'].values), [1, 2])
+    np.testing.assert_allclose(
+        out.sel(g=1).values if hasattr(out, 'sel') else out.values[0],
+        1.0)
+
+
+def test_rolling_min_periods_validated():
+    da = DataArray(np.arange(5.), dims=('t',))
+    with pytest.raises(ValueError):
+        da.rolling(t=3, min_periods=5)
+
+
+def test_generator_time_only_and_length_checks():
+    from nd_tpu.testing import generate_test_dataset
+    ds = generate_test_dataset(dims={'time': 4}, var=['a'])
+    assert ds.sizes == {'time': 4}
+    with pytest.raises(ValueError):
+        generate_test_dataset(var=['a', 'b'], mean=[0])
