@@ -144,18 +144,21 @@ def to_netcdf(ds, path, *args, **kwargs):
     return path
 
 
-def open_netcdf(path, as_complex=False, *args, **kwargs):
+def open_netcdf(path, as_complex=False, rename_latlon=True, *args,
+                **kwargs):
     """Read a NetCDF file into a Dataset.
 
     lat/lon dimensions are renamed to y/x (keeping lat/lon coords),
-    matching the reference's convention (io.py:272-275).
+    matching the reference's convention (io.py:272-275); pass
+    ``rename_latlon=False`` for a verbatim read (the tiling round trip
+    uses it so tile -> merge never changes dimension names).
     """
     from .netcdf import open_netcdf_file
     ds = open_netcdf_file(path,
                           decode_cf=kwargs.get('decode_cf', True))
     if as_complex:
         ds = assemble_complex(ds)
-    if 'lon' in ds.sizes and 'lat' in ds.sizes:
+    if rename_latlon and 'lon' in ds.sizes and 'lat' in ds.sizes:
         lat = ds._coords.get('lat')
         lon = ds._coords.get('lon')
         ds = ds.rename({'lat': 'y', 'lon': 'x'})

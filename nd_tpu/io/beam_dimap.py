@@ -10,6 +10,7 @@ interpolated to the full raster.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 
@@ -128,7 +129,12 @@ def open_beam_dimap(path, read_data=True, as_complex=True):
         map_xy = np.stack((yg.astype(float) / ystep,
                            xg.astype(float) / xstep), axis=0)
         tp_sparse = {}
-        for name, tpg in tp_grids.items():
+        # only the geolocation grids become coords — interpolating the
+        # other tie-point grids (incidence angle, slant range, ...)
+        # would cost a full-raster f64 allocation + cubic pass EACH,
+        # all discarded
+        for name in ('latitude', 'longitude'):
+            tpg = tp_grids[name]
             interp = map_coordinates(tpg, map_xy, output=tpg.dtype,
                                      order=3, cval=np.nan)
             sparse = np.full((meta['nrows'], meta['ncols']), np.nan)
@@ -152,13 +158,33 @@ def open_beam_dimap(path, read_data=True, as_complex=True):
             im_path = os.path.splitext(rpath)[0] + '.img'
             name = os.path.splitext(os.path.split(im_path)[1])[0]
             raster = EnviRaster(im_path)
-            arr = raster.read(1)
-            attrs = {'units': raster.header.get('description', '')}
+            attrs = {}
+            desc = raster.header.get('description', '')
+            # SNAP embeds the unit as '... - Unit: X' free text; only
+            # the parsed unit belongs in a 'units' attr (the raw
+            # description is NOT a unit and would mislead CF readers)
+            m = re.search(r'Unit:\s*([^}\s][^}]*)', str(desc))
+            if desc:
+                attrs['description'] = str(desc)
+            if m:
+                attrs['units'] = m.group(1).strip()
             if raster.crs_wkt:
                 attrs['coordinate_system_string'] = raster.crs_wkt
             if raster.transform is not None:
                 attrs['transform'] = tuple(raster.transform)[:6]
-            ds._variables[name] = Variable(dims2d, arr, attrs)
+            if raster.bands > 1:
+                # keep every band (the reference's open_rasterio kept
+                # a (band, y, x) array; dropping bands 2..N silently
+                # would lose data)
+                arr = raster.read()
+                ds._variables[name] = Variable(('band',) + dims2d,
+                                               arr, attrs)
+                if 'band' not in ds._coords:
+                    ds._coords['band'] = Variable(
+                        ('band',), np.arange(1, raster.bands + 1))
+            else:
+                arr = raster.read(1)
+                ds._variables[name] = Variable(dims2d, arr, attrs)
             band_attr_sets[name] = attrs
         # Lift attributes shared by every band onto the dataset.
         if band_attr_sets:

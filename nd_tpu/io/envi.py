@@ -24,7 +24,8 @@ _DTYPE = {
 
 def read_envi_header(path):
     """Parse an ENVI .hdr file into a dict."""
-    text = open(path).read()
+    with open(path, encoding='latin-1') as fh:
+        text = fh.read()
     if not text.lstrip().upper().startswith('ENVI'):
         raise IOError('%s is not an ENVI header' % path)
     # join multi-line { ... } values

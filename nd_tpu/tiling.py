@@ -71,7 +71,9 @@ def tile(ds, path, prefix='part', chunks=None, buffer=0, complevel=5):
         os.makedirs(path)
 
     if isinstance(ds, str):
-        ds = open_netcdf(ds)
+        # verbatim read: tile() must honor whatever dim names the file
+        # has (a lat/lon product keeps lat/lon through the round trip)
+        ds = open_netcdf(ds, rename_latlon=False)
 
     if not chunks:
         raise ValueError('`chunks` must be provided (e.g. {"y": 100}).')
@@ -145,7 +147,7 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
         os.makedirs(path, exist_ok=True)
 
     def _wrapper(f):
-        data = open_netcdf(f)
+        data = open_netcdf(f, rename_latlon=False)
         result = fn(data, *args, **kwargs)
         root, name = os.path.split(f)
         stem, ext = os.path.splitext(name)
@@ -190,10 +192,16 @@ def sort_key(ds, dims):
             keys.append(vals[0])
             keys.append(vals[-1])
         else:
-            keys.append(-vals[0] if np.issubdtype(vals.dtype, np.number)
-                        else vals[0])
-            keys.append(-vals[-1] if np.issubdtype(vals.dtype, np.number)
-                        else vals[-1])
+            # descending coords sort by NEGATED key; datetimes negate
+            # via their integer ticks (not np.number, but ordered)
+            def neg(v):
+                if np.issubdtype(vals.dtype, np.number):
+                    return -v
+                if vals.dtype.kind in 'mM':
+                    return -v.astype('int64')
+                return v          # unordered-negation types: best effort
+            keys.append(neg(vals[0]))
+            keys.append(neg(vals[-1]))
     return tuple(keys)
 
 
@@ -316,12 +324,16 @@ def auto_merge(datasets, buffer=True, chunks={}, meta_variables=[],
     -------
     Dataset
     """
-    if isinstance(datasets, str):
-        datasets = sorted(glob.glob(datasets))
+    pattern = datasets if isinstance(datasets, str) else None
+    if pattern is not None:
+        datasets = sorted(glob.glob(pattern))
     if len(datasets) == 0:
-        raise ValueError('No files found!')
+        raise ValueError('no tile inputs%s'
+                         % (' matched %r' % pattern if pattern
+                            else ''))
     if isinstance(datasets[0], str):
-        datasets = [add_time(open_netcdf(path)) for path in datasets]
+        datasets = [add_time(open_netcdf(path, rename_latlon=False))
+                    for path in datasets]
 
     for meta in meta_variables:
         for d in datasets:
