@@ -129,23 +129,38 @@ def open_netcdf_file(path, decode_cf=True):
                         and nc_name.startswith(_NOT_A_VARIABLE)):
                     coord_like.add(name)
 
+        phony_by_size = {}
+
+        def _phony(size):
+            # one phony dim per distinct size (h5netcdf-style): equal-
+            # shape scale-less variables share dims, and the global
+            # counter can never hand out one name for two sizes
+            if size not in phony_by_size:
+                phony_by_size[size] = 'phony_dim_%d' % phony_count[0]
+                phony_count[0] += 1
+            return phony_by_size[size]
+
+        def _phony_unique(size, used):
+            d = _phony(size)
+            while d in used:        # square arrays need distinct dims
+                d = 'phony_dim_%d' % phony_count[0]
+                phony_count[0] += 1
+            used.add(d)
+            return d
+
         def dims_for(obj, name):
+            used = set()
             if 'DIMENSION_LIST' in obj.attrs:
                 out = []
                 for i, refs in enumerate(obj.attrs['DIMENSION_LIST']):
                     if len(refs):
                         out.append(f[refs[0]].name.lstrip('/'))
                     else:
-                        out.append('phony_dim_%d' % i)
+                        out.append(_phony_unique(obj.shape[i], used))
                 return tuple(out)
             if name in dim_names:
                 return (name,)
-            # fall back to phony dims keyed by size
-            out = []
-            for s in obj.shape:
-                out.append('phony_dim_%d' % phony_count[0])
-                phony_count[0] += 1
-            return tuple(out)
+            return tuple(_phony_unique(s, used) for s in obj.shape)
 
         variables = {}
         coords = {}
@@ -158,42 +173,60 @@ def open_netcdf_file(path, decode_cf=True):
                                   'REFERENCE_LIST', '_Netcdf4Dimid',
                                   '_Netcdf4Coordinates')}
             data = obj[()]
+            if isinstance(data, (bytes, str)):
+                # scalar variable-length string datasets come back as
+                # plain python objects with no .dtype
+                data = np.asarray(data)
             dims = dims_for(obj, name)
 
             if decode_cf:
                 fill = attrs.pop('_FillValue', None)
+                missing = attrs.pop('missing_value', None)
                 scale = attrs.pop('scale_factor', None)
                 offset = attrs.pop('add_offset', None)
                 units = attrs.get('units')
-                if units and np.issubdtype(np.asarray(data).dtype,
-                                           np.number):
-                    decoded = _decode_cf_time(data, units,
-                                              attrs.get('calendar'))
-                    if decoded is not None:
-                        data = decoded
-                        attrs.pop('units', None)
-                        attrs.pop('calendar', None)
-                        fill = scale = offset = None
-                # CF order: mask the RAW fill value first, then scale —
-                # scaled data never equals the raw sentinel, and packed
-                # integers with a fill must be masked even without a
-                # scale factor
+
+                # CF order: sentinels compare against the RAW stored
+                # values (both _FillValue and the legacy missing_value
+                # convention), then unpack, then interpret time.
                 mask = None
-                if fill is not None:
-                    fv = np.asarray(fill).ravel()
-                    if fv.size and not (np.issubdtype(fv.dtype,
+                for sentinel in (fill, missing):
+                    if sentinel is None:
+                        continue
+                    sv = np.asarray(sentinel).ravel()
+                    if sv.size and not (np.issubdtype(sv.dtype,
                                                       np.floating)
-                                        and np.isnan(fv[0])):
-                        mask = data == fv[0]
-                        if not mask.any():
-                            mask = None
+                                        and np.isnan(sv[0])):
+                        mm = data == sv[0]
+                        mask = mm if mask is None else (mask | mm)
+                if mask is not None and not np.any(mask):
+                    mask = None
                 if scale is not None or offset is not None:
                     data = data.astype('float64')
                     if scale is not None:
                         data = data * scale
                     if offset is not None:
                         data = data + offset
-                if mask is not None:
+                cal = attrs.get('calendar')
+                std_cal = cal is None or str(cal).lower() in (
+                    'standard', 'gregorian', 'proleptic_gregorian')
+                decoded = None
+                if units and std_cal and np.issubdtype(
+                        np.asarray(data).dtype, np.number):
+                    # decode from the UNPACKED values; masked entries
+                    # become NaT, never bogus real timestamps.
+                    # Non-standard calendars (360_day, noleap, ...)
+                    # stay undecoded with their units/calendar attrs —
+                    # silently-wrong proleptic dates are worse.
+                    decoded = _decode_cf_time(data, units, cal)
+                if decoded is not None:
+                    data = decoded
+                    if mask is not None:
+                        data = data.copy()
+                        data[mask] = np.datetime64('NaT')
+                    attrs.pop('units', None)
+                    attrs.pop('calendar', None)
+                elif mask is not None:
                     if not np.issubdtype(data.dtype, np.floating):
                         data = data.astype('float64')
                     data = np.where(mask, np.nan, data)
@@ -215,14 +248,20 @@ def open_netcdf_file(path, decode_cf=True):
                     extra_coord_names.update(str(cattr).split())
                 variables[name] = var
 
-        # variables referenced as CF "coordinates" become coords
+        # variables referenced as CF "coordinates" (per-variable attrs
+        # or the writer's group-level record) become coords
+        group_coords = f.attrs.get('_nd_tpu_coordinates')
+        if group_coords is not None:
+            extra_coord_names.update(
+                _decode_attr(group_coords).split())
         for cname in list(extra_coord_names):
             if cname in variables:
                 coords[cname] = variables.pop(cname)
         for v in variables.values():
             v.attrs.pop('coordinates', None)
 
-        ds = Dataset(attrs={k: _decode_attr(v) for k, v in f.attrs.items()})
+        ds = Dataset(attrs={k: _decode_attr(v) for k, v in f.attrs.items()
+                            if not str(k).startswith('_nd_tpu')})
         ds._coords = coords
         ds._variables = variables
         return ds
@@ -275,12 +314,16 @@ def write_netcdf_file(ds, path, compress=True, complevel=5,
                     compression_opts=complevel if compress else None)
                 for k, v in attrs.items():
                     d.attrs[k] = v
+                d.make_scale(dname)
             else:
                 d = f.create_dataset(dname, shape=(size,),
                                      dtype='f4')
-                d.attrs['NAME'] = np.bytes_(
-                    _NOT_A_VARIABLE + b' %8d' % size)
-            d.make_scale(dname)
+                # make_scale writes the NAME attr itself, so the
+                # not-a-variable sentinel must go THROUGH it (setting
+                # NAME first gets overwritten, and the placeholder
+                # would read back as a bogus all-zero coordinate)
+                d.make_scale((_NOT_A_VARIABLE + b' %8d'
+                              % size).decode('ascii'))
             created_dims[dname] = d
 
         # 2. non-dimension coordinates
@@ -327,5 +370,10 @@ def write_netcdf_file(ds, path, compress=True, complevel=5,
             if k.startswith('_nd_tpu'):
                 continue
             f.attrs[k] = _coerce_attr(v)
+        if aux_coords:
+            # group-level record (like the zarr writer's group attr):
+            # aux coords whose dims no data variable covers would
+            # otherwise read back as data variables
+            f.attrs['_nd_tpu_coordinates'] = ' '.join(aux_coords)
 
     os.replace(tmp, path)

@@ -28,6 +28,8 @@ _SEP = '.'
 
 
 def _json_default(v):
+    if isinstance(v, np.bool_):
+        return bool(v)        # str() would make 'False' truthy
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
@@ -60,13 +62,12 @@ def _parse_fill(fill, dtype):
     """Zarr fill_value JSON -> a numpy scalar of the array dtype."""
     if fill is None:
         return None
-    if isinstance(fill, str):
-        if fill in ('NaN', 'nan'):
-            return np.asarray(np.nan, dtype)
-        if fill in ('Infinity', '-Infinity'):
-            return np.asarray(float(fill.replace('Infinity', 'inf')),
-                              dtype)
+    if isinstance(fill, str) and fill in ('NaN', 'nan', 'Infinity',
+                                          '-Infinity'):
+        fill = float(fill.replace('Infinity', 'inf'))
     try:
+        # inside the try: lenient writers emit 'NaN' even for integer
+        # dtypes, which must degrade to no-fill, not crash the open
         return np.asarray(fill, dtype)
     except (TypeError, ValueError):
         return None
@@ -174,8 +175,9 @@ def to_zarr(ds, path, chunks=None, compress=True):
     if ds._coords:
         # record coordinate membership (xarray stores this per data
         # variable; the group-level list covers scalar/non-dim/2-d
-        # coords either way)
-        gattrs['coordinates'] = ' '.join(sorted(ds._coords))
+        # coords either way). Namespaced so a user attribute that
+        # happens to be called 'coordinates' survives the round trip.
+        gattrs['_nd_tpu_coordinates'] = ' '.join(sorted(ds._coords))
     with open(os.path.join(path, '.zattrs'), 'w') as fh:
         json.dump(gattrs, fh, default=_json_default)
 
@@ -279,9 +281,16 @@ def open_zarr(path):
     for name, (dims, _, _) in arrays.items():
         if dims == (name,):
             coord_names.add(name)
-    extra = ds.attrs.pop('coordinates', None)
+    extra = ds.attrs.pop('_nd_tpu_coordinates', None)
     if extra:
         coord_names.update(str(extra).split())
+    # legacy/xarray group-level 'coordinates': consume it only when
+    # every token names an array here (a user attribute that happens
+    # to share the name stays untouched)
+    legacy = ds.attrs.get('coordinates')
+    if legacy and all(tok in arrays for tok in str(legacy).split()):
+        coord_names.update(str(legacy).split())
+        ds.attrs.pop('coordinates')
     for name, (dims, data, attrs) in arrays.items():
         per_var = attrs.pop('coordinates', None)
         if per_var:

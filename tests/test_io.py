@@ -221,3 +221,98 @@ def test_netcdf_scalar_coord_roundtrip(tmp_path):
     back = open_netcdf(p)
     assert 'time' in back.coords, 'scalar coord demoted to variable'
     assert back.coords['time'].dims == ()
+
+
+# ---------------------------------------------------------------------------
+# Seventeenth review round regressions
+# ---------------------------------------------------------------------------
+
+def test_netcdf_dim_without_coord_roundtrip(tmp_path):
+    """Dims with no coordinate variable must not read back as bogus
+    all-zero float coords (the NAME sentinel survives make_scale)."""
+    from nd_tpu.io import open_netcdf, to_netcdf
+    ds = Dataset({'v': (('y', 'x'), np.arange(12.).reshape(3, 4))})
+    p = str(tmp_path / 'nocoord.nc')
+    to_netcdf(ds, p)
+    back = open_netcdf(p)
+    assert 'y' not in back.coords and 'x' not in back.coords
+    np.testing.assert_allclose(back['v'].values, ds['v'].values)
+
+
+def test_netcdf_time_fill_decodes_to_nat(tmp_path):
+    """_FillValue sentinels in CF time variables decode to NaT, not a
+    bogus 1999 timestamp."""
+    import h5py
+    p = str(tmp_path / 'timefill.nc')
+    with h5py.File(p, 'w') as f:
+        d = f.create_dataset('time', data=np.array([0, 86400, -9999],
+                                                   np.int64))
+        d.attrs['units'] = 'seconds since 2000-01-01'
+        d.attrs['_FillValue'] = np.int64(-9999)
+        d.make_scale('time')
+    from nd_tpu.io.netcdf import open_netcdf_file
+    ds = open_netcdf_file(p)
+    t = ds.coords['time'].values
+    assert t[0] == np.datetime64('2000-01-01')
+    assert t[1] == np.datetime64('2000-01-02')
+    assert np.isnat(t[2])
+
+
+def test_netcdf_missing_value_masked(tmp_path):
+    import h5py
+    p = str(tmp_path / 'missing.nc')
+    with h5py.File(p, 'w') as f:
+        d = f.create_dataset('v', data=np.array([1.5, -9999.0, 2.5]))
+        d.attrs['missing_value'] = -9999.0
+    from nd_tpu.io.netcdf import open_netcdf_file
+    ds = open_netcdf_file(p)
+    vals = ds['v'].values
+    assert np.isnan(vals[1]) and vals[0] == 1.5
+
+
+def test_netcdf_nonstandard_calendar_left_undecoded(tmp_path):
+    import h5py
+    p = str(tmp_path / 'cal.nc')
+    with h5py.File(p, 'w') as f:
+        d = f.create_dataset('t', data=np.array([0, 360], np.int64))
+        d.attrs['units'] = 'days since 2000-01-01'
+        d.attrs['calendar'] = '360_day'
+    from nd_tpu.io.netcdf import open_netcdf_file
+    ds = open_netcdf_file(p)
+    v = ds['t']
+    assert v.values.dtype.kind in 'iu'
+    assert v.attrs.get('calendar') == '360_day'
+
+
+def test_netcdf_scalar_string(tmp_path):
+    import h5py
+    p = str(tmp_path / 'scalar_str.nc')
+    with h5py.File(p, 'w') as f:
+        f.create_dataset('label', data='hello')
+    from nd_tpu.io.netcdf import open_netcdf_file
+    ds = open_netcdf_file(p)
+    assert str(np.asarray(ds['label'].values)) == 'hello'
+
+
+def test_netcdf_aux_coord_without_covering_var(tmp_path):
+    from nd_tpu.io import open_netcdf, to_netcdf
+    ds = Dataset(coords={'x': np.arange(3),
+                         'label': (('x',), np.array([1., 2., 3.]))})
+    p = str(tmp_path / 'auxonly.nc')
+    to_netcdf(ds, p)
+    back = open_netcdf(p)
+    assert 'label' in back.coords
+
+
+def test_zarr_bool_attr_and_user_coordinates_attr(tmp_path):
+    from nd_tpu.io import open_zarr, to_zarr
+    ds = Dataset({'v': (('x',), np.arange(3.))},
+                 coords={'x': np.arange(3)})
+    ds.attrs['flag'] = np.bool_(False)
+    ds.attrs['coordinates'] = 'my special note'
+    p = str(tmp_path / 'store.zarr')
+    to_zarr(ds, p)
+    back = open_zarr(p)
+    assert back.attrs['flag'] is False
+    assert back.attrs['coordinates'] == 'my special note'
+    assert 'x' in back.coords
