@@ -1388,11 +1388,20 @@ class Dataset(_NDOpsMixin):
         return self.isel(isel_kw)
 
     def transpose(self, *dims):
-        if not dims:
-            # xarray: no arguments reverses every variable's dims
-            dims = tuple(reversed(tuple(self.sizes)))
         ds = Dataset(attrs=self.attrs)
         ds._coords = dict(self._coords)
+        if not dims:
+            # xarray: no arguments reverses each variable's OWN dim
+            # order (a variable ordered differently from ds.sizes is
+            # still reversed relative to itself)
+            for ck, cv in self._coords.items():
+                if cv.ndim > 1:
+                    ds._coords[ck] = cv.transpose(
+                        *tuple(reversed(cv.dims)))
+            for k, v in self._variables.items():
+                ds._variables[k] = v.transpose(
+                    *tuple(reversed(v.dims)))
+            return ds
         for ck, cv in self._coords.items():
             if cv.ndim > 1:
                 order = tuple(d for d in dims if d in cv.dims)

@@ -146,6 +146,30 @@ class TiffFile:
             raise IOError('not a classic TIFF file')
         self.tags = self._read_ifd(off)
 
+    def close(self):
+        """Release the mmap and file handle (idempotent)."""
+        data, self._data = getattr(self, '_data', None), None
+        if data is not None and hasattr(data, 'close'):
+            try:
+                data.close()
+            except (BufferError, ValueError):
+                pass   # an exported ndarray view still pins the map
+        fh, self._fh = getattr(self, '_fh', None), None
+        if fh is not None:
+            fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):   # best-effort: batch jobs must not leak fds
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _read_ifd(self, off):
         d = self._data
         bo = self.bo
@@ -329,8 +353,8 @@ class TiffFile:
 
 def read_geotiff(path):
     """Read a GeoTIFF into (data, transform, crs, nodata)."""
-    t = TiffFile(path)
-    return t.read(), t.transform, t.crs, t.nodata
+    with TiffFile(path) as t:
+        return t.read(), t.transform, t.crs, t.nodata
 
 
 # ---------------------------------------------------------------------------

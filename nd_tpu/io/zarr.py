@@ -66,10 +66,11 @@ def _parse_fill(fill, dtype):
                                           '-Infinity'):
         fill = float(fill.replace('Infinity', 'inf'))
     try:
-        # inside the try: lenient writers emit 'NaN' even for integer
-        # dtypes, which must degrade to no-fill, not crash the open
+        # inside the try: lenient writers emit 'NaN' (or infinities)
+        # even for integer dtypes, which must degrade to no-fill, not
+        # crash the open (inf -> int raises OverflowError)
         return np.asarray(fill, dtype)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, OverflowError):
         return None
 
 

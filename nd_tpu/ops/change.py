@@ -502,6 +502,14 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
     if not (supports_pallas(np.shape(values)[2]) or interpret):
         return change_detection(values, alpha=alpha, n=n,
                                 stat_dtype='mixed')
+    if not jax.config.jax_enable_x64:
+        # a function named 'exact' must not quietly rescan in f32:
+        # without x64 the device rescan degrades, so take the XLA
+        # 'mixed' path whose scan dtype honors the f64 contract as
+        # closely as this configuration allows (hybrid's host-patch
+        # covers the truly-exact need, see change_detection_hybrid)
+        return change_detection(values, alpha=alpha, n=n,
+                                stat_dtype='mixed')
     values = jnp.asarray(values)
     if not jnp.issubdtype(values.dtype, jnp.floating):
         values = values.astype(jnp.float32)
