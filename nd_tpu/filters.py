@@ -415,25 +415,36 @@ class NLMeansFilter(Filter):
         the spatial (2-D) pattern, XLA scan otherwise."""
         from .ops.nlmeans_pallas import (nlmeans_spatial_pallas,
                                          supports_pallas)
+        from .ops.pallas_guard import run_with_fallback
+
+        def xla_path(v):
+            return _xla_nlmeans(v, r, f, self.sigma, self.h,
+                                self.n_eff)
+
         active = [i for i in range(3) if r[i] > 0]
         if supports_pallas() and values.dtype == jnp.float32:
             if active and set(active) <= {0, 1} and r[2] == 0 \
                     and f[2] == 0:
-                return nlmeans_spatial_pallas(
-                    values, (int(r[0]), int(r[1])),
-                    (int(f[0]), int(f[1])), self.sigma, self.h,
-                    self.n_eff)
+                def pallas_path(v):
+                    return nlmeans_spatial_pallas(
+                        v, (int(r[0]), int(r[1])),
+                        (int(f[0]), int(f[1])), self.sigma, self.h,
+                        self.n_eff)
+                return run_with_fallback(pallas_path, xla_path,
+                                         values, name='nlmeans')
             if active and set(active) <= {1, 2} and r[0] == 0 \
                     and f[0] == 0:
-                # rotate the batched axis to the back for the kernel
-                rotated = jnp.transpose(values, (1, 2, 0, 3))
-                out = nlmeans_spatial_pallas(
-                    rotated, (int(r[1]), int(r[2])),
-                    (int(f[1]), int(f[2])), self.sigma, self.h,
-                    self.n_eff)
-                return jnp.transpose(out, (2, 0, 1, 3))
-        return _xla_nlmeans(values, r, f, self.sigma, self.h,
-                            self.n_eff)
+                def pallas_path(v):
+                    # rotate the batched axis to the back
+                    rotated = jnp.transpose(v, (1, 2, 0, 3))
+                    out = nlmeans_spatial_pallas(
+                        rotated, (int(r[1]), int(r[2])),
+                        (int(f[1]), int(f[2])), self.sigma, self.h,
+                        self.n_eff)
+                    return jnp.transpose(out, (2, 0, 1, 3))
+                return run_with_fallback(pallas_path, xla_path,
+                                         values, name='nlmeans')
+        return xla_path(values)
 
 
 nlmeans = wrap_algorithm(NLMeansFilter, 'nlmeans')

@@ -515,18 +515,58 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
         values = values.astype(jnp.float32)
     ny, nx = values.shape[:2]
     capacity = _patch_capacity(ny, nx, capacity)
-    flags, count = _change_detection_exact_core(
-        values, float(alpha), int(n), float(margin_eps), capacity,
-        interpret=interpret)
-    if int(count) > capacity:   # host sync; rare
-        return change_detection(values, alpha=alpha, n=n,
+
+    def pallas_path(v):
+        flags, count = _change_detection_exact_core(
+            v, float(alpha), int(n), float(margin_eps), capacity,
+            interpret=interpret)
+        if int(count) > capacity:   # host sync; rare
+            return change_detection(v, alpha=alpha, n=n,
+                                    stat_dtype='mixed')
+        return flags
+
+    def xla_path(v):
+        return change_detection(v, alpha=alpha, n=n,
                                 stat_dtype='mixed')
-    return flags
+
+    from .pallas_guard import run_with_fallback
+    return run_with_fallback(pallas_path, xla_path, values,
+                             name='change-exact')
 
 
 def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
                             nthreads=0, values_host=None,
                             return_device=False, capacity=None):
+    """Fail-safe wrapper: a transient Pallas launch failure inside
+    :func:`_change_detection_hybrid` (the round-1 bench died on one)
+    degrades to the numerically-exact XLA 'mixed' scan instead of
+    propagating — the host transfers inside the impl surface async
+    launch errors here, inside the guard."""
+    from .pallas_guard import is_pallas_runtime_error
+
+    for attempt in range(2):
+        try:
+            return _change_detection_hybrid(
+                values, alpha, n=n, margin_eps=margin_eps,
+                nthreads=nthreads, values_host=values_host,
+                return_device=return_device, capacity=capacity)
+        except Exception as e:
+            if not is_pallas_runtime_error(e):
+                raise
+            import warnings
+            warnings.warn(
+                'Pallas change kernel failed at runtime (%s) — %s'
+                % (str(e).splitlines()[0][:200],
+                   'retrying once' if attempt == 0
+                   else 'falling back to the XLA mixed scan'))
+    out = change_detection(jnp.asarray(values), alpha=alpha, n=n,
+                           stat_dtype='mixed')
+    return out if return_device else np.asarray(out)
+
+
+def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
+                             nthreads=0, values_host=None,
+                             return_device=False, capacity=None):
     """Exact change detection at fast-mode speed (TPU only).
 
     Runs the fused f32 Pallas kernel, which also reports each pixel's

@@ -49,7 +49,9 @@ def supports_pallas(k=None):
     """True when the fused TPU kernel applies (optionally: to a series
     of length ``k`` — long stacks fall back to the XLA scan, whose
     compile time does not grow quadratically)."""
-    if jax.default_backend() != 'tpu' or pltpu is None:
+    from .pallas_guard import pallas_disabled
+    if jax.default_backend() != 'tpu' or pltpu is None \
+            or pallas_disabled():
         return False
     return k is None or k <= _K_MAX
 

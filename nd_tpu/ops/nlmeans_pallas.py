@@ -41,7 +41,9 @@ _TILE_BYTES = 3 << 20  # soft VMEM budget for the input tile
 
 
 def supports_pallas():
-    return jax.default_backend() == 'tpu' and pltpu is not None
+    from .pallas_guard import pallas_disabled
+    return jax.default_backend() == 'tpu' and pltpu is not None \
+        and not pallas_disabled()
 
 
 def _kernel(refs, out_ref, *, ry, rx, fy, fx, sigma, h, n_eff,
