@@ -53,6 +53,33 @@ _EPSG = {
     3031: {'proj': 'stere', 'lat_0': -90, 'lat_ts': -71, 'lon_0': 0,
            'x_0': 0, 'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
            'units': 'm'},
+    # equal-area / conformal-conic EO grids (VERDICT r1 item 2)
+    3035: {'proj': 'laea', 'lat_0': 52, 'lon_0': 10, 'x_0': 4321000,
+           'y_0': 3210000, 'ellps': 'GRS80', 'units': 'm'},
+    5070: {'proj': 'aea', 'lat_0': 23, 'lon_0': -96, 'lat_1': 29.5,
+           'lat_2': 45.5, 'x_0': 0, 'y_0': 0, 'ellps': 'GRS80',
+           'datum': 'NAD83', 'units': 'm'},
+    2154: {'proj': 'lcc', 'lat_0': 46.5, 'lon_0': 3, 'lat_1': 49,
+           'lat_2': 44, 'x_0': 700000, 'y_0': 6600000,
+           'ellps': 'GRS80', 'units': 'm'},
+    3034: {'proj': 'lcc', 'lat_0': 52, 'lon_0': 10, 'lat_1': 35,
+           'lat_2': 65, 'x_0': 4000000, 'y_0': 2800000,
+           'ellps': 'GRS80', 'units': 'm'},
+    3577: {'proj': 'aea', 'lat_0': 0, 'lon_0': 132, 'lat_1': -18,
+           'lat_2': -36, 'x_0': 0, 'y_0': 0, 'ellps': 'GRS80',
+           'units': 'm'},
+    # EASE-Grid 2.0 (NSIDC): global cylindrical + polar azimuthal
+    6933: {'proj': 'cea', 'lat_ts': 30, 'lon_0': 0, 'x_0': 0,
+           'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    6931: {'proj': 'laea', 'lat_0': 90, 'lon_0': 0, 'x_0': 0,
+           'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    6932: {'proj': 'laea', 'lat_0': -90, 'lon_0': 0, 'x_0': 0,
+           'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    3573: {'proj': 'laea', 'lat_0': 90, 'lon_0': -100, 'x_0': 0,
+           'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    # World Mollweide (ESRI:54009 — commonly requested by that number)
+    54009: {'proj': 'moll', 'lon_0': 0, 'x_0': 0, 'y_0': 0,
+            'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
 }
 for _zone in range(1, 61):
     _EPSG[32600 + _zone] = _utm_params(_zone, south=False)
@@ -66,6 +93,11 @@ _PROJECTION_WKT_NAMES = {
     'webmerc': 'Popular_Visualisation_Pseudo_Mercator',
     'sinu': 'Sinusoidal',
     'eqc': 'Equirectangular',
+    'lcc': 'Lambert_Conformal_Conic_2SP',
+    'aea': 'Albers_Conic_Equal_Area',
+    'laea': 'Lambert_Azimuthal_Equal_Area',
+    'cea': 'Cylindrical_Equal_Area',
+    'moll': 'Mollweide',
 }
 
 _WKT_NAME_TO_PROJ = {
@@ -81,7 +113,29 @@ _WKT_NAME_TO_PROJ = {
     'popular visualisation pseudo mercator': 'webmerc',
     'popular_visualisation_pseudo_mercator': 'webmerc',
     'pseudo-mercator': 'webmerc',
+    # conformal conic (WKT1 *_1SP/_2SP; WKT2 "(1SP)"/"(2SP)" suffixes
+    # arrive with the parens intact after name normalization)
+    'lambert_conformal_conic_2sp': 'lcc',
+    'lambert_conformal_conic_1sp': 'lcc',
+    'lambert_conformal_conic': 'lcc',
+    'lambert_conic_conformal_(2sp)': 'lcc',
+    'lambert_conic_conformal_(1sp)': 'lcc',
+    'lambert_conic_conformal': 'lcc',
+    # equal-area families
+    'albers_conic_equal_area': 'aea',
+    'albers_equal_area': 'aea',
+    'albers': 'aea',
+    'lambert_azimuthal_equal_area': 'laea',
+    'lambert_azimuthal_equal_area_(spherical)': 'laea',
+    'cylindrical_equal_area': 'cea',
+    'lambert_cylindrical_equal_area': 'cea',
+    'lambert_cylindrical_equal_area_(spherical)': 'cea',
+    'mollweide': 'moll',
 }
+
+# projections whose WKT standard_parallel_1/2 mean the conic
+# parallels +lat_1/+lat_2 (everything else maps SP1 to +lat_ts)
+_CONIC_PROJS = ('lcc', 'aea')
 
 _NUMERIC_KEYS = ('lat_0', 'lon_0', 'lat_1', 'lat_2', 'lat_ts', 'k', 'k_0',
                  'x_0', 'y_0', 'zone', 'a', 'b', 'rf')
@@ -293,6 +347,7 @@ class CRS:
             params['proj'] = proj
             # value may be followed by ANGLEUNIT/LENGTHUNIT/ID in WKT2,
             # so don't require an immediate closing bracket
+            sp1_key = 'lat_1' if proj in _CONIC_PROJS else 'lat_ts'
             for pk, pv in _find_all(
                     r'PARAMETER\[\"([^\"]+)\",\s*([0-9.eE+-]+)'):
                 pk = pk.strip().lower().replace(' ', '_')
@@ -305,11 +360,18 @@ class CRS:
                     'latitude_of_origin': 'lat_0',
                     'latitude_of_center': 'lat_0',
                     'latitude_of_natural_origin': 'lat_0',
+                    'latitude_of_false_origin': 'lat_0',
+                    'longitude_of_false_origin': 'lon_0',
                     'scale_factor': 'k',
                     'scale_factor_at_natural_origin': 'k',
                     'false_easting': 'x_0',
                     'false_northing': 'y_0',
-                    'standard_parallel_1': 'lat_ts',
+                    'easting_at_false_origin': 'x_0',
+                    'northing_at_false_origin': 'y_0',
+                    'standard_parallel_1': sp1_key,
+                    'latitude_of_1st_standard_parallel': sp1_key,
+                    'standard_parallel_2': 'lat_2',
+                    'latitude_of_2nd_standard_parallel': 'lat_2',
                     'latitude_of_standard_parallel': 'lat_ts',
                 }.get(pk)
                 if key:
@@ -412,13 +474,24 @@ class CRS:
             return geogcs
         pname = _PROJECTION_WKT_NAMES.get(self.proj, self.proj)
         polar = self.proj == 'stere' and 'lat_ts' in self._params
+        conic = self.proj in _CONIC_PROJS
         par = []
-        for wk, pk in [('latitude_of_origin', 'lat_0'),
-                       ('central_meridian', 'lon_0'),
-                       ('standard_parallel_1', 'lat_ts'),
-                       ('scale_factor', 'k'),
-                       ('false_easting', 'x_0'),
-                       ('false_northing', 'y_0')]:
+        fields = [('latitude_of_origin', 'lat_0'),
+                  ('central_meridian', 'lon_0'),
+                  ('standard_parallel_1', 'lat_ts'),
+                  ('scale_factor', 'k'),
+                  ('false_easting', 'x_0'),
+                  ('false_northing', 'y_0')]
+        if conic:
+            # GDAL WKT1 order for conics: SP1, SP2, then the origin
+            fields = [('standard_parallel_1', 'lat_1'),
+                      ('standard_parallel_2', 'lat_2'),
+                      ('latitude_of_origin', 'lat_0'),
+                      ('central_meridian', 'lon_0'),
+                      ('scale_factor', 'k'),
+                      ('false_easting', 'x_0'),
+                      ('false_northing', 'y_0')]
+        for wk, pk in fields:
             if pk == 'lat_0' and polar:
                 # WKT1 Polar_Stereographic: latitude_of_origin IS the
                 # standard parallel (GDAL/ESRI convention)
@@ -473,6 +546,11 @@ class CRS:
         if proj != 'longlat':
             if 'lat_ts' in p:
                 out['lat_ts'] = round(float(p['lat_ts']), 9)
+            if 'lat_1' in p:
+                out['lat_1'] = round(float(p['lat_1']), 9)
+                # a missing second parallel means SP2 == SP1 (PROJ)
+                out['lat_2'] = round(float(p.get('lat_2',
+                                                 p['lat_1'])), 9)
             for k in ('lat_0', 'lon_0', 'x_0', 'y_0'):
                 out[k] = round(float(p.get(k, 0.0)), 9)
             out['k'] = round(float(p.get('k', p.get('k_0', 1.0))), 12)

@@ -6,14 +6,23 @@ of a jitted warp pipeline (the reference delegates this to the PROJ C
 library via rasterio, /root/reference/nd/warp.py:758).
 
 Supported projections (covering every CRS exercised by the reference's
-tests): geographic lat/lon, Mercator (ellipsoidal, EPSG:3395), Web
-Mercator (EPSG:3857), Sinusoidal (+proj=sinu), Transverse Mercator
-(Krüger series — UTM zones, EPSG:27700), with WGS84/GRS80/Airy1830
-ellipsoids and 7-parameter Helmert datum shifts.
+tests plus the standard EO production grids): geographic lat/lon,
+Mercator (ellipsoidal, EPSG:3395), Web Mercator (EPSG:3857), Sinusoidal
+(+proj=sinu), Transverse Mercator (Krüger series — UTM zones,
+EPSG:27700), polar Stereographic (EPSG:3413/3031), Lambert conformal
+conic (lcc — EPSG:2154/3034), Albers equal-area conic (aea —
+EPSG:5070/3577), Lambert azimuthal equal-area in oblique and polar
+aspects (laea — EPSG:3035/6931/6932), cylindrical equal-area (cea —
+EPSG:6933 EASE-Grid 2.0), and Mollweide (moll), with
+WGS84/GRS80/Airy1830/Clarke1866/... ellipsoids and 7-parameter Helmert
+datum shifts.
 
 Accuracy: the transverse-Mercator series are carried to n^6 (< 1 mm
 inside the usual domain); Mercator/sinusoidal inverses use closed-form /
-rectifying-latitude series (< 1e-9 rad).
+rectifying-latitude series (< 1e-9 rad); the equal-area inverses use
+the authalic-latitude series (Snyder 3-18, < 3e-9 deg — verified
+against the EPSG Guidance Note 7-2 LAEA worked example and Snyder's
+published Albers/LCC numerical examples in tests/test_crs_families.py).
 """
 
 from __future__ import annotations
@@ -377,6 +386,287 @@ def _stere_inverse(x, y, ell, lon0, k0, xp=np, **params):
 
 
 # ---------------------------------------------------------------------------
+# Equal-area machinery (Snyder 1987 eq. 3-12 / 3-18): the authalic
+# latitude shared by laea / aea / cea
+# ---------------------------------------------------------------------------
+
+def _q_authalic(phi, ell, xp=np):
+    """Snyder's q (3-12): 2x the area integrand from equator to phi."""
+    e, e2 = ell.e, ell.e2
+    s = xp.sin(phi)
+    if e == 0:
+        return 2.0 * s
+    return (1 - e2) * (s / (1 - e2 * s * s)
+                       - (1.0 / (2 * e))
+                       * xp.log((1 - e * s) / (1 + e * s)))
+
+
+def _qp(ell):
+    """q at the pole (host scalar)."""
+    e, e2 = ell.e, ell.e2
+    if e == 0:
+        return 2.0
+    return (1 - e2) * (1.0 / (1 - e2)
+                       - (1.0 / (2 * e)) * math.log((1 - e) / (1 + e)))
+
+
+def _authalic_to_geodetic(beta, ell, xp=np):
+    """Authalic latitude -> geodetic latitude (Snyder 3-18 series)."""
+    e2 = ell.e2
+    if e2 == 0:
+        return beta
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (beta
+            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040)
+            * xp.sin(2 * beta)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * xp.sin(4 * beta)
+            + (761 * e6 / 45360) * xp.sin(6 * beta))
+
+
+def _m_parallel(phi, ell):
+    """Radius of the parallel / a (Snyder 14-15), host scalar."""
+    return math.cos(phi) / math.sqrt(1 - ell.e2 * math.sin(phi) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic (Snyder §15) — EPSG:2154/3034 etc.
+# ---------------------------------------------------------------------------
+
+def _lcc_setup(ell, lon0, k0, params):
+    e = ell.e
+    phi0 = math.radians(params.get('lat_0', 0.0))
+    phi1 = math.radians(params.get('lat_1', params.get('lat_0', 0.0)))
+    phi2 = math.radians(params['lat_2']) if 'lat_2' in params else phi1
+    m1 = _m_parallel(phi1, ell)
+    t0 = float(_stere_t(np.float64(phi0), e, np)) if abs(phi0) \
+        < math.pi / 2 - 1e-12 else 0.0
+    t1 = float(_stere_t(np.float64(phi1), e, np))
+    if abs(phi1 - phi2) > 1e-12:
+        m2 = _m_parallel(phi2, ell)
+        t2 = float(_stere_t(np.float64(phi2), e, np))
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1)
+                                             - math.log(t2))
+    else:
+        n = math.sin(phi1)
+    F = m1 / (n * t1 ** n)
+    rho0 = ell.a * k0 * F * t0 ** n
+    return n, F, rho0
+
+
+def _lcc_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    e = ell.e
+    n, F, rho0 = _lcc_setup(ell, lon0, k0, params or {})
+    t = _stere_t(lat, e, xp)
+    # t(phi) > 0 on (-90, 90); clamp so the pole (t = 0, rho = 0 for
+    # n > 0) stays finite under n < 0 too
+    rho = ell.a * k0 * F * xp.maximum(t, 1e-300) ** n
+    theta = n * (lon - lon0)
+    x = rho * xp.sin(theta)
+    y = rho0 - rho * xp.cos(theta)
+    return x, y
+
+
+def _lcc_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    e = ell.e
+    n, F, rho0 = _lcc_setup(ell, lon0, k0, params or {})
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * xp.sqrt(x * x + (rho0 - y) ** 2)
+    theta = xp.arctan2(sgn * x, sgn * (rho0 - y))
+    t = (rho / (ell.a * k0 * F)) ** (1.0 / n)
+    # invert t(phi) by fixed point (Snyder 7-9, shared with stere)
+    phi = math.pi / 2 - 2 * xp.arctan(t)
+    for _ in range(8):
+        s = e * xp.sin(phi)
+        phi = math.pi / 2 - 2 * xp.arctan(
+            t * ((1 - s) / (1 + s)) ** (e / 2))
+    lam = theta / n + lon0
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# Albers equal-area conic (Snyder §14) — EPSG:5070/3577 etc.
+# ---------------------------------------------------------------------------
+
+def _aea_setup(ell, params):
+    phi0 = math.radians(params.get('lat_0', 0.0))
+    phi1 = math.radians(params.get('lat_1', 0.0))
+    phi2 = math.radians(params['lat_2']) if 'lat_2' in params else phi1
+    m1 = _m_parallel(phi1, ell)
+    q0 = float(_q_authalic(np.float64(phi0), ell, np))
+    q1 = float(_q_authalic(np.float64(phi1), ell, np))
+    if abs(phi1 - phi2) > 1e-12:
+        m2 = _m_parallel(phi2, ell)
+        q2 = float(_q_authalic(np.float64(phi2), ell, np))
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    else:
+        n = math.sin(phi1)
+    C = m1 * m1 + n * q1
+    rho0 = ell.a * math.sqrt(max(C - n * q0, 0.0)) / n
+    return n, C, rho0
+
+
+def _aea_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    n, C, rho0 = _aea_setup(ell, params or {})
+    q = _q_authalic(lat, ell, xp)
+    rho = ell.a * xp.sqrt(xp.maximum(C - n * q, 0.0)) / n
+    theta = n * (lon - lon0)
+    return rho * xp.sin(theta), rho0 - rho * xp.cos(theta)
+
+
+def _aea_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    n, C, rho0 = _aea_setup(ell, params or {})
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = xp.sqrt(x * x + (rho0 - y) ** 2)
+    theta = xp.arctan2(sgn * x, sgn * (rho0 - y))
+    q = (C - (rho * n / ell.a) ** 2) / n
+    qp = _qp(ell)
+    beta = xp.arcsin(xp.clip(q / qp, -1.0, 1.0))
+    phi = _authalic_to_geodetic(beta, ell, xp)
+    return theta / n + lon0, phi
+
+
+# ---------------------------------------------------------------------------
+# Lambert azimuthal equal-area (Snyder §24) — EPSG:3035/3573 etc.
+# ---------------------------------------------------------------------------
+
+def _laea_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    params = params or {}
+    a = ell.a
+    lat0 = params.get('lat_0', 0.0)
+    phi0 = math.radians(lat0)
+    qp = _qp(ell)
+    q = _q_authalic(lat, ell, xp)
+    lam = lon - lon0
+    if abs(abs(lat0) - 90.0) < 1e-9:                     # polar
+        south = lat0 < 0
+        if south:
+            rho = a * xp.sqrt(xp.maximum(qp + q, 0.0))
+            return rho * xp.sin(lam), rho * xp.cos(lam)
+        rho = a * xp.sqrt(xp.maximum(qp - q, 0.0))
+        return rho * xp.sin(lam), -rho * xp.cos(lam)
+    beta = xp.arcsin(xp.clip(q / qp, -1.0, 1.0))
+    q1 = float(_q_authalic(np.float64(phi0), ell, np))
+    beta1 = math.asin(min(max(q1 / qp, -1.0), 1.0))
+    rq = a * math.sqrt(qp / 2.0)
+    m1 = _m_parallel(phi0, ell)
+    d = a * m1 / (rq * math.cos(beta1))
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    sb, cb = xp.sin(beta), xp.cos(beta)
+    cl = xp.cos(lam)
+    denom = 1.0 + sb1 * sb + cb1 * cb * cl
+    b = rq * xp.sqrt(2.0 / xp.maximum(denom, 1e-300))
+    x = b * d * cb * xp.sin(lam)
+    y = (b / d) * (cb1 * sb - sb1 * cb * cl)
+    return x, y
+
+
+def _laea_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    params = params or {}
+    a = ell.a
+    lat0 = params.get('lat_0', 0.0)
+    phi0 = math.radians(lat0)
+    qp = _qp(ell)
+    if abs(abs(lat0) - 90.0) < 1e-9:                     # polar
+        south = lat0 < 0
+        rho = xp.sqrt(x * x + y * y)
+        q = qp - (rho / a) ** 2
+        if south:
+            q = -q
+            lam = xp.arctan2(x, y)
+        else:
+            lam = xp.arctan2(x, -y)
+        beta = xp.arcsin(xp.clip(q / qp, -1.0, 1.0))
+        return lam + lon0, _authalic_to_geodetic(beta, ell, xp)
+    q1 = float(_q_authalic(np.float64(phi0), ell, np))
+    beta1 = math.asin(min(max(q1 / qp, -1.0), 1.0))
+    rq = a * math.sqrt(qp / 2.0)
+    m1 = _m_parallel(phi0, ell)
+    d = a * m1 / (rq * math.cos(beta1))
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    xd = x / d
+    yd = y * d
+    rho = xp.sqrt(xd * xd + yd * yd)
+    safe = rho > 1e-10
+    rho_s = xp.where(safe, rho, 1.0)
+    ce = 2.0 * xp.arcsin(xp.clip(rho_s / (2.0 * rq), -1.0, 1.0))
+    sce, cce = xp.sin(ce), xp.cos(ce)
+    beta = xp.where(
+        safe,
+        xp.arcsin(xp.clip(cce * sb1 + yd * sce * cb1 / rho_s,
+                          -1.0, 1.0)),
+        beta1)
+    lam = xp.where(
+        safe,
+        xp.arctan2(x * sce,
+                   d * rho_s * cb1 * cce - d * yd * sb1 * sce),
+        0.0)
+    return lam + lon0, _authalic_to_geodetic(beta, ell, xp)
+
+
+# ---------------------------------------------------------------------------
+# Cylindrical equal-area (Snyder §10) — EPSG:6933 (EASE-Grid 2.0)
+# ---------------------------------------------------------------------------
+
+def _cea_k0(ell, params):
+    if 'k' in params or 'k_0' in params:
+        return float(params.get('k', params.get('k_0')))
+    phi_ts = math.radians(params.get('lat_ts', 0.0))
+    return _m_parallel(phi_ts, ell)
+
+
+def _cea_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    k0 = _cea_k0(ell, params or {})
+    x = ell.a * k0 * (lon - lon0)
+    y = ell.a * _q_authalic(lat, ell, xp) / (2.0 * k0)
+    return x, y
+
+
+def _cea_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    k0 = _cea_k0(ell, params or {})
+    q = 2.0 * y * k0 / ell.a
+    beta = xp.arcsin(xp.clip(q / _qp(ell), -1.0, 1.0))
+    phi = _authalic_to_geodetic(beta, ell, xp)
+    return x / (ell.a * k0) + lon0, phi
+
+
+# ---------------------------------------------------------------------------
+# Mollweide (Snyder §31; PROJ computes it on a sphere of radius a)
+# ---------------------------------------------------------------------------
+
+_MOLL_CX = 2.0 * math.sqrt(2.0) / math.pi
+_MOLL_CY = math.sqrt(2.0)
+
+
+def _moll_forward(lon, lat, ell, lon0, k0, xp=np):
+    a = ell.a
+    # solve t + sin t = pi sin(phi) for t = 2*theta (Newton, fixed
+    # iteration count so the solve stays jittable)
+    target = math.pi * xp.sin(lat)
+    t = xp.asarray(lat) * 2.0
+    for _ in range(12):
+        denom = 1.0 + xp.cos(t)
+        step = (t + xp.sin(t) - target) / xp.maximum(denom, 1e-9)
+        t = t - xp.clip(step, -1.0, 1.0)
+    theta = t / 2.0
+    x = _MOLL_CX * a * (lon - lon0) * xp.cos(theta)
+    y = _MOLL_CY * a * xp.sin(theta)
+    return x, y
+
+
+def _moll_inverse(x, y, ell, lon0, k0, xp=np):
+    a = ell.a
+    theta = xp.arcsin(xp.clip(y / (_MOLL_CY * a), -1.0, 1.0))
+    phi = xp.arcsin(xp.clip((2.0 * theta + xp.sin(2.0 * theta))
+                            / math.pi, -1.0, 1.0))
+    ct = xp.cos(theta)
+    lam = xp.where(xp.abs(ct) > 1e-12,
+                   x / (_MOLL_CX * a * xp.maximum(xp.abs(ct), 1e-12)),
+                   0.0)
+    return lam + lon0, phi
+
+
+# ---------------------------------------------------------------------------
 # Equidistant cylindrical (eqc) — used by some simple grids
 # ---------------------------------------------------------------------------
 
@@ -398,6 +688,11 @@ _FORWARD = {
     'webmerc': _webmerc_forward,
     'sinu': _sinu_forward,
     'eqc': _eqc_forward,
+    'lcc': _lcc_forward,
+    'aea': _aea_forward,
+    'laea': _laea_forward,
+    'cea': _cea_forward,
+    'moll': _moll_forward,
 }
 
 _INVERSE = {
@@ -408,7 +703,16 @@ _INVERSE = {
     'webmerc': _webmerc_inverse,
     'sinu': _sinu_inverse,
     'eqc': _eqc_inverse,
+    'lcc': _lcc_inverse,
+    'aea': _aea_inverse,
+    'laea': _laea_inverse,
+    'cea': _cea_inverse,
+    'moll': _moll_inverse,
 }
+
+# projections whose math needs the full parameter dict (standard
+# parallels, center latitude) beyond (lon0, k0)
+_PARAMETRIC = frozenset({'lcc', 'aea', 'laea', 'cea'})
 
 
 def _scale_factor(proj, params, ell):
@@ -448,6 +752,8 @@ def project_forward(proj, lon_deg, lat_deg, ell, params, xp=np):
         x, y = fwd(lon, lat, ell, lon0, k0, xp=xp,
                    lat_0=params.get('lat_0', 90.0),
                    lat_ts=params.get('lat_ts'))
+    elif proj in _PARAMETRIC:
+        x, y = fwd(lon, lat, ell, lon0, k0, xp=xp, params=params)
     else:
         x, y = fwd(lon, lat, ell, lon0, k0, xp=xp)
     if proj in ('tmerc', 'utm') and lat0 != 0.0:
@@ -477,6 +783,8 @@ def project_inverse(proj, x, y, ell, params, xp=np):
         lon, lat = inv(x, y, ell, lon0, k0, xp=xp,
                        lat_0=params.get('lat_0', 90.0),
                        lat_ts=params.get('lat_ts'))
+    elif proj in _PARAMETRIC:
+        lon, lat = inv(x, y, ell, lon0, k0, xp=xp, params=params)
     else:
         lon, lat = inv(x, y, ell, lon0, k0, xp=xp)
     return xp.degrees(lon), xp.degrees(lat)
