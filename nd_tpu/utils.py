@@ -21,8 +21,7 @@ import itertools
 import re
 from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
-from functools import reduce, wraps
-from operator import add
+from functools import wraps
 
 import numpy as np
 
@@ -328,74 +327,102 @@ def is_complex(ds):
 # functionalizer for generated API docs.
 # -------------------------------------------------------------------
 
-def _wlen(s):
-    return len(s) - len(s.lstrip())
+def _margin(line):
+    """Width of a line's leading whitespace."""
+    return len(line) - len(line.lstrip())
+
+
+def _is_dash_rule(line):
+    """True for a numpydoc underline: dashes only (ignoring padding)."""
+    body = line.strip()
+    return bool(body) and set(body) == {'-'}
 
 
 def parse_docstring(doc):
+    """Parse a numpydoc docstring into an ordered mapping.
+
+    Keys: ``'indent'`` (the stripped common indentation), ``None``
+    (preamble lines before the first section), and one entry per
+    section title mapping to a list of *blocks* — each block is the
+    list of lines of one definition item (a new item begins at a line
+    with no leading whitespace).
+    """
     parsed = OrderedDict()
     if doc is None:
         return parsed
-    lines = doc.split('\n')
-    if len(lines) < 3:
-        indent = 0
-    else:
-        body = [_wlen(_) for _ in lines[1:-1] if len(_.lstrip()) > 0]
-        indent = min(body) if body else 0
-    lines = [ln[indent:] if _wlen(ln) >= indent else ln for ln in lines]
-    parsed['indent'] = indent
 
-    rule = re.compile('^ *-+$')
-    section_starts = [i for i, ln in enumerate(lines) if rule.match(ln)]
+    raw = doc.split('\n')
+    # Common indentation, measured over the body only: the first line
+    # hugs the opening quotes and the closing line is artificial.
+    interior = [_margin(ln) for ln in raw[1:-1] if ln.strip()] \
+        if len(raw) >= 3 else []
+    width = min(interior, default=0)
+    lines = [ln[width:] if _margin(ln) >= width else ln for ln in raw]
+    parsed['indent'] = width
 
-    if len(section_starts) == 0:
+    # A section header is a title line whose successor is a dash rule.
+    header_at = [i for i in range(1, len(lines))
+                 if _is_dash_rule(lines[i]) and lines[i - 1].strip()]
+
+    if not header_at:
         parsed[None] = lines
-    else:
-        parsed[None] = lines[:section_starts[0] - 2]
-        for start, stop in zip(section_starts,
-                               section_starts[1:] + [None]):
-            section_name = lines[start - 1].strip()
-            if stop is not None:
-                stop -= 2
-            section = lines[start + 1:stop]
-            param_starts = [i for i, s in enumerate(section)
-                            if _wlen(s) == 0]
-            parsed[section_name] = [
-                section[p0:p1] for p0, p1 in
-                zip(param_starts, param_starts[1:] + [None])]
+        return parsed
+
+    def _strip_trailing_blanks(chunk):
+        while chunk and not chunk[-1].strip():
+            chunk.pop()
+        return chunk
+
+    parsed[None] = _strip_trailing_blanks(lines[:header_at[0] - 1])
+    for here, nxt in itertools.zip_longest(header_at, header_at[1:]):
+        title = lines[here - 1].strip()
+        end = len(lines) if nxt is None else nxt - 1
+        body = _strip_trailing_blanks(lines[here + 1:end])
+        # chunk into definition items in one pass: flush-left lines
+        # (including blank ones) open a new item; indented lines
+        # continue the current one
+        blocks = []
+        for ln in body:
+            if _margin(ln) == 0:
+                blocks.append([ln])
+            elif blocks:
+                blocks[-1].append(ln)
+        parsed[title] = blocks
     return parsed
 
 
 def assemble_docstring(parsed, sig=None):
-    """Assemble a docstring from the parse_docstring() representation."""
+    """Assemble a docstring from the parse_docstring() representation.
+
+    With ``sig``, the ``Parameters`` blocks are re-ordered to follow
+    the signature; blocks naming no known parameter keep their
+    relative order after the known ones (sorted is stable).
+    """
     parsed = parsed.copy()
-    indent = parsed.pop('indent', 0)
-    pad = ' ' * indent
+    pad = ' ' * parsed.pop('indent', 0)
 
-    if sig is not None and 'Parameters' in parsed:
-        order = tuple(sig.parameters.keys())
+    if sig is not None and parsed.get('Parameters'):
+        rank = {name: i for i, name in enumerate(sig.parameters)}
 
-        def sort_index(p):
-            key = p[0].split(':')[0].strip(' *')
-            if key == '' or key not in order:
-                return 9999
-            return order.index(key)
+        def block_rank(block):
+            described = block[0].partition(':')[0].strip(' *')
+            return rank.get(described, len(rank))
 
         parsed['Parameters'] = sorted(parsed['Parameters'],
-                                      key=sort_index)
+                                      key=block_rank)
 
-    d = []
-    for k, v in parsed.items():
-        if not v:
+    out = []
+    for title, content in parsed.items():
+        if not content:
             continue
-        if isinstance(v[0], list):
-            flat_v = reduce(add, v)
-        else:
-            flat_v = v
-        if k is not None:
-            d.extend(['', pad + k, pad + '-' * len(k)])
-        d.extend([(pad + ln).rstrip() for ln in flat_v])
-    return '\n'.join(d)
+        if isinstance(content[0], list):     # section: list of blocks
+            body = itertools.chain.from_iterable(content)
+        else:                                # preamble: plain lines
+            body = content
+        if title is not None:
+            out += ['', pad + title, pad + '-' * len(title)]
+        out += [(pad + ln).rstrip() for ln in body]
+    return '\n'.join(out)
 
 
 # -------------------------------------------------------------------

@@ -221,15 +221,6 @@ def write_video(ds, path, timestamp='upper left', fontcolor=(0, 0, 0),
         (len(np.asarray(ds.coords['y'].values)),
          len(np.asarray(ds.coords['x'].values))))
 
-    if timestamp in ('upper right', 'ur'):
-        corner = (width - 230, 40)
-    elif timestamp in ('lower left', 'll'):
-        corner = (20, height - 20)
-    elif timestamp in ('lower right', 'lr'):
-        corner = (width - 230, height - 20)
-    else:
-        corner = (20, 40)
-
     _, ext = os.path.splitext(path)
     writer_kwargs = {'mode': 'I', 'fps': fps}
     writer_kwargs.update(kwargs)
@@ -238,17 +229,46 @@ def write_video(ds, path, timestamp='upper left', fontcolor=(0, 0, 0),
         writer_kwargs['ffmpeg_log_level'] = 'error'
         writer_kwargs['codec'] = codec or 'libx264'
 
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    font_scale, font_weight = 1, 2
+    inset = 0.02   # stamp inset from the frame edge, fraction of size
+
+    def _label(t):
+        """Date label for one time coordinate value."""
+        try:
+            return np.datetime_as_string(np.datetime64(t, 'D'))
+        except (ValueError, TypeError):
+            return str(t)
+
+    def _anchor(label):
+        """Bottom-left text origin for the requested corner, derived
+        from the rendered text extent (no fixed pixel offsets)."""
+        (tw, th), _ = cv2.getTextSize(label, font, font_scale,
+                                      font_weight)
+        dx = int(round(width * inset))
+        dy = int(round(height * inset))
+        where = timestamp if isinstance(timestamp, str) else ''
+        x = width - tw - dx if ('right' in where or where == 'ur'
+                                or where == 'lr') else dx
+        y = height - dy if ('lower' in where or where == 'll'
+                            or where == 'lr') else th + dy
+        return x, y
+
+    overlay = None
+    if contours is not None:
+        overlay = dict(contours=contours, contourIdx=-1,
+                       color=(255, 255, 255), thickness=1)
+
     with imageio.get_writer(path, **writer_kwargs) as writer:
         for t in np.asarray(ds.coords['time'].values):
-            d = ds.sel(time=t)
-            frame = to_rgb(rgb(d), cmap=cmap, mask=mask)
-            if contours is not None:
-                frame = cv2.drawContours(frame, contours, -1,
-                                         (255, 255, 255), thickness=1)
+            frame = to_rgb(rgb(ds.sel(time=t)), cmap=cmap, mask=mask)
+            if overlay is not None:
+                frame = cv2.drawContours(frame, **overlay)
             frame = cv2.resize(frame, (width, height))
             if timestamp not in (False, None):
-                cv2.putText(frame, str(t)[:10], corner,
-                            cv2.FONT_HERSHEY_SIMPLEX, 1, fontcolor, 2)
+                stamp = _label(t)
+                cv2.putText(frame, stamp, _anchor(stamp), font,
+                            font_scale, fontcolor, font_weight)
             writer.append_data(frame)
 
 
