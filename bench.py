@@ -94,6 +94,33 @@ def _time_loop(kernel, x, reps=10):
     return (time.perf_counter() - t0) / reps, out
 
 
+# TPU v5e single-chip peaks (public figures: 197 TFLOP/s bf16 MXU,
+# ~one-quarter of that for f32 inputs, 819 GB/s HBM bandwidth)
+_V5E_HBM_GBPS = 819.0
+_V5E_BF16_TFLOPS = 197.0
+_V5E_F32_TFLOPS = 49.0
+
+
+def _roofline(detail, key, bytes_per_pix, flops_per_pix=None,
+              peak_tflops=_V5E_F32_TFLOPS):
+    """Annotate ``detail[key+'_mpix_s']`` with achieved HBM GB/s and
+    FLOP/s against the v5e peaks, using the documented minimal-traffic
+    / arithmetic models (docs/performance.md#roofline). 'pix' is one
+    (y, x, time) sample of the 4-channel f32 cube."""
+    rate = detail.get(key + '_mpix_s')
+    if not rate:
+        return
+    gbps = rate / 1e3 * bytes_per_pix
+    detail[key + '_hbm_gbps'] = round(gbps, 1)
+    detail[key + '_pct_hbm_roofline'] = round(
+        100.0 * gbps / _V5E_HBM_GBPS, 2)
+    if flops_per_pix:
+        gflops = rate / 1e3 * flops_per_pix
+        detail[key + '_gflops'] = round(gflops, 1)
+        detail[key + '_pct_compute_roofline'] = round(
+            100.0 * gflops / (peak_tflops * 1e3), 2)
+
+
 def _resilient(detail, name, fn, fallback=None):
     """Run ``fn()`` with one retry; on repeated failure run
     ``fallback()``. Returns (result, used_fallback) — (None, False)
@@ -184,6 +211,13 @@ def main():
                         lambda: _time(jax.jit(run_nlmeans), nl_in))
     if res:
         detail['nlmeans_wall_mpix_s'] = round(mpix / res[0], 2)
+    # roofline model: 32 B/pix HBM (4-channel f32 in+out, VMEM-fused
+    # accumulators); ~34 VPU flops per offset per pixel (shared-pair
+    # patch distances, exp weight, 4-channel accumulation)
+    n_off = (2 * r[0] + 1) * (2 * r[1] + 1) - 1
+    _roofline(detail, 'nlmeans', 32,
+              n_off * (3.0 * 4 / 2 + 2 * (f[0] + f[1]) + 12
+                       + 2 * 4 + 4))
 
     # ---- Omnibus change detection --------------------------------------
     alpha = 0.99
@@ -230,6 +264,12 @@ def main():
     if res:
         detail['omnibus_wall_mpix_s'] = round(mpix / res[0], 2)
         change_map = _sync(res[1])
+    # roofline model: 16 B/pix in + bit-packed flag planes out
+    # (4*ceil(k/31) B per (y,x) column); ~35 flops per scan element
+    # (channel cumsums, determinant, series log, folded compare) at a
+    # typical 3 restart rounds
+    _roofline(detail, 'omnibus',
+              16 + 4.0 * ((K + 30) // 31) / K, 35 * 3)
 
     if use_change_pallas:
         # suspect-count sanity: overflow would mean the timed kernel's
@@ -283,6 +323,8 @@ def main():
                         lambda: _time_loop(run_boxcar, cube_d))
     if res:
         detail['boxcar_mpix_s'] = round(mpix / res[0], 2)
+    # 4 channels f32 in+out; 9 MACs per channel
+    _roofline(detail, 'boxcar', 32, 4 * 9 * 2)
 
     from nd_tpu.ops.conv import gaussian_kernel1d, separable_convolve
     g1 = jnp.asarray(gaussian_kernel1d(1.5), jnp.float32)
@@ -294,6 +336,8 @@ def main():
                         lambda: _time_loop(run_gauss, cube_d))
     if res:
         detail['gaussian_mpix_s'] = round(mpix / res[0], 2)
+    # separable: 2 passes of len(g1) MACs over 4 channels
+    _roofline(detail, 'gaussian', 32, 4 * 2 * int(g1.shape[0]) * 2)
 
     # ---- reprojection (warp config) ------------------------------------
     try:
@@ -349,6 +393,11 @@ def main():
 
             t_rd, _ = _time_loop(run_warp, stacked)
             detail['reproject_device_mpix_s'] = round(wp / t_rd, 2)
+            # separable warp = two dense MXU matmuls: ~2*(h+w) MAC
+            # flops per output sample, ~12 B/pix HBM (src re-read +
+            # intermediate + dst)
+            _roofline(detail, 'reproject_device', 12,
+                      2 * 2 * (hw[0] + hw[1]))
     except Exception as e:  # pragma: no cover
         detail['reproject_error'] = str(e)
 
@@ -383,8 +432,14 @@ def main():
         from nd_tpu.testing import generate_test_dataset
         from nd_tpu.tiling import auto_merge, map_over_tiles, tile
 
-        tds = generate_test_dataset(
-            dims={'y': NY // 2, 'x': NX // 2, 'time': 4})
+        # production-shaped out-of-core job: a 2048^2 x 4 x 4-channel
+        # cube (268 MB f32) in 512^2-chunk tiles — big enough that the
+        # streaming pipeline's throughput, not per-tile Python
+        # overhead, sets the rate
+        TY, TX, TK = (2048, 2048, 4) if on_accel else (512, 512, 4)
+        tchunk = TY // 4
+        tds = generate_test_dataset(dims={'y': TY, 'x': TX,
+                                          'time': TK})
         for v in list(tds.data_vars):
             tds[v] = (tds[v].dims, tds[v].values.astype(np.float32))
         tdir = tempfile.mkdtemp(prefix='nd_tpu_bench_tiles_')
@@ -392,18 +447,20 @@ def main():
         try:
             # warm the tile-shaped executable (other configs exclude
             # compile via their warmup rep too)
-            warm = tds.isel(y=slice(0, NY // 4 + 1),
-                            x=slice(0, NX // 4 + 1))
-            _sync(flt.apply(warm)['C11'].data)
+            warm = tds.isel(y=slice(0, tchunk + 1),
+                            x=slice(0, tchunk + 1))
+            np.asarray(flt.apply(warm)['C11'].data)
             t0 = time.perf_counter()
-            tile(tds, tdir, chunks={'y': NY // 4, 'x': NX // 4},
+            tile(tds, tdir, chunks={'y': tchunk, 'x': tchunk},
                  buffer=1)
             merged = map_over_tiles(
                 os.path.join(tdir, '*.nc'), flt.apply, merge=True,
-                compute=True)
+                compute=True, max_workers=8)
             t_tl = time.perf_counter() - t0
-            tp = (NY // 2) * (NX // 2) * 4 * 4 / 1e6
+            tp = TY * TX * TK * 4 / 1e6
             detail['tile_pipeline_mpix_s'] = round(tp / t_tl, 2)
+            detail['tile_pipeline_mb'] = round(TY * TX * TK * 4 * 4
+                                               / 1e6)
         finally:
             shutil.rmtree(tdir, ignore_errors=True)
     except Exception as e:  # pragma: no cover

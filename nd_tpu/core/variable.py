@@ -45,9 +45,18 @@ def get_xp(*arrays):
     return np
 
 
+def is_lazy_array(x):
+    """True for lazily-materialized file-backed payloads (kept as-is
+    so indexing reads only the touched slab)."""
+    from ..io.lazy import LazyNetCDFArray
+    return isinstance(x, LazyNetCDFArray)
+
+
 def as_array(data):
     """Coerce input to a NumPy or JAX array without copying device data."""
     if is_device_array(data):
+        return data
+    if is_lazy_array(data):
         return data
     if isinstance(data, Variable):
         return data.data

@@ -155,8 +155,15 @@ class Filter(Algorithm):
                                 vdims, filtered, ds[v].attrs)
                         continue
                     axes = tuple(vdims.index(d) + 1 for d in self.dims)
-                    stacked = jnp.stack(
-                        [jnp.asarray(ds[v].data) for v in vs])
+                    arrs = [ds[v].data for v in vs]
+                    if all(isinstance(a, np.ndarray) for a in arrs):
+                        # tiles stream in as host numpy — keep the
+                        # stack on host so the conv layer can do its
+                        # shape normalization before the upload
+                        stacked = np.stack(arrs)
+                    else:
+                        stacked = jnp.stack(
+                            [jnp.asarray(a) for a in arrs])
                     filtered = self._filter(stacked, axes)
                     for i, v in enumerate(vs):
                         result._variables[v] = \
@@ -337,7 +344,7 @@ class GaussianFilter(Filter):
         mode = self.kwargs.get('mode', 'reflect')
         cval = self.kwargs.get('cval', 0.0)
         kernels = [gaussian_kernel1d(s, truncate) for s in self.sigma]
-        if jnp.iscomplexobj(jnp.asarray(arr)):
+        if np.iscomplexobj(arr):        # dtype check, no upload
             arr = jnp.asarray(arr)
             re = separable_convolve(arr.real, kernels, axes, mode, cval)
             im = separable_convolve(arr.imag, kernels, axes, mode, cval)

@@ -137,9 +137,12 @@ def to_netcdf(ds, path, *args, **kwargs):
     if isinstance(ds, DataArray):
         ds = ds.to_dataset(name=ds.name or 'data')
     write = disassemble_complex(ds)
-    write_netcdf_file(write, path,
-                      compress=kwargs.get('compress', True),
-                      complevel=kwargs.get('complevel', 5),
+    complevel = kwargs.get('complevel', 5)
+    # complevel=0 means truly uncompressed (contiguous datasets, no
+    # gzip-filter/chunking overhead), not "gzip at level 0"
+    compress = kwargs.get('compress', True) and complevel > 0
+    write_netcdf_file(write, path, compress=compress,
+                      complevel=complevel,
                       encoding=kwargs.get('encoding'))
     return path
 
@@ -152,10 +155,17 @@ def open_netcdf(path, as_complex=False, rename_latlon=True, *args,
     matching the reference's convention (io.py:272-275); pass
     ``rename_latlon=False`` for a verbatim read (the tiling round trip
     uses it so tile -> merge never changes dimension names).
+
+    Pass ``chunks`` (any value, e.g. ``{}`` like the reference's
+    dask-backed open, /root/reference/nd/tiling.py:382-385) for a LAZY
+    open: data variables materialize per-``isel``-slab on first use,
+    so a larger-than-RAM file can stream through ``tile()`` /
+    ``map_over_tiles`` without ever loading fully.
     """
     from .netcdf import open_netcdf_file
     ds = open_netcdf_file(path,
-                          decode_cf=kwargs.get('decode_cf', True))
+                          decode_cf=kwargs.get('decode_cf', True),
+                          chunks=kwargs.get('chunks'))
     if as_complex:
         ds = assemble_complex(ds)
     if rename_latlon and 'lon' in ds.sizes and 'lat' in ds.sizes:

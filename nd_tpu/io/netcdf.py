@@ -33,8 +33,8 @@ __all__ = ['open_netcdf_file', 'write_netcdf_file']
 # CF time handling
 # ---------------------------------------------------------------------------
 
-def _decode_cf_time(values, units, calendar=None):
-    import pandas as pd
+def _parse_time_units(units):
+    """CF time units -> (pandas unit code, epoch string) or None."""
     import re
     m = re.match(
         r'(?i)\s*(nanoseconds|microseconds|milliseconds|seconds|minutes'
@@ -45,8 +45,23 @@ def _decode_cf_time(values, units, calendar=None):
     unit_map = {'nanoseconds': 'ns', 'microseconds': 'us',
                 'milliseconds': 'ms', 'seconds': 's', 'minutes': 'm',
                 'hours': 'h', 'days': 'D', 'weeks': 'W'}
-    code = unit_map[unit_name.lower()]
-    epoch_ts = pd.Timestamp(epoch.strip())
+    import pandas as pd
+    try:
+        pd.Timestamp(epoch.strip())
+    except (ValueError, OverflowError):
+        # an unparseable epoch leaves the variable undecoded (with
+        # its units attr) instead of crashing the open
+        return None
+    return unit_map[unit_name.lower()], epoch.strip()
+
+
+def _decode_cf_time(values, units, calendar=None):
+    import pandas as pd
+    parsed = _parse_time_units(units)
+    if parsed is None:
+        return None
+    code, epoch = parsed
+    epoch_ts = pd.Timestamp(epoch)
     vals = np.asarray(values)
     flat = vals.ravel()
     if not np.issubdtype(flat.dtype, np.integer):
@@ -108,8 +123,60 @@ def _decode_attr(value):
 # reading
 # ---------------------------------------------------------------------------
 
-def open_netcdf_file(path, decode_cf=True):
-    """Read a NetCDF-4/HDF5 file into a Dataset."""
+def _cf_transform(fill, missing, scale, offset, time_units, calendar,
+                  to_bool):
+    """Slab-wise CF decode closure shared by the eager and lazy read
+    paths. CF order: sentinels compare against the RAW stored values
+    (both _FillValue and the legacy missing_value convention), then
+    unpack, then interpret time; masked entries of time variables
+    become NaT, never bogus real timestamps."""
+    def decode(data):
+        mask = None
+        for sentinel in (fill, missing):
+            if sentinel is None:
+                continue
+            sv = np.asarray(sentinel).ravel()
+            if sv.size and not (np.issubdtype(sv.dtype, np.floating)
+                                and np.isnan(sv[0])):
+                mm = data == sv[0]
+                mask = mm if mask is None else (mask | mm)
+        if mask is not None and not np.any(mask):
+            mask = None
+        if scale is not None or offset is not None:
+            data = data.astype('float64')
+            if scale is not None:
+                data = data * scale
+            if offset is not None:
+                data = data + offset
+        if time_units is not None:
+            decoded = _decode_cf_time(data, time_units, calendar)
+        else:
+            decoded = None
+        if decoded is not None:
+            data = decoded
+            if mask is not None:
+                data = data.copy()
+                data[mask] = np.datetime64('NaT')
+        elif mask is not None:
+            if not np.issubdtype(data.dtype, np.floating):
+                data = data.astype('float64')
+            data = np.where(mask, np.nan, data)
+        if to_bool:
+            data = data.astype(bool)
+        return data
+
+    return decode
+
+
+def open_netcdf_file(path, decode_cf=True, chunks=None):
+    """Read a NetCDF-4/HDF5 file into a Dataset.
+
+    With ``chunks`` (any value, including ``{}`` — xarray-style), data
+    variables become :class:`~nd_tpu.io.lazy.LazyNetCDFArray` views:
+    nothing is read until the values are used, and ``isel`` slices
+    read only their own slab. Coordinates and string variables stay
+    eager (they are small and index everything else).
+    """
     if h5py is None:
         raise ImportError('h5py is required for NetCDF I/O')
     with h5py.File(path, 'r') as f:
@@ -172,72 +239,68 @@ def open_netcdf_file(path, decode_cf=True):
                      if k not in ('CLASS', 'NAME', 'DIMENSION_LIST',
                                   'REFERENCE_LIST', '_Netcdf4Dimid',
                                   '_Netcdf4Coordinates')}
-            data = obj[()]
-            if isinstance(data, (bytes, str)):
-                # scalar variable-length string datasets come back as
-                # plain python objects with no .dtype
-                data = np.asarray(data)
             dims = dims_for(obj, name)
 
+            decode = None
             if decode_cf:
                 fill = attrs.pop('_FillValue', None)
                 missing = attrs.pop('missing_value', None)
                 scale = attrs.pop('scale_factor', None)
                 offset = attrs.pop('add_offset', None)
                 units = attrs.get('units')
-
-                # CF order: sentinels compare against the RAW stored
-                # values (both _FillValue and the legacy missing_value
-                # convention), then unpack, then interpret time.
-                mask = None
-                for sentinel in (fill, missing):
-                    if sentinel is None:
-                        continue
-                    sv = np.asarray(sentinel).ravel()
-                    if sv.size and not (np.issubdtype(sv.dtype,
-                                                      np.floating)
-                                        and np.isnan(sv[0])):
-                        mm = data == sv[0]
-                        mask = mm if mask is None else (mask | mm)
-                if mask is not None and not np.any(mask):
-                    mask = None
-                if scale is not None or offset is not None:
-                    data = data.astype('float64')
-                    if scale is not None:
-                        data = data * scale
-                    if offset is not None:
-                        data = data + offset
                 cal = attrs.get('calendar')
                 std_cal = cal is None or str(cal).lower() in (
                     'standard', 'gregorian', 'proleptic_gregorian')
-                decoded = None
-                if units and std_cal and np.issubdtype(
-                        np.asarray(data).dtype, np.number):
-                    # decode from the UNPACKED values; masked entries
-                    # become NaT, never bogus real timestamps.
-                    # Non-standard calendars (360_day, noleap, ...)
-                    # stay undecoded with their units/calendar attrs —
-                    # silently-wrong proleptic dates are worse.
-                    decoded = _decode_cf_time(data, units, cal)
-                if decoded is not None:
-                    data = decoded
-                    if mask is not None:
-                        data = data.copy()
-                        data[mask] = np.datetime64('NaT')
+                # time-decode eligibility is static (dtype + units
+                # string): unpacking preserves numeric-ness, so the
+                # stored dtype decides. Non-standard calendars
+                # (360_day, noleap, ...) stay undecoded with their
+                # attrs — silently-wrong proleptic dates are worse.
+                decode_time = bool(units) and std_cal \
+                    and obj.dtype.kind in 'iuf' \
+                    and _parse_time_units(units) is not None
+                to_bool = attrs.get('dtype') == 'bool'
+                if decode_time:
                     attrs.pop('units', None)
                     attrs.pop('calendar', None)
-                elif mask is not None:
-                    if not np.issubdtype(data.dtype, np.floating):
-                        data = data.astype('float64')
-                    data = np.where(mask, np.nan, data)
-                if attrs.get('dtype') == 'bool':
-                    data = data.astype(bool)
+                if to_bool:
                     attrs.pop('dtype')
-            if data.dtype.kind in ('S', 'O'):
-                try:
-                    data = np.char.decode(data.astype('S'), 'utf-8')
-                except Exception:
-                    pass
+                if (fill is not None or missing is not None
+                        or scale is not None or offset is not None
+                        or decode_time or to_bool):
+                    decode = _cf_transform(
+                        fill, missing, scale, offset,
+                        units if decode_time else None, cal, to_bool)
+
+            lazy_ok = (chunks is not None
+                       and name not in coord_like
+                       and obj.ndim >= 1
+                       and obj.dtype.kind in 'iufc'
+                       and h5py.check_string_dtype(obj.dtype) is None)
+            if lazy_ok:
+                from .lazy import LazyNetCDFArray
+                if decode is None:
+                    out_dtype = obj.dtype
+                else:
+                    # decode one synthetic element to learn the
+                    # decoded dtype without touching the data
+                    out_dtype = decode(np.ones(1, obj.dtype)).dtype
+                data = LazyNetCDFArray(str(path), obj.name, obj.shape,
+                                       out_dtype, decode=decode)
+            else:
+                data = obj[()]
+                if isinstance(data, (bytes, str)):
+                    # scalar variable-length string datasets come back
+                    # as plain python objects with no .dtype
+                    data = np.asarray(data)
+                if decode is not None:
+                    data = decode(np.asarray(data))
+                if data.dtype.kind in ('S', 'O'):
+                    try:
+                        data = np.char.decode(data.astype('S'),
+                                              'utf-8')
+                    except Exception:
+                        pass
 
             var = Variable(dims, data, attrs)
             if name in coord_like:
@@ -270,6 +333,27 @@ def open_netcdf_file(path, decode_cf=True):
 # ---------------------------------------------------------------------------
 # writing
 # ---------------------------------------------------------------------------
+
+def _write_chunks(shape, itemsize, target=4 << 20):
+    """HDF5 chunk shape for compressed writes: as close to the full
+    array as fits ~``target`` bytes, splitting leading axes first.
+
+    h5py's automatic guess targets ~1 MB chunks built by halving EVERY
+    axis, which shreds a raster into many small zlib calls; one call
+    per multi-MB chunk compresses several times faster at identical
+    ratios for row-major rasters.
+    """
+    if not shape or any(s == 0 for s in shape):
+        return None
+    chunk = list(shape)
+    for i in range(len(chunk)):
+        total = int(np.prod(chunk)) * itemsize
+        if total <= target:
+            break
+        shrink = -(-total // target)           # ceil division
+        chunk[i] = max(1, chunk[i] // shrink)
+    return tuple(chunk)
+
 
 def write_netcdf_file(ds, path, compress=True, complevel=5,
                       encoding=None):
@@ -352,6 +436,8 @@ def write_netcdf_file(ds, path, compress=True, complevel=5,
                 vname, data=data,
                 compression='gzip' if use_comp else None,
                 compression_opts=enc.get('complevel', complevel)
+                if use_comp else None,
+                chunks=_write_chunks(data.shape, data.dtype.itemsize)
                 if use_comp else None)
             # CF coordinates attribute for aux coords covering this
             # var; scalar (0-d) coords attach to every variable, like

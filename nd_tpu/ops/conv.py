@@ -79,6 +79,80 @@ def _conv_valid(arr, kernel, axes):
     return jnp.transpose(out, inv_perm)
 
 
+class _HostDevicePlacement:
+    """Cost-based placement for host-resident convolutions.
+
+    On accelerator backends a host-input conv pays the full
+    host->device->host round trip; on tunneled dev hosts (~40 MB/s
+    measured) that costs ~20x the host compute itself, while on
+    PCIe-attached production hosts the device wins for large tiles.
+    Instead of guessing, measure: the first large host-input call runs
+    on the device (timed, sync-inclusive), the second on the host
+    (scipy.ndimage — the numerics our conv is parity-tested against),
+    then traffic follows the faster path, with the loser re-probed
+    every ``_REPROBE`` calls in case conditions change.
+
+    ``ND_TPU_HOST_FILTER`` = never | always | auto (default) pins it.
+    """
+
+    _REPROBE = 64
+    _MIN_BYTES = 1 << 20
+
+    def __init__(self):
+        self.rates = {'device': None, 'host': None}
+        self.n = 0
+
+    def _winner(self):
+        d, h = self.rates['device'], self.rates['host']
+        if d is None or h is None:
+            return None
+        return 'device' if d >= h else 'host'
+
+    def choose(self, nbytes):
+        import os
+        mode = os.environ.get('ND_TPU_HOST_FILTER', 'auto')
+        if mode in ('never', 'always'):
+            return 'host' if mode == 'always' else 'device'
+        if nbytes < self._MIN_BYTES:
+            return self._winner() or 'device'
+        self.n += 1
+        if self.rates['device'] is None:
+            return 'device'
+        if self.rates['host'] is None:
+            return 'host'
+        if self.n % self._REPROBE == 0:
+            return 'host' if self._winner() == 'device' else 'device'
+        return self._winner()
+
+    def record(self, path, nbytes, seconds):
+        if nbytes < self._MIN_BYTES or seconds <= 0:
+            return
+        if path == 'device' and self.rates['device'] is None \
+                and not getattr(self, '_device_warmed', False):
+            # the first device sample may include minutes of XLA
+            # compile — discard it, rate the steady state
+            self._device_warmed = True
+            return
+        rate = nbytes / seconds
+        old = self.rates[path]
+        self.rates[path] = rate if old is None else 0.5 * (old + rate)
+
+
+_placement = _HostDevicePlacement()
+
+
+def _scipy_convolve(arr, kernel, axes, mode, cval):
+    """Host path: scipy.ndimage.convolve with the kernel expanded to
+    the array rank (size-1 on unfiltered axes) — the exact oracle the
+    XLA conv is parity-tested against."""
+    from scipy import ndimage
+    shape = [1] * arr.ndim
+    for ax, ks in zip(axes, np.shape(kernel)):
+        shape[ax] = ks
+    weights = np.asarray(kernel, dtype=arr.dtype).reshape(shape)
+    return ndimage.convolve(arr, weights, mode=mode, cval=cval)
+
+
 def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     """Convolve ``arr`` with ``kernel`` along ``axes``.
 
@@ -94,7 +168,14 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     mode : str, optional
         scipy.ndimage boundary mode (default 'reflect').
     """
-    arr = jnp.asarray(arr)
+    # Tiles stream in as host numpy: do ALL the shape surgery
+    # (boundary pad + bucket pad) host-side then, so the device only
+    # ever sees the canonical bucketed shape. Eagerly dispatching the
+    # pad/transpose/concat primitives per ragged tile shape costs a
+    # fresh remote compile EACH (~3.5 s per new tile shape measured
+    # over the tunneled backend — the round-1 out-of-core cliff).
+    host_input = not isinstance(arr, jax.Array)
+    arr = arr if host_input else jnp.asarray(arr)
     kernel = jnp.asarray(kernel)
     if axes is None:
         axes = tuple(range(arr.ndim))
@@ -102,10 +183,21 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     if kernel.ndim != len(axes):
         raise ValueError('kernel must have one dim per filtered axis')
 
-    if jnp.iscomplexobj(arr):
+    if np.iscomplexobj(arr):
         re = convolve(arr.real, kernel, axes, mode, cval)
         im = convolve(arr.imag, kernel, axes, mode, cval)
         return re + 1j * im
+
+    if host_input:
+        a_np = np.asarray(arr)
+        if _placement.choose(a_np.nbytes) == 'host':
+            import time as _time
+            t0 = _time.perf_counter()
+            out = _scipy_convolve(a_np, np.asarray(kernel), axes,
+                                  mode, cval)
+            _placement.record('host', a_np.nbytes,
+                              _time.perf_counter() - t0)
+            return out
 
     # scipy convolve flips the kernel (true convolution)
     kernel = jnp.flip(kernel, axis=tuple(range(kernel.ndim)))
@@ -115,25 +207,46 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     pad_width = [(0, 0)] * arr.ndim
     for ax, ks in zip(axes, kernel.shape):
         pad_width[ax] = ((ks - 1) // 2, ks // 2)
-    padded = pad_reflect(arr, pad_width, mode, cval)
 
     # Shape bucketing: round the filtered axes up to a multiple of
-    # ``_SHAPE_BUCKET`` with zeros and crop the output back. The kept
-    # output positions' windows span only real (boundary-padded)
-    # samples, so results are unchanged — but ragged shapes (tile
-    # grids with halos, odd edge tiles) now share one compiled
-    # executable instead of paying a fresh XLA compile each (minutes
-    # per shape on remote-compile backends).
-    # round the LOGICAL size (not the halo-padded one): an aligned
-    # input stays exactly as-is, and every size in the same 64-window
-    # maps to the same executable
+    # ``_SHAPE_BUCKET`` and crop the output back. The kept output
+    # positions' windows span only real (boundary-padded) samples, so
+    # results are unchanged — but ragged shapes (tile grids with
+    # halos, odd edge tiles) now share one compiled executable
+    # instead of paying a fresh XLA compile each (minutes per shape
+    # on remote-compile backends). Rounds the LOGICAL size (not the
+    # halo-padded one): an aligned input stays exactly as-is, and
+    # every size in the same 64-window maps to one executable.
     trail = [(0, (-arr.shape[ax]) % _SHAPE_BUCKET) if ax in axes
              else (0, 0) for ax in range(arr.ndim)]
+    crop = tuple(slice(0, arr.shape[ax]) for ax in range(arr.ndim))
+
+    if host_input:
+        # host in -> host out: the pad AND the crop run in numpy, so
+        # the device executes exactly one canonical-shape executable
+        # regardless of the tile's ragged shape — and the tiling flow
+        # needs the result on host anyway (NetCDF write)
+        import time as _time
+        t0 = _time.perf_counter()
+        np_mode = _SCIPY_TO_NP_PAD[mode]
+        kwargs = {'constant_values': cval} if np_mode == 'constant' \
+            else {}
+        a_np = np.asarray(arr)
+        padded = np.pad(a_np, pad_width, mode=np_mode, **kwargs)
+        if any(t for _, t in trail):
+            padded = np.pad(padded, trail)
+        out = np.asarray(_conv_valid(jnp.asarray(padded), kernel,
+                                     axes))
+        out = out[crop] if any(t for _, t in trail) else out
+        _placement.record('device', a_np.nbytes,
+                          _time.perf_counter() - t0)
+        return out
+
+    padded = pad_reflect(arr, pad_width, mode, cval)
     if any(t for _, t in trail):
         bucketed = jnp.pad(padded, trail)
         out = _conv_valid(bucketed, kernel, axes)
-        return out[tuple(slice(0, arr.shape[ax]) for ax in
-                         range(arr.ndim))]
+        return out[crop]
     return _conv_valid(padded, kernel, axes)
 
 
@@ -150,13 +263,60 @@ def gaussian_kernel1d(sigma, truncate=4.0, radius=None):
 
 
 def separable_convolve(arr, kernels, axes, mode='reflect', cval=0.0):
-    """Apply a sequence of 1-d kernels along the given axes."""
-    out = jnp.asarray(arr)
-    for ax, k in zip(axes, kernels):
-        k = jnp.asarray(k)
-        if k.shape[0] == 1:
-            continue
-        out = convolve(out, k, axes=(ax,), mode=mode, cval=cval)
+    """Apply a sequence of 1-d kernels along the given axes.
+
+    Host (numpy) inputs take a single-upload path: boundary + bucket
+    padding in numpy, then the per-axis VALID convolutions run at
+    canonical shapes shared by every ragged tile (see ``convolve``).
+    """
+    active = [(int(ax), jnp.asarray(k)) for ax, k in zip(axes, kernels)
+              if np.shape(k)[0] > 1]
+    if not active:
+        return jnp.asarray(arr)
+    host_input = not isinstance(arr, jax.Array)
+    if not host_input or np.iscomplexobj(arr):
+        out = jnp.asarray(arr)
+        for ax, k in active:
+            out = convolve(out, k, axes=(ax,), mode=mode, cval=cval)
+        return out
+
+    a = np.asarray(arr)
+    if _placement.choose(a.nbytes) == 'host':
+        import time as _time
+        from scipy import ndimage
+        t0 = _time.perf_counter()
+        out = a
+        for ax, k in active:
+            out = ndimage.convolve1d(out, np.asarray(k), axis=ax,
+                                     mode=mode, cval=cval)
+        _placement.record('host', a.nbytes,
+                          _time.perf_counter() - t0)
+        return out
+
+    pad_width = [(0, 0)] * a.ndim
+    for ax, k in active:
+        n = int(k.shape[0])
+        pad_width[ax] = ((n - 1) // 2, n // 2)
+    import time as _time
+    t0 = _time.perf_counter()
+    np_mode = _SCIPY_TO_NP_PAD[mode]
+    kwargs = {'constant_values': cval} if np_mode == 'constant' else {}
+    padded = np.pad(a, pad_width, mode=np_mode, **kwargs)
+    filtered_axes = {ax for ax, _ in active}
+    trail = [(0, (-a.shape[ax]) % _SHAPE_BUCKET)
+             if ax in filtered_axes else (0, 0)
+             for ax in range(a.ndim)]
+    if any(t for _, t in trail):
+        padded = np.pad(padded, trail)
+    out = jnp.asarray(padded)
+    for ax, k in active:
+        # scipy convolve semantics: flipped kernel (symmetric Gaussian
+        # kernels are unaffected, arbitrary kernels match convolve())
+        out = _conv_valid(out, jnp.flip(k, 0), (ax,))
+    # host in -> host out (see convolve): the crop stays in numpy
+    out = np.asarray(out)[
+        tuple(slice(0, a.shape[ax]) for ax in range(a.ndim))]
+    _placement.record('device', a.nbytes, _time.perf_counter() - t0)
     return out
 
 
