@@ -106,7 +106,58 @@ def _decompress(data, compression):
         return _lzw_decode(data)
     if compression == 32773:
         return _packbits_decode(data)
+    if compression == 50000:                     # ZSTD (registered)
+        try:
+            import zstandard
+        except ImportError:
+            raise IOError(
+                'ZSTD-compressed TIFF needs the zstandard module '
+                '(not installed); re-export the raster with DEFLATE '
+                'or install zstandard')
+        return zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=1 << 31)
     raise IOError('unsupported TIFF compression %d' % compression)
+
+
+def _jpeg_decode(data, tables):
+    """Decode one JPEG-compressed strip/tile via OpenCV, splicing the
+    shared JPEGTables stream (tag 347, new-style JPEG) in front."""
+    try:
+        import cv2
+    except ImportError:
+        raise IOError('JPEG-compressed TIFF needs OpenCV (cv2), '
+                      'which is not installed')
+    if tables:
+        body = bytes(tables)
+        if body[-2:] == b'\xff\xd9':            # strip the tables EOI
+            body = body[:-2]
+        if data[:2] == b'\xff\xd8':             # splice after the SOI
+            data = body + bytes(data[2:])
+    arr = cv2.imdecode(np.frombuffer(bytes(data), np.uint8),
+                       cv2.IMREAD_UNCHANGED)
+    if arr is None:
+        raise IOError('failed to decode JPEG strip/tile')
+    if arr.ndim == 3:
+        arr = arr[:, :, ::-1]                   # OpenCV is BGR
+    return arr
+
+
+def _fp_predictor_decode(raw, rows, n_values, itemsize, stride):
+    """TIFF predictor 3 (floating-point byte shuffling+differencing):
+    each row stores its values' bytes plane-major (all MSBs first,
+    big-endian) with byte-wise horizontal differencing at the sample
+    stride. Returns big-endian value bytes."""
+    n_bytes = n_values * itemsize
+    b = np.frombuffer(raw, np.uint8)[:rows * n_bytes] \
+        .reshape(rows, n_bytes).copy()
+    if stride == 1:
+        np.cumsum(b, axis=1, dtype=np.uint8, out=b)
+    else:
+        g = b.reshape(rows, n_bytes // stride, stride)
+        np.cumsum(g, axis=1, dtype=np.uint8, out=g)
+    planes = b.reshape(rows, itemsize, n_values)
+    return np.ascontiguousarray(
+        np.transpose(planes, (0, 2, 1))).tobytes()
 
 
 def _sample_dtype(fmt, bits, bo):
@@ -141,9 +192,18 @@ class TiffFile:
             self.bo = '<'
         else:
             raise IOError('not a TIFF file')
-        magic, off = struct.unpack(self.bo + 'HI', d[2:8])
-        if magic != 42:
-            raise IOError('not a classic TIFF file')
+        magic = struct.unpack(self.bo + 'H', d[2:4])[0]
+        if magic == 42:                           # classic TIFF
+            self.bigtiff = False
+            off = struct.unpack(self.bo + 'I', d[4:8])[0]
+        elif magic == 43:                         # BigTIFF
+            self.bigtiff = True
+            offsize, zero = struct.unpack(self.bo + 'HH', d[4:8])
+            if offsize != 8 or zero != 0:
+                raise IOError('malformed BigTIFF header')
+            off = struct.unpack(self.bo + 'Q', d[8:16])[0]
+        else:
+            raise IOError('not a TIFF file (magic %d)' % magic)
         self.tags = self._read_ifd(off)
 
     def close(self):
@@ -173,18 +233,29 @@ class TiffFile:
     def _read_ifd(self, off):
         d = self._data
         bo = self.bo
-        n = struct.unpack(bo + 'H', d[off:off + 2])[0]
+        if self.bigtiff:
+            # 8-byte entry count, 20-byte entries, 8-byte value field
+            n = struct.unpack(bo + 'Q', d[off:off + 8])[0]
+            base, esize, vsize, vfmt = off + 8, 20, 8, 'Q'
+            cntfmt = 'HHQ'
+        else:
+            n = struct.unpack(bo + 'H', d[off:off + 2])[0]
+            base, esize, vsize, vfmt = off + 2, 12, 4, 'I'
+            cntfmt = 'HHI'
         tags = {}
         for i in range(n):
-            e = d[off + 2 + 12 * i: off + 14 + 12 * i]
-            tag, typ, cnt = struct.unpack(bo + 'HHI', e[:8])
+            e = d[base + esize * i: base + esize * (i + 1)]
+            tag, typ, cnt = struct.unpack(bo + cntfmt,
+                                          e[:esize - vsize])
             if typ not in _TAG_TYPES:
                 continue
             fmt, sz = _TAG_TYPES[typ]
             total = sz * cnt
-            raw = e[8:8 + total] if total <= 4 else None
+            raw = e[esize - vsize:esize - vsize + total] \
+                if total <= vsize else None
             if raw is None:
-                ptr = struct.unpack(bo + 'I', e[8:12])[0]
+                ptr = struct.unpack(bo + vfmt,
+                                    e[esize - vsize:esize])[0]
                 raw = d[ptr:ptr + total]
             if typ == 2:
                 vals = raw.split(b'\0')[0].decode('latin-1')
@@ -253,15 +324,44 @@ class TiffFile:
         out = np.empty((nbands, height, width), dtype=dtype.newbyteorder(
             '='))
 
-        if predictor not in (1, 2):
-            # 3 = floating-point byte shuffling; decoding it as plain
-            # data would be silent corruption
+        if predictor not in (1, 2, 3):
             raise IOError('unsupported TIFF predictor %d' % predictor)
+        jpeg = compression in (6, 7)
+        if jpeg:
+            if planar == 2:
+                raise IOError('planar JPEG TIFF is not supported')
+            out = out.astype(np.uint8) if out.dtype != np.uint8 \
+                else out
+            jpeg_tables = bytes(bytearray(
+                v if isinstance(v, int) else ord(v)
+                for v in self.tags.get(347, ())))
 
-        def _apply_predictor(arr):
-            # arr is (rows, width, samples); predictor 2 stores horizontal
-            # differences per sample along the row (TIFF 6.0 §14)
+        def _block(chunk, bh, bw):
+            """Decode one strip/tile -> (bh, bw, samples) array."""
+            if jpeg:
+                arr = _jpeg_decode(chunk, jpeg_tables)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                # pad/crop defensively to the declared block extent
+                hh = min(arr.shape[0], bh)
+                ww = min(arr.shape[1], bw)
+                block = np.zeros((bh, bw, arr.shape[2]),
+                                 dtype=arr.dtype)
+                block[:hh, :ww] = arr[:hh, :ww]
+                return block
+            raw = _decompress(chunk, compression)
+            if predictor == 3:
+                raw = _fp_predictor_decode(
+                    raw, bh, bw * samples_per_px, dtype.itemsize,
+                    samples_per_px)
+                arr = np.frombuffer(raw, dtype.newbyteorder('>'))
+            else:
+                arr = np.frombuffer(raw, dtype=dtype)
+            arr = arr[:bh * bw * samples_per_px] \
+                .reshape(bh, bw, samples_per_px).copy()
             if predictor == 2:
+                # horizontal differences per sample along the row
+                # (TIFF 6.0 §14)
                 np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
             return arr
 
@@ -273,11 +373,7 @@ class TiffFile:
                 plane = idx // per_plane if planar == 2 else 0
                 t = idx % per_plane
                 ty, tx = divmod(t, tiles_x)
-                raw = _decompress(self._data[o:o + c], compression)
-                arr = np.frombuffer(raw, dtype=dtype)[
-                    :th * tw * samples_per_px]
-                arr = arr.reshape(th, tw, samples_per_px).copy()
-                arr = _apply_predictor(arr)
+                arr = _block(self._data[o:o + c], th, tw)
                 y0, x0 = ty * th, tx * tw
                 h = min(th, height - y0)
                 w = min(tw, width - x0)
@@ -293,11 +389,7 @@ class TiffFile:
                 s = idx % strips_per_plane if planar == 2 else idx
                 y0 = s * rps
                 h = min(rps, height - y0)
-                raw = _decompress(self._data[o:o + c], compression)
-                arr = np.frombuffer(raw, dtype=dtype)[
-                    :h * width * samples_per_px]
-                arr = arr.reshape(h, width, samples_per_px).copy()
-                arr = _apply_predictor(arr)
+                arr = _block(self._data[o:o + c], h, width)
                 if planar == 2:
                     out[plane, y0:y0 + h] = arr[:, :, 0]
                 else:
@@ -367,9 +459,12 @@ _DTYPE_TO_SAMPLE = {
 
 
 def write_geotiff(path, data, transform=None, crs=None, nodata=None,
-                  compress=True):
+                  compress=True, tiled=False, tile_size=256):
     """Write a (bands, height, width) or (height, width) array as a
-    GeoTIFF (little-endian, band-sequential strips, optional Deflate).
+    GeoTIFF (little-endian, band-sequential, optional Deflate).
+
+    ``tiled=True`` writes a tiled layout (``tile_size`` square tiles,
+    the cloud-optimized access pattern) instead of one strip per band.
 
     A writing capability the reference lacks (it only reads rasters via
     GDAL); enables raster export without any GDAL dependency.
@@ -415,25 +510,53 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
             entries.append((tag, 2, len(raw), ('extra', len(extra))))
             extra.extend(raw)
 
-    # compress each band as one strip
-    strips = []
-    for b in range(nbands):
-        raw = np.ascontiguousarray(data[b]).astype(
-            dt.newbyteorder('<')).tobytes()
-        strips.append(zlib.compress(raw, 6) if compress else raw)
+    if tiled:
+        # square tiles per band (planar); TIFF requires multiples of 16
+        ts = max(16, int(tile_size) // 16 * 16)
+        tiles_x = (width + ts - 1) // ts
+        tiles_y = (height + ts - 1) // ts
+        strips = []
+        for b in range(nbands):
+            band = np.ascontiguousarray(data[b]).astype(
+                dt.newbyteorder('<'))
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    block = np.zeros((ts, ts), band.dtype)
+                    sub = band[ty * ts:(ty + 1) * ts,
+                               tx * ts:(tx + 1) * ts]
+                    block[:sub.shape[0], :sub.shape[1]] = sub
+                    raw = block.tobytes()
+                    strips.append(zlib.compress(raw, 6)
+                                  if compress else raw)
+    else:
+        # one strip per band
+        strips = []
+        for b in range(nbands):
+            raw = np.ascontiguousarray(data[b]).astype(
+                dt.newbyteorder('<')).tobytes()
+            strips.append(zlib.compress(raw, 6) if compress else raw)
 
     add(256, 4, width, 'I')
     add(257, 4, height, 'I')
     add(258, 3, [bits] * nbands, 'H')
     add(259, 3, 8 if compress else 1, 'H')
     add(262, 3, 1, 'H')
-    # strip offsets resolved later: use placeholder entry index
-    strip_off_index = len(entries)
-    add(273, 4, [0] * nbands, 'I')
-    add(277, 3, nbands, 'H')
-    add(278, 4, height, 'I')
-    add(279, 4, [len(s) for s in strips], 'I')
-    add(284, 3, 2, 'H')  # planar
+    # block offsets resolved later: placeholder entry, located by tag
+    if tiled:
+        add(277, 3, nbands, 'H')
+        add(284, 3, 2, 'H')  # planar
+        add(322, 4, ts, 'I')
+        add(323, 4, ts, 'I')
+        strip_off_index = len(entries)
+        add(324, 4, [0] * len(strips), 'I')
+        add(325, 4, [len(s) for s in strips], 'I')
+    else:
+        strip_off_index = len(entries)
+        add(273, 4, [0] * len(strips), 'I')
+        add(277, 3, nbands, 'H')
+        add(278, 4, height, 'I')
+        add(279, 4, [len(s) for s in strips], 'I')
+        add(284, 3, 2, 'H')  # planar
     add(339, 3, [sample_format] * nbands, 'H')
 
     if transform is not None:
@@ -479,26 +602,28 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
         add_ascii(42113, repr(float(nodata)))
 
     entries.sort(key=lambda e: e[0])
+    off_tag = 324 if tiled else 273
     strip_off_index = next(i for i, e in enumerate(entries)
-                           if e[0] == 273)
+                           if e[0] == off_tag)
+    n_blocks = len(strips)
 
     header_size = 8
     ifd_size = 2 + len(entries) * 12 + 4
     extra_offset = header_size + ifd_size
     data_offset = extra_offset + len(extra)
 
-    # resolve strip offsets
+    # resolve block offsets
     offsets = []
     pos = data_offset
     for s in strips:
         offsets.append(pos)
         pos += len(s)
-    packed = struct.pack(bo + 'I' * nbands, *offsets)
+    packed = struct.pack(bo + 'I' * n_blocks, *offsets)
     if len(packed) <= 4:
         entries[strip_off_index] = (
-            273, 4, nbands, packed + b'\0' * (4 - len(packed)))
+            off_tag, 4, n_blocks, packed + b'\0' * (4 - len(packed)))
     else:
-        entries[strip_off_index] = (273, 4, nbands,
+        entries[strip_off_index] = (off_tag, 4, n_blocks,
                                     ('extra', len(extra)))
         extra.extend(packed)
         data_offset = extra_offset + len(extra)
@@ -507,8 +632,8 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
         for s in strips:
             offsets.append(pos)
             pos += len(s)
-        struct.pack_into(bo + 'I' * nbands, extra,
-                         len(extra) - 4 * nbands, *offsets)
+        struct.pack_into(bo + 'I' * n_blocks, extra,
+                         len(extra) - 4 * n_blocks, *offsets)
 
     with open(path, 'wb') as fh:
         fh.write(b'II*\0' + struct.pack(bo + 'I', 8))

@@ -429,14 +429,16 @@ def test_geotiff_custom_crs_roundtrip(tmp_path):
     assert back is not None and back == crs
 
 
-def test_geotiff_predictor3_rejected(tmp_path):
+def test_geotiff_unknown_predictor_rejected(tmp_path):
+    # predictor 3 is now decoded (tests/test_geotiff_breadth.py);
+    # an unknown predictor id must still fail loudly, not corrupt
     img = np.arange(16, dtype=np.uint8).reshape(4, 4)
-    path = str(tmp_path / 'p3.tif')
+    path = str(tmp_path / 'p9.tif')
     _write_predictor2_tiff(path, img)
-    # patch the predictor tag value from 2 to 3 in place
+    # patch the predictor tag value from 2 to 9 in place
     raw = bytearray(open(path, 'rb').read())
     idx = raw.find(struct.pack('<HHII', 317, 3, 1, 2))
-    raw[idx:idx + 12] = struct.pack('<HHII', 317, 3, 1, 3)
+    raw[idx:idx + 12] = struct.pack('<HHII', 317, 3, 1, 9)
     open(path, 'wb').write(bytes(raw))
     with pytest.raises(IOError, match='predictor'):
         TiffFile(path).read()
