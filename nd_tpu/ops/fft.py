@@ -221,9 +221,48 @@ def _shift_axis_cubic_traced(imgs, shifts, axis):
 
 
 @jax.jit
+def _translate_batch_device(imgs, translations):
+    out = _shift_axis_cubic_traced(imgs, translations[:, 0], 2)
+    return _shift_axis_cubic_traced(out, translations[:, 1], 1)
+
+
+def _shift_axis_cubic_host(imgs, shifts, axis):
+    """Numpy twin of the traced batched cubic shift (identical math:
+    edge-clamped combined integer+tap index, Catmull-Rom taps)."""
+    b = imgs.shape[0]
+    size = imgs.shape[axis]
+    m = size // 2 + 2
+    n_int = np.clip(np.floor(shifts), -(m - 1), m - 1).astype(int)
+    t = (shifts - n_int).reshape((b,) + (1,) * (imgs.ndim - 1))
+    pad = [(0, 0)] * imgs.ndim
+    pad[axis] = (m + 1, m + 2)
+    padded = np.pad(imgs, pad, mode='edge')
+    t2 = t * t
+    t3 = t2 * t
+    taps = ((-t3 + 2 * t2 - t) / 2, (3 * t3 - 5 * t2 + 2) / 2,
+            (-3 * t3 + 4 * t2 + t) / 2, (t3 - t2) / 2)
+    out = np.zeros_like(imgs)
+    for i in range(b):
+        sl = [slice(None)] * (imgs.ndim - 1)
+        # pad offset is m+1, window begins at combined index
+        # i + n_int - 1 => padded position m + n_int (as in the
+        # traced kernel's dynamic_slice)
+        start = m + n_int[i]
+        sl[axis - 1] = slice(start, start + size + 3)
+        win = padded[i][tuple(sl)]
+        for k in range(4):
+            ks = [slice(None)] * (imgs.ndim - 1)
+            ks[axis - 1] = slice(k, k + size)
+            out[i] += taps[k][i].astype(imgs.dtype) * win[tuple(ks)]
+    return out
+
+
 def translate_batch(imgs, translations):
     """Cubic-resample a batch of images by per-image translations in
-    ONE compiled dispatch.
+    ONE compiled dispatch (or, for host-resident batches when the
+    measured host<->device link is the bottleneck, a numpy twin with
+    identical numerics — the placement verdict comes from the conv
+    layer's probes, see ``ops.conv._HostDevicePlacement``).
 
     Parameters
     ----------
@@ -235,12 +274,20 @@ def translate_batch(imgs, translations):
     A zero translation is an exact identity (the taps collapse to
     (0, 1, 0, 0) and the integer slice is centered).
     """
+    host_input = not isinstance(imgs, jax.Array)
+    if host_input:
+        from .conv import _placement
+        if _placement._winner() == 'host':
+            return _shift_axis_cubic_host(
+                _shift_axis_cubic_host(np.asarray(imgs),
+                                       np.asarray(translations)[:, 0],
+                                       2),
+                np.asarray(translations)[:, 1], 1)
     imgs = jnp.asarray(imgs)
     translations = jnp.asarray(translations, jnp.float64
                                if jax.config.jax_enable_x64
                                else jnp.float32)
-    out = _shift_axis_cubic_traced(imgs, translations[:, 0], 2)
-    return _shift_axis_cubic_traced(out, translations[:, 1], 1)
+    return _translate_batch_device(imgs, translations)
 
 
 def translate(img, translation, method='cubic'):

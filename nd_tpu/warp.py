@@ -1003,14 +1003,20 @@ def _coregister(ds, reference, upsampling, order=None):
         series, series[reference], upsample_factor=upsampling))
     shifts[reference] = 0.0              # exact identity at the master
 
-    # one dispatch: every variable, every time step, traced shifts
-    stack = jnp.stack([
-        jnp.asarray(ds_new[v].transpose('time', 'y', 'x').data)
-        for v in datavars])                          # (V, k, y, x)
+    # one dispatch: every variable, every time step, traced shifts —
+    # stacked on host when the payloads are host-resident, so
+    # translate_batch's measured placement can keep tunnel-bound
+    # series off the link entirely
+    arrs = [ds_new[v].transpose('time', 'y', 'x').data
+            for v in datavars]
+    if all(isinstance(a, np.ndarray) for a in arrs):
+        stack = np.stack(arrs)                       # (V, k, y, x)
+    else:
+        stack = jnp.stack([jnp.asarray(a) for a in arrs])
     nv, _, ny, nx = stack.shape
     translations = np.tile(shifts[:, ::-1], (nv, 1))   # (V*k, [dx,dy])
     shifted = translate_batch(stack.reshape(nv * k, ny, nx),
-                              jnp.asarray(translations))
+                              translations)
     shifted = np.asarray(shifted).reshape(nv, k, ny, nx)
 
     for i, v in enumerate(datavars):

@@ -61,6 +61,20 @@ def test_translate_batch_matches_translate_interior():
                                    ref[5:-5, 5:-5], atol=1e-10)
 
 
+def test_translate_batch_host_twin_matches_device():
+    from nd_tpu.ops.fft import (_shift_axis_cubic_host,
+                                _translate_batch_device)
+    rng = np.random.RandomState(4)
+    imgs = rng.rand(3, 36, 40)
+    trans = np.array([[0.5, -1.75], [2.0, 0.0], [-3.25, 1.5]])
+    dev = np.asarray(_translate_batch_device(
+        jnp.asarray(imgs), jnp.asarray(trans)))
+    host = _shift_axis_cubic_host(
+        _shift_axis_cubic_host(imgs, trans[:, 0], 2),
+        trans[:, 1], 1)
+    np.testing.assert_allclose(host, dev, atol=1e-12)
+
+
 def test_translate_batch_zero_shift_is_identity():
     rng = np.random.RandomState(2)
     imgs = rng.rand(2, 24, 28)
