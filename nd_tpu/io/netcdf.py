@@ -168,6 +168,36 @@ def _cf_transform(fill, missing, scale, offset, time_units, calendar,
     return decode
 
 
+def _bulk_read(obj, path):
+    """Read one dataset's payload, bypassing h5py's global lock for
+    contiguous uncompressed data.
+
+    Every h5py call serializes on the non-reentrant `phil` lock
+    (HDF5 itself is not thread-safe), so tile reads from a thread
+    pool run one at a time. For contiguous uncompressed datasets the
+    payload is one flat extent at a known file offset — a raw
+    ``readinto`` syscall releases the GIL, letting the tiling
+    pipeline's prefetch pool actually read in parallel.
+    """
+    try:
+        if obj.chunks is None and obj.compression is None \
+                and obj.ndim > 0 and obj.size > 0 \
+                and obj.dtype.kind in 'iufcb' \
+                and h5py.check_string_dtype(obj.dtype) is None:
+            offset = obj.id.get_offset()
+            if offset is not None:
+                arr = np.empty(obj.shape, obj.dtype)
+                view = memoryview(arr).cast('B')
+                with open(path, 'rb', buffering=0) as fh:
+                    fh.seek(offset)
+                    n = fh.readinto(view)
+                if n == view.nbytes:
+                    return arr
+    except Exception:
+        pass
+    return obj[()]
+
+
 def open_netcdf_file(path, decode_cf=True, chunks=None):
     """Read a NetCDF-4/HDF5 file into a Dataset.
 
@@ -288,7 +318,7 @@ def open_netcdf_file(path, decode_cf=True, chunks=None):
                 data = LazyNetCDFArray(str(path), obj.name, obj.shape,
                                        out_dtype, decode=decode)
             else:
-                data = obj[()]
+                data = _bulk_read(obj, path)
                 if isinstance(data, (bytes, str)):
                     # scalar variable-length string datasets come back
                     # as plain python objects with no .dtype
@@ -353,6 +383,24 @@ def _write_chunks(shape, itemsize, target=4 << 20):
         shrink = -(-total // target)           # ceil division
         chunk[i] = max(1, chunk[i] // shrink)
     return tuple(chunk)
+
+
+def _create_contiguous_early(f, name, data):
+    """Create a contiguous dataset with EARLY space allocation and no
+    fill pass, so its file offset is known before any data is written
+    (the bulk payload is then raw-written outside h5py's global lock).
+    Returns None when the low-level route isn't applicable."""
+    try:
+        dcpl = h5py.h5p.create(h5py.h5p.DATASET_CREATE)
+        dcpl.set_alloc_time(h5py.h5d.ALLOC_TIME_EARLY)
+        dcpl.set_fill_time(h5py.h5d.FILL_TIME_NEVER)
+        space = h5py.h5s.create_simple(data.shape)
+        htype = h5py.h5t.py_create(data.dtype, logical=True)
+        did = h5py.h5d.create(f.id, name.encode('utf-8'), htype,
+                              space, dcpl=dcpl)
+        return h5py.Dataset(did)
+    except Exception:
+        return None
 
 
 def write_netcdf_file(ds, path, compress=True, complevel=5,
@@ -428,17 +476,35 @@ def write_netcdf_file(ds, path, compress=True, complevel=5,
             aux_coords[cname] = cvar
 
         # 3. data variables
+        deferred = []        # (offset, contiguous array): raw-written
+        #                      after the h5py handle closes — a
+        #                      GIL-releasing pwrite outside h5py's
+        #                      global lock, so threads writing
+        #                      different tiles overlap (see _bulk_read)
         for vname, var in ds._variables.items():
             data, attrs = _prepare(var)
             enc = encoding.get(vname, {})
             use_comp = enc.get('zlib', compress) and data.ndim > 0
-            d = f.create_dataset(
-                vname, data=data,
-                compression='gzip' if use_comp else None,
-                compression_opts=enc.get('complevel', complevel)
-                if use_comp else None,
-                chunks=_write_chunks(data.shape, data.dtype.itemsize)
-                if use_comp else None)
+            d = None
+            if not use_comp and data.ndim > 0 and data.size > 0 \
+                    and data.dtype.kind in 'iufb':
+                d = _create_contiguous_early(f, vname, data)
+                if d is not None:
+                    offset = d.id.get_offset()
+                    if offset is None:      # allocation not early?
+                        d[...] = data       # fall back to h5py write
+                    else:
+                        deferred.append(
+                            (offset, np.ascontiguousarray(data)))
+            if d is None:
+                d = f.create_dataset(
+                    vname, data=data,
+                    compression='gzip' if use_comp else None,
+                    compression_opts=enc.get('complevel', complevel)
+                    if use_comp else None,
+                    chunks=_write_chunks(data.shape,
+                                         data.dtype.itemsize)
+                    if use_comp else None)
             # CF coordinates attribute for aux coords covering this
             # var; scalar (0-d) coords attach to every variable, like
             # xarray (else a sel()-produced scalar 'time' coord reads
@@ -461,5 +527,11 @@ def write_netcdf_file(ds, path, compress=True, complevel=5,
             # aux coords whose dims no data variable covers would
             # otherwise read back as data variables
             f.attrs['_nd_tpu_coordinates'] = ' '.join(aux_coords)
+
+    if deferred:
+        with open(tmp, 'r+b', buffering=0) as fh:
+            for offset, arr in deferred:
+                fh.seek(offset)
+                fh.write(memoryview(arr).cast('B'))
 
     os.replace(tmp, path)
