@@ -44,3 +44,16 @@ def test_out_of_core_mosaic(tmp_path):
     out = main(outdir=str(tmp_path), ny=96, nx=120, k=2)
     import os
     assert os.path.exists(os.path.join(out, 'mosaic_3395.nc'))
+
+
+def test_continental_mosaic():
+    from continental_mosaic import main
+    out = main()
+    from nd_tpu.crs import CRS
+    from nd_tpu.warp import get_crs
+    assert get_crs(out) == CRS.from_epsg(3035)
+    vals = np.asarray(out['C11'].values, np.float64)
+    # the three scenes overlap; most of the grid is covered and the
+    # averaged mosaic stays in the synthetic data's range
+    assert np.isfinite(vals).mean() > 0.4
+    assert np.nanstd(vals) < 3.0
