@@ -124,12 +124,18 @@ def _decode_attr(value):
 # ---------------------------------------------------------------------------
 
 def _cf_transform(fill, missing, scale, offset, time_units, calendar,
-                  to_bool):
+                  to_bool, stable_dtype=False):
     """Slab-wise CF decode closure shared by the eager and lazy read
     paths. CF order: sentinels compare against the RAW stored values
     (both _FillValue and the legacy missing_value convention), then
     unpack, then interpret time; masked entries of time variables
-    become NaT, never bogus real timestamps."""
+    become NaT, never bogus real timestamps.
+
+    ``stable_dtype`` (the LAZY path) keeps the output dtype a pure
+    function of the decode parameters: a declared fill sentinel
+    coerces to float even for slabs that happen to contain no fills —
+    otherwise two slabs of one variable could materialize with
+    different dtypes (and differ from the eager open)."""
     def decode(data):
         mask = None
         for sentinel in (fill, missing):
@@ -140,7 +146,7 @@ def _cf_transform(fill, missing, scale, offset, time_units, calendar,
                                 and np.isnan(sv[0])):
                 mm = data == sv[0]
                 mask = mm if mask is None else (mask | mm)
-        if mask is not None and not np.any(mask):
+        if mask is not None and not np.any(mask) and not stable_dtype:
             mask = None
         if scale is not None or offset is not None:
             data = data.astype('float64')
@@ -312,8 +318,14 @@ def open_netcdf_file(path, decode_cf=True, chunks=None):
                 if decode is None:
                     out_dtype = obj.dtype
                 else:
-                    # decode one synthetic element to learn the
-                    # decoded dtype without touching the data
+                    # the lazy decode must be dtype-STABLE (a declared
+                    # fill coerces every slab to float, fills present
+                    # or not); probe one synthetic element for the
+                    # resulting dtype
+                    decode = _cf_transform(
+                        fill, missing, scale, offset,
+                        units if decode_time else None, cal, to_bool,
+                        stable_dtype=True)
                     out_dtype = decode(np.ones(1, obj.dtype)).dtype
                 data = LazyNetCDFArray(str(path), obj.name, obj.shape,
                                        out_dtype, decode=decode)

@@ -541,27 +541,24 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
     :func:`_change_detection_hybrid` (the round-1 bench died on one)
     degrades to the numerically-exact XLA 'mixed' scan instead of
     propagating — the host transfers inside the impl surface async
-    launch errors here, inside the guard."""
-    from .pallas_guard import is_pallas_runtime_error
+    launch errors inside the guard, whose strike counter also feeds
+    the session-wide Pallas circuit breaker."""
+    from .pallas_guard import run_with_fallback
 
-    for attempt in range(2):
-        try:
-            return _change_detection_hybrid(
-                values, alpha, n=n, margin_eps=margin_eps,
-                nthreads=nthreads, values_host=values_host,
-                return_device=return_device, capacity=capacity)
-        except Exception as e:
-            if not is_pallas_runtime_error(e):
-                raise
-            import warnings
-            warnings.warn(
-                'Pallas change kernel failed at runtime (%s) — %s'
-                % (str(e).splitlines()[0][:200],
-                   'retrying once' if attempt == 0
-                   else 'falling back to the XLA mixed scan'))
-    out = change_detection(jnp.asarray(values), alpha=alpha, n=n,
-                           stat_dtype='mixed')
-    return out if return_device else np.asarray(out)
+    def pallas_path(_):
+        return _change_detection_hybrid(
+            values, alpha, n=n, margin_eps=margin_eps,
+            nthreads=nthreads, values_host=values_host,
+            return_device=return_device, capacity=capacity)
+
+    def xla_path(_):
+        out = change_detection(jnp.asarray(values), alpha=alpha, n=n,
+                               stat_dtype='mixed')
+        return out if return_device else np.asarray(out)
+
+    # probe=False: the impl's own host transfers already synchronize
+    return run_with_fallback(pallas_path, xla_path, None,
+                             probe=False, name='change-hybrid')
 
 
 def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,

@@ -174,6 +174,8 @@ class _HostDevicePlacement:
     def __init__(self):
         self.rates = {'device': None, 'host': None}
         self.n = 0
+        self._warmed = set()   # executable keys whose compile-bearing
+        #                        first device sample was discarded
 
     def _winner(self):
         d, h = self.rates['device'], self.rates['host']
@@ -197,14 +199,15 @@ class _HostDevicePlacement:
             return 'host' if self._winner() == 'device' else 'device'
         return self._winner()
 
-    def record(self, path, nbytes, seconds):
+    def record(self, path, nbytes, seconds, key=None):
         if nbytes < self._MIN_BYTES or seconds <= 0:
             return
-        if path == 'device' and self.rates['device'] is None \
-                and not getattr(self, '_device_warmed', False):
-            # the first device sample may include minutes of XLA
-            # compile — discard it, rate the steady state
-            self._device_warmed = True
+        if path == 'device' and key not in self._warmed:
+            # the first device sample PER EXECUTABLE (kernel + shape
+            # bucket) may include minutes of XLA compile — discard
+            # it, rate the steady state. A single global flag would
+            # let the second kernel family's compile poison the rate.
+            self._warmed.add(key)
             return
         rate = nbytes / seconds
         old = self.rates[path]
@@ -312,7 +315,9 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
                                     axes))
         out = out[crop] if any(t for _, t in trail) else out
         _placement.record('device', a_np.nbytes,
-                          _time.perf_counter() - t0)
+                          _time.perf_counter() - t0,
+                          key=('conv', padded.shape,
+                               tuple(kernel.shape), axes))
         return out
 
     padded = pad_reflect(arr, pad_width, mode, cval)
@@ -389,7 +394,10 @@ def separable_convolve(arr, kernels, axes, mode='reflect', cval=0.0):
     # host in -> host out (see convolve): the crop stays in numpy
     out = np.asarray(out)[
         tuple(slice(0, a.shape[ax]) for ax in range(a.ndim))]
-    _placement.record('device', a.nbytes, _time.perf_counter() - t0)
+    _placement.record('device', a.nbytes, _time.perf_counter() - t0,
+                      key=('sep', padded.shape,
+                           tuple(int(k.shape[0]) for _, k in active),
+                           tuple(ax for ax, _ in active)))
     return out
 
 

@@ -184,8 +184,11 @@ def _shift_axis_cubic_traced(imgs, shifts, axis):
     from jax import lax
 
     size = imgs.shape[axis]
-    m = size // 2 + 2      # |integer shift| bound (phase correlation
-    #                        reports within +-size/2)
+    # |integer shift| bound: at n = +-(size+1) every tap reads the
+    # edge-clamped border, which is exactly what any larger shift
+    # produces too — so the clamp is saturation-exact for ALL shifts
+    # (a tighter bound silently mis-shifted beyond ~size/2)
+    m = size + 2
     n_int = jnp.clip(jnp.floor(shifts), -(m - 1), m - 1)
     t = (shifts - n_int)[(...,) + (None,) * (imgs.ndim - 1)]
     n_int = n_int.astype(jnp.int32)
@@ -231,7 +234,7 @@ def _shift_axis_cubic_host(imgs, shifts, axis):
     edge-clamped combined integer+tap index, Catmull-Rom taps)."""
     b = imgs.shape[0]
     size = imgs.shape[axis]
-    m = size // 2 + 2
+    m = size + 2            # saturation-exact bound (see traced twin)
     n_int = np.clip(np.floor(shifts), -(m - 1), m - 1).astype(int)
     t = (shifts - n_int).reshape((b,) + (1,) * (imgs.ndim - 1))
     pad = [(0, 0)] * imgs.ndim

@@ -208,7 +208,8 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
         # populates the jit caches; the rest then pipeline.
         head = [_wrapper(fs[0])]
         rest = fs[1:]
-        workers = max(2, max_workers)
+        # None = "pick for me" (ThreadPoolExecutor's old contract)
+        workers = max(2, max_workers if max_workers is not None else 4)
         depth = workers                      # prefetch window
         with ThreadPoolExecutor(max_workers=workers) as readers, \
                 ThreadPoolExecutor(max_workers=workers) as writers:
