@@ -48,8 +48,8 @@ def get_xp(*arrays):
 def is_lazy_array(x):
     """True for lazily-materialized file-backed payloads (kept as-is
     so indexing reads only the touched slab)."""
-    from ..io.lazy import LazyNetCDFArray
-    return isinstance(x, LazyNetCDFArray)
+    from ..io.lazy import LazyArray
+    return isinstance(x, LazyArray)
 
 
 def as_array(data):

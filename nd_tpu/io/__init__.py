@@ -183,17 +183,28 @@ def open_netcdf(path, as_complex=False, rename_latlon=True, *args,
 # FORMAT: RASTER (TIFF)
 # ---------------------
 
-def open_rasterio(path, *args, **kwargs):
+def open_rasterio(path, chunks=None, *args, **kwargs):
     """Read a GeoTIFF into a (band, y, x) DataArray.
 
     Mirrors ``xarray.open_rasterio`` used by the reference
     (io.py:283-284): coordinates are pixel-center positions from the
     affine transform; attrs carry transform/crs/res/nodatavals.
+
+    With ``chunks`` not None (e.g. ``chunks={}``) the payload is a
+    lazy windowed view (:class:`~nd_tpu.io.lazy.LazyGeoTIFFArray`):
+    nothing is decoded at open time, and slicing materializes only the
+    strips/tiles the window touches — the reference's dask-backed
+    windowed GDAL read.
     """
     from .geotiff import TiffFile
     t = TiffFile(str(path))
-    data = t.read()
-    nbands, height, width = data.shape
+    nbands, height, width = t.nbands, t.height, t.width
+    if chunks is not None:
+        from .lazy import LazyGeoTIFFArray
+        data = LazyGeoTIFFArray.from_file(
+            str(path), (nbands, height, width), t.band_dtype)
+    else:
+        data = t.read()
     transform = t.transform
     attrs = {}
     coords = {'band': np.arange(1, nbands + 1)}
@@ -222,6 +233,7 @@ def open_rasterio(path, *args, **kwargs):
     if t.nodata is not None:
         attrs['nodatavals'] = (t.nodata,) * nbands
     attrs['is_tiled'] = int(322 in t.tags)
+    t.close()
     return DataArray(data, dims=('band', 'y', 'x'), coords=coords,
                      attrs=attrs)
 

@@ -297,10 +297,40 @@ class TiffFile:
         except ValueError:
             return None
 
+    @property
+    def band_dtype(self):
+        """Decoded dtype of the raster (native byte order)."""
+        bits = self.tags.get(258, (8,))
+        fmts = self.tags.get(339, (1,) * self.nbands)
+        if int(self._tag(259, 1)) in (6, 7):        # JPEG decodes u8
+            return np.dtype(np.uint8)
+        return _sample_dtype(fmts[0], bits[0], self.bo).newbyteorder('=')
+
     def read(self):
         """Decode the raster into a (bands, height, width) array."""
+        return self.read_window(list(range(self.nbands)),
+                                0, self.height, 0, self.width)
+
+    def read_window(self, bands, y0, y1, x0, x1):
+        """Decode only the strips/tiles intersecting a pixel window.
+
+        Returns a ``(len(bands), y1-y0, x1-x0)`` array. This is the
+        windowed access path behind lazy rasters
+        (:class:`nd_tpu.io.lazy.LazyGeoTIFFArray`): reading one tile of
+        a mosaic touches only that tile's compressed blocks, the
+        capability the reference gets from GDAL's windowed IO.
+        """
         bo = self.bo
         width, height, nbands = self.width, self.height, self.nbands
+        y0 = max(0, min(int(y0), height))
+        y1 = max(y0, min(int(y1), height))
+        x0 = max(0, min(int(x0), width))
+        x1 = max(x0, min(int(x1), width))
+        bands = [int(b) for b in bands]
+        for b in bands:
+            if not 0 <= b < nbands:
+                raise IndexError('band %d out of range (%d bands)'
+                                 % (b, nbands))
         bits = self.tags.get(258, (8,))
         fmts = self.tags.get(339, (1,) * nbands)
         compression = int(self._tag(259, 1))
@@ -319,10 +349,9 @@ class TiffFile:
             offsets = self.tags[273]
             counts = self.tags[279]
 
-        nplanes = nbands if planar == 2 else 1
         samples_per_px = 1 if planar == 2 else nbands
-        out = np.empty((nbands, height, width), dtype=dtype.newbyteorder(
-            '='))
+        out = np.empty((len(bands), y1 - y0, x1 - x0),
+                       dtype=dtype.newbyteorder('='))
 
         if predictor not in (1, 2, 3):
             raise IOError('unsupported TIFF predictor %d' % predictor)
@@ -335,6 +364,8 @@ class TiffFile:
             jpeg_tables = bytes(bytearray(
                 v if isinstance(v, int) else ord(v)
                 for v in self.tags.get(347, ())))
+        if y1 == y0 or x1 == x0 or not bands:
+            return out
 
         def _block(chunk, bh, bw):
             """Decode one strip/tile -> (bh, bw, samples) array."""
@@ -365,36 +396,61 @@ class TiffFile:
                 np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
             return arr
 
+        def _paste(arr, by0, bx0, bh_eff, bw_eff, planes):
+            """Copy one decoded block's window overlap into ``out``.
+
+            ``planes`` maps out-band index -> sample axis of ``arr``
+            (None = planar block holding a single sample).
+            """
+            ys0, ys1 = max(by0, y0), min(by0 + bh_eff, y1)
+            xs0, xs1 = max(bx0, x0), min(bx0 + bw_eff, x1)
+            if ys0 >= ys1 or xs0 >= xs1:
+                return
+            src = arr[ys0 - by0:ys1 - by0, xs0 - bx0:xs1 - bx0]
+            dst = (slice(ys0 - y0, ys1 - y0), slice(xs0 - x0, xs1 - x0))
+            for ob, sb in planes:
+                out[(ob,) + dst] = src[:, :, sb]
+
         if tiled:
             tiles_x = (width + tw - 1) // tw
             tiles_y = (height + th - 1) // th
             per_plane = tiles_x * tiles_y
-            for idx, (o, c) in enumerate(zip(offsets, counts)):
-                plane = idx // per_plane if planar == 2 else 0
-                t = idx % per_plane
-                ty, tx = divmod(t, tiles_x)
-                arr = _block(self._data[o:o + c], th, tw)
-                y0, x0 = ty * th, tx * tw
-                h = min(th, height - y0)
-                w = min(tw, width - x0)
-                if planar == 2:
-                    out[plane, y0:y0 + h, x0:x0 + w] = arr[:h, :w, 0]
-                else:
-                    for b in range(nbands):
-                        out[b, y0:y0 + h, x0:x0 + w] = arr[:h, :w, b]
+            ty_range = range(y0 // th, (y1 + th - 1) // th)
+            tx_range = range(x0 // tw, (x1 + tw - 1) // tw)
+            for ty in ty_range:
+                for tx in tx_range:
+                    t = ty * tiles_x + tx
+                    by0, bx0 = ty * th, tx * tw
+                    bh_eff = min(th, height - by0)
+                    bw_eff = min(tw, width - bx0)
+                    if planar == 2:
+                        for ob, b in enumerate(bands):
+                            idx = b * per_plane + t
+                            o, c = offsets[idx], counts[idx]
+                            arr = _block(self._data[o:o + c], th, tw)
+                            _paste(arr, by0, bx0, bh_eff, bw_eff,
+                                   [(ob, 0)])
+                    else:
+                        o, c = offsets[t], counts[t]
+                        arr = _block(self._data[o:o + c], th, tw)
+                        _paste(arr, by0, bx0, bh_eff, bw_eff,
+                               list(enumerate(bands)))
         else:
             strips_per_plane = (height + rps - 1) // rps
-            for idx, (o, c) in enumerate(zip(offsets, counts)):
-                plane = idx // strips_per_plane if planar == 2 else 0
-                s = idx % strips_per_plane if planar == 2 else idx
-                y0 = s * rps
-                h = min(rps, height - y0)
-                arr = _block(self._data[o:o + c], h, width)
+            for s in range(y0 // rps, (y1 + rps - 1) // rps):
+                by0 = s * rps
+                h = min(rps, height - by0)
                 if planar == 2:
-                    out[plane, y0:y0 + h] = arr[:, :, 0]
+                    for ob, b in enumerate(bands):
+                        idx = b * strips_per_plane + s
+                        o, c = offsets[idx], counts[idx]
+                        arr = _block(self._data[o:o + c], h, width)
+                        _paste(arr, by0, 0, h, width, [(ob, 0)])
                 else:
-                    for b in range(nbands):
-                        out[b, y0:y0 + h] = arr[:, :, b]
+                    o, c = offsets[s], counts[s]
+                    arr = _block(self._data[o:o + c], h, width)
+                    _paste(arr, by0, 0, h, width,
+                           list(enumerate(bands)))
         return out
 
     # -- georeferencing ------------------------------------------------------

@@ -485,17 +485,20 @@ def auto_merge(datasets, buffer=True, chunks={}, meta_variables=[],
                          % (' matched %r' % pattern if pattern
                             else ''))
     if isinstance(datasets[0], str):
+        def _open(p):
+            d = open_netcdf(p, rename_latlon=False)
+            # only datasets that can carry a time axis get one — a
+            # time-less tile (e.g. from a single raster) merges as-is
+            if 'time' in d._coords or 'start_date' in d.attrs:
+                d = add_time(d)
+            return d
         if len(datasets) > 1:
             # h5py/zlib reads release enough of the GIL that a small
             # pool overlaps the per-file decode
             with ThreadPoolExecutor(max_workers=4) as pool:
-                datasets = list(pool.map(
-                    lambda p: add_time(
-                        open_netcdf(p, rename_latlon=False)),
-                    datasets))
+                datasets = list(pool.map(_open, datasets))
         else:
-            datasets = [add_time(open_netcdf(path, rename_latlon=False))
-                        for path in datasets]
+            datasets = [_open(path) for path in datasets]
 
     for meta in meta_variables:
         for d in datasets:

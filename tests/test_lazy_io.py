@@ -219,3 +219,102 @@ print('OK')
     assert proc.returncode == 0, \
         (proc.stdout[-1000:], proc.stderr[-3000:])
     assert 'OK' in proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# lazy GeoTIFF (windowed strip/tile decode)
+# ---------------------------------------------------------------------------
+
+def _write_tif(path, data, **kw):
+    from nd_tpu.io.geotiff import write_geotiff
+    write_geotiff(str(path), data, **kw)
+
+
+@pytest.mark.parametrize('tiled', [False, True])
+@pytest.mark.parametrize('compress', [False, True])
+def test_lazy_rasterio_matches_eager(tmp_path, tiled, compress):
+    from nd_tpu.io import open_rasterio
+    rng = np.random.RandomState(0)
+    data = (rng.rand(3, 70, 53) * 100).astype(np.float32)
+    p = tmp_path / 'r.tif'
+    _write_tif(p, data, tiled=tiled, tile_size=32, compress=compress)
+    eager = open_rasterio(p)
+    lazy = open_rasterio(p, chunks={})
+    from nd_tpu.io.lazy import LazyGeoTIFFArray
+    assert isinstance(lazy.variable.data, LazyGeoTIFFArray)
+    np.testing.assert_array_equal(np.asarray(lazy.values), eager.values)
+    win = lazy.isel(y=slice(5, 41), x=slice(17, 50), band=slice(1, 3))
+    np.testing.assert_array_equal(
+        np.asarray(win.values), data[1:3, 5:41, 17:50])
+
+
+def test_lazy_rasterio_reads_only_needed_blocks(tmp_path, monkeypatch):
+    """A one-tile window must not decode the rest of the raster."""
+    from nd_tpu.io import open_rasterio
+    from nd_tpu.io import geotiff as gt
+    rng = np.random.RandomState(1)
+    data = (rng.rand(1, 128, 128) * 100).astype(np.float32)
+    p = tmp_path / 'r.tif'
+    _write_tif(p, data, tiled=True, tile_size=32)
+    calls = []
+    orig = gt._decompress
+
+    def counting(b, c):
+        calls.append(len(b))
+        return orig(b, c)
+
+    monkeypatch.setattr(gt, '_decompress', counting)
+    lazy = open_rasterio(p, chunks={})
+    sub = np.asarray(lazy.isel(y=slice(0, 32), x=slice(0, 32)).values)
+    np.testing.assert_array_equal(sub[0], data[0, :32, :32])
+    assert len(calls) == 1          # 1 of 16 tiles decoded
+
+
+def test_lazy_rasterio_steps_and_int_axes(tmp_path):
+    from nd_tpu.io.lazy import LazyGeoTIFFArray
+    rng = np.random.RandomState(2)
+    data = (rng.rand(2, 40, 40) * 10).astype(np.float32)
+    p = tmp_path / 's.tif'
+    _write_tif(p, data, tiled=True, tile_size=16)
+    la = LazyGeoTIFFArray.from_file(str(p), data.shape, np.float32)
+    np.testing.assert_array_equal(np.asarray(la[1, ::3, 5:30:2]),
+                                  data[1, ::3, 5:30:2])
+    np.testing.assert_array_equal(np.asarray(la[:, 10, :]),
+                                  data[:, 10, :])
+    np.testing.assert_array_equal(np.asarray(la[0][2:30][::2]),
+                                  data[0][2:30][::2])
+    np.testing.assert_array_equal(np.asarray(la[:, ::-1]),
+                                  data[:, ::-1])
+
+
+def test_lazy_rasterio_planar_and_predictor(tmp_path):
+    """Windowed decode on hand-rolled planar/predictor layouts: the
+    write path is planar band-sequential already; cover int16 too."""
+    from nd_tpu.io import open_rasterio
+    rng = np.random.RandomState(3)
+    data = (rng.rand(2, 37, 29) * 1000).astype(np.int16)
+    p = tmp_path / 'p.tif'
+    _write_tif(p, data, compress=True)
+    lazy = open_rasterio(p, chunks={})
+    np.testing.assert_array_equal(
+        np.asarray(lazy.isel(band=1, y=slice(30, 37)).values),
+        data[1, 30:37])
+
+
+def test_tile_streams_lazy_geotiff(tmp_path):
+    """tile() over a lazily-opened raster materializes per tile."""
+    from nd_tpu.io import open_rasterio
+    from nd_tpu.tiling import tile
+    from nd_tpu import auto_merge
+    from nd_tpu.crs import Affine
+    rng = np.random.RandomState(4)
+    data = (rng.rand(1, 64, 64) * 100).astype(np.float32)
+    p = tmp_path / 'big.tif'
+    _write_tif(p, data, tiled=True, tile_size=16,
+               transform=Affine(0.01, 0, 10.0, 0, -0.01, 50.0),
+               crs='epsg:4326')
+    da = open_rasterio(p, chunks={})
+    ds = da.to_dataset(name='v')
+    tile(ds, str(tmp_path / 'tiles'), chunks={'y': 32, 'x': 32})
+    merged = auto_merge(str(tmp_path / 'tiles' / '*.nc'))
+    np.testing.assert_array_equal(merged['v'].values, data)
