@@ -238,12 +238,16 @@ def open_rasterio(path, chunks=None, *args, **kwargs):
                      attrs=attrs)
 
 
-def to_geotiff(ds, path, nodata=None, compress=True):
+def to_geotiff(ds, path, nodata=None, compress=True, tiled=False,
+               tile_size=256, overviews=None):
     """Write a Dataset/DataArray to a GeoTIFF.
 
     A Dataset writes one band per (y, x) variable; a DataArray writes
     its (possibly banded) raster directly. Geo-metadata is taken from
     the object (``nd_tpu.warp.get_transform`` / ``get_crs``).
+    ``tiled=True`` + ``overviews=True`` (or a list of decimation
+    factors) writes the cloud-optimized layout: square internal tiles
+    plus a reduced-resolution overview pyramid.
     """
     from ..crs import Affine
     from ..warp import get_crs, get_transform
@@ -276,7 +280,8 @@ def to_geotiff(ds, path, nodata=None, compress=True):
         data = np.asarray(da.values)
         data = data.reshape((-1,) + data.shape[-2:])
     write_geotiff(path, data, transform=transform, crs=crs,
-                  nodata=nodata, compress=compress)
+                  nodata=nodata, compress=compress, tiled=tiled,
+                  tile_size=tile_size, overviews=overviews)
     return path
 
 

@@ -204,7 +204,17 @@ class TiffFile:
             off = struct.unpack(self.bo + 'Q', d[8:16])[0]
         else:
             raise IOError('not a TIFF file (magic %d)' % magic)
-        self.tags = self._read_ifd(off)
+        # follow the IFD chain: IFD0 is the full raster, subsequent
+        # reduced-resolution IFDs (NewSubfileType bit 0) are overviews
+        self.ifds = []
+        seen = set()
+        while off and off not in seen and len(self.ifds) < 64:
+            seen.add(off)
+            tags, off = self._read_ifd(off)
+            self.ifds.append(tags)
+        if not self.ifds:
+            raise IOError('TIFF file contains no IFD')
+        self.tags = self.ifds[0]
 
     def close(self):
         """Release the mmap and file handle (idempotent)."""
@@ -267,13 +277,40 @@ class TiffFile:
             else:
                 vals = struct.unpack(bo + fmt * cnt, raw)
             tags[tag] = vals
-        return tags
+        nxt_pos = base + esize * n
+        nxt = struct.unpack(bo + vfmt,
+                            d[nxt_pos:nxt_pos + vsize])[0] \
+            if len(d) >= nxt_pos + vsize else 0
+        return tags, nxt
 
-    def _tag(self, tag, default=None):
-        v = self.tags.get(tag, default)
+    def _tag(self, tag, default=None, tags=None):
+        v = (self.tags if tags is None else tags).get(tag, default)
         if isinstance(v, tuple) and len(v) == 1:
             return v[0]
         return v
+
+    @property
+    def overviews(self):
+        """(width, height) of each reduced-resolution overview IFD."""
+        out = []
+        for tags in self.ifds[1:]:
+            if int(self._tag(254, 0, tags)) & 1:
+                out.append((int(self._tag(256, tags=tags)),
+                            int(self._tag(257, tags=tags))))
+        return out
+
+    def read_overview(self, level):
+        """Decode overview ``level`` (0 = first/largest) fully."""
+        cands = [i for i, tags in enumerate(self.ifds[1:], 1)
+                 if int(self._tag(254, 0, tags)) & 1]
+        if not 0 <= level < len(cands):
+            raise IndexError('overview %d of %d' % (level, len(cands)))
+        ifd = cands[level]
+        tags = self.ifds[ifd]
+        w = int(self._tag(256, tags=tags))
+        h = int(self._tag(257, tags=tags))
+        return self.read_window(list(range(self.nbands)), 0, h, 0, w,
+                                ifd=ifd)
 
     @property
     def width(self):
@@ -311,7 +348,7 @@ class TiffFile:
         return self.read_window(list(range(self.nbands)),
                                 0, self.height, 0, self.width)
 
-    def read_window(self, bands, y0, y1, x0, x1):
+    def read_window(self, bands, y0, y1, x0, x1, ifd=0):
         """Decode only the strips/tiles intersecting a pixel window.
 
         Returns a ``(len(bands), y1-y0, x1-x0)`` array. This is the
@@ -319,9 +356,13 @@ class TiffFile:
         (:class:`nd_tpu.io.lazy.LazyGeoTIFFArray`): reading one tile of
         a mosaic touches only that tile's compressed blocks, the
         capability the reference gets from GDAL's windowed IO.
+        ``ifd`` selects the IFD to read (overview IFDs > 0).
         """
         bo = self.bo
-        width, height, nbands = self.width, self.height, self.nbands
+        ifd_tags = self.ifds[ifd]
+        width = int(self._tag(256, tags=ifd_tags))
+        height = int(self._tag(257, tags=ifd_tags))
+        nbands = int(self._tag(277, 1, ifd_tags))
         y0 = max(0, min(int(y0), height))
         y1 = max(y0, min(int(y1), height))
         x0 = max(0, min(int(x0), width))
@@ -331,23 +372,23 @@ class TiffFile:
             if not 0 <= b < nbands:
                 raise IndexError('band %d out of range (%d bands)'
                                  % (b, nbands))
-        bits = self.tags.get(258, (8,))
-        fmts = self.tags.get(339, (1,) * nbands)
-        compression = int(self._tag(259, 1))
-        planar = int(self._tag(284, 1))
-        predictor = int(self._tag(317, 1))
+        bits = ifd_tags.get(258, (8,))
+        fmts = ifd_tags.get(339, (1,) * nbands)
+        compression = int(self._tag(259, 1, ifd_tags))
+        planar = int(self._tag(284, 1, ifd_tags))
+        predictor = int(self._tag(317, 1, ifd_tags))
         dtype = _sample_dtype(fmts[0], bits[0], bo)
 
-        tiled = 322 in self.tags
+        tiled = 322 in ifd_tags
         if tiled:
-            tw = int(self._tag(322))
-            th = int(self._tag(323))
-            offsets = self.tags[324]
-            counts = self.tags[325]
+            tw = int(self._tag(322, tags=ifd_tags))
+            th = int(self._tag(323, tags=ifd_tags))
+            offsets = ifd_tags[324]
+            counts = ifd_tags[325]
         else:
-            rps = int(self._tag(278, height))
-            offsets = self.tags[273]
-            counts = self.tags[279]
+            rps = int(self._tag(278, height, ifd_tags))
+            offsets = ifd_tags[273]
+            counts = ifd_tags[279]
 
         samples_per_px = 1 if planar == 2 else nbands
         out = np.empty((len(bands), y1 - y0, x1 - x0),
@@ -363,7 +404,7 @@ class TiffFile:
                 else out
             jpeg_tables = bytes(bytearray(
                 v if isinstance(v, int) else ord(v)
-                for v in self.tags.get(347, ())))
+                for v in ifd_tags.get(347, ())))
         if y1 == y0 or x1 == x0 or not bands:
             return out
 
@@ -514,64 +555,120 @@ _DTYPE_TO_SAMPLE = {
 }
 
 
-def write_geotiff(path, data, transform=None, crs=None, nodata=None,
-                  compress=True, tiled=False, tile_size=256):
-    """Write a (bands, height, width) or (height, width) array as a
-    GeoTIFF (little-endian, band-sequential, optional Deflate).
+def _decimate(data, f):
+    """Reduce a (bands, h, w) array by factor ``f``: block-average for
+    floats (GDAL's 'average' resampling), nearest for integer/bool
+    rasters (no invented values in categorical data)."""
+    nb, h, w = data.shape
+    if data.dtype.kind == 'f':
+        oh, ow = -(-h // f), -(-w // f)
+        pad = np.full((nb, oh * f, ow * f), np.nan, np.float64)
+        pad[:, :h, :w] = data
+        blocks = pad.reshape(nb, oh, f, ow, f)
+        finite = np.isfinite(blocks)
+        total = np.where(finite, blocks, 0.0).sum(axis=(2, 4))
+        count = finite.sum(axis=(2, 4))
+        out = total / np.maximum(count, 1)
+        out[count == 0] = np.nan       # all-NaN block stays nodata
+        return out.astype(data.dtype)
+    return data[:, ::f, ::f]
 
-    ``tiled=True`` writes a tiled layout (``tile_size`` square tiles,
-    the cloud-optimized access pattern) instead of one strip per band.
 
-    A writing capability the reference lacks (it only reads rasters via
-    GDAL); enables raster export without any GDAL dependency.
-    """
-    data = np.asarray(data)
-    if data.ndim == 2:
-        data = data[None]
-    nbands, height, width = data.shape
-    dt = data.dtype
-    if dt == np.float16:
-        data = data.astype(np.float32)
-        dt = data.dtype
-    if dt == bool:
-        data = data.astype(np.uint8)
-        dt = data.dtype
-    sample_format = _DTYPE_TO_SAMPLE.get(dt.kind)
-    if sample_format is None:
-        raise TypeError('cannot write dtype %r' % dt)
-    bits = dt.itemsize * 8
+class _IFDWriter:
+    """One TIFF IFD (entry table + out-of-line values + pixel blocks)
+    serialized at a known absolute file offset (classic TIFF)."""
 
-    bo = '<'
-    entries = []          # (tag, type, count, value-bytes or int)
-    extra = bytearray()   # out-of-line data, offset fixed later
+    def __init__(self):
+        self.entries = []     # (tag, typ, count, inline-bytes | ('x', off))
+        self.extra = bytearray()
+        self.blocks = []
+        self._offsets_entry = None   # index of 273/324 to patch
 
-    def add(tag, typ, values, fmt):
+    def add(self, tag, typ, values, fmt):
         if isinstance(values, (int, float)):
             values = [values]
         count = len(values)
-        packed = struct.pack(bo + fmt * count, *values)
+        packed = struct.pack('<' + fmt * count, *values)
         if len(packed) <= 4:
-            entries.append((tag, typ, count,
-                            packed + b'\0' * (4 - len(packed))))
+            self.entries.append((tag, typ, count,
+                                 packed + b'\0' * (4 - len(packed))))
         else:
-            entries.append((tag, typ, count, ('extra', len(extra))))
-            extra.extend(packed)
+            self.entries.append((tag, typ, count, ('x', len(self.extra))))
+            self.extra.extend(packed)
 
-    def add_ascii(tag, text):
+    def add_ascii(self, tag, text):
         raw = text.encode('latin-1') + b'\0'
         if len(raw) <= 4:
-            entries.append((tag, 2, len(raw),
-                            raw + b'\0' * (4 - len(raw))))
+            self.entries.append((tag, 2, len(raw),
+                                 raw + b'\0' * (4 - len(raw))))
         else:
-            entries.append((tag, 2, len(raw), ('extra', len(extra))))
-            extra.extend(raw)
+            self.entries.append((tag, 2, len(raw), ('x', len(self.extra))))
+            self.extra.extend(raw)
 
+    def set_blocks(self, blocks, offsets_tag, counts_tag):
+        """Register pixel blocks; their offsets entry is patched at
+        serialization time (reserved in ``extra`` when out-of-line)."""
+        self.blocks = blocks
+        n = len(blocks)
+        self.add(counts_tag, 4, [len(b) for b in blocks], 'I')
+        self._offsets_entry = len(self.entries)
+        self.add(offsets_tag, 4, [0] * n, 'I')
+
+    def serialize(self, base):
+        """Serialize at absolute offset ``base``.
+
+        Returns (blob, next_field_abs_offset): the 4-byte next-IFD
+        pointer inside the blob is left 0; the caller patches it once
+        the following IFD's offset is known.
+        """
+        offsets_marker = None
+        if self._offsets_entry is not None:
+            offsets_marker = self.entries[self._offsets_entry]
+        self.entries.sort(key=lambda e: e[0])
+        ifd_size = 2 + 12 * len(self.entries) + 4
+        extra_base = base + ifd_size
+        data_base = extra_base + len(self.extra)
+
+        if offsets_marker is not None:
+            n = len(self.blocks)
+            offs = []
+            pos = data_base
+            for b in self.blocks:
+                offs.append(pos)
+                pos += len(b)
+            packed = struct.pack('<' + 'I' * n, *offs)
+            idx = self.entries.index(offsets_marker)
+            tag, typ, count, val = self.entries[idx]
+            if isinstance(val, tuple):      # out-of-line: patch extra
+                self.extra[val[1]:val[1] + len(packed)] = packed
+            else:
+                self.entries[idx] = (tag, typ, count,
+                                     packed + b'\0' * (4 - len(packed)))
+
+        blob = bytearray()
+        blob += struct.pack('<H', len(self.entries))
+        for tag, typ, count, val in self.entries:
+            blob += struct.pack('<HHI', tag, typ, count)
+            if isinstance(val, tuple):
+                blob += struct.pack('<I', extra_base + val[1])
+            else:
+                blob += val
+        next_field_abs = base + len(blob)
+        blob += struct.pack('<I', 0)        # next IFD (patched later)
+        blob += bytes(self.extra)
+        for b in self.blocks:
+            blob += b
+        return bytes(blob), next_field_abs
+
+
+def _encode_blocks(data, compress, tiled, ts):
+    """Planar band-sequential pixel blocks for one IFD level."""
+    nbands, height, width = data.shape
+    dt = data.dtype
+    blocks = []
     if tiled:
-        # square tiles per band (planar); TIFF requires multiples of 16
-        ts = max(16, int(tile_size) // 16 * 16)
         tiles_x = (width + ts - 1) // ts
         tiles_y = (height + ts - 1) // ts
-        strips = []
         for b in range(nbands):
             band = np.ascontiguousarray(data[b]).astype(
                 dt.newbyteorder('<'))
@@ -582,50 +679,100 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
                                tx * ts:(tx + 1) * ts]
                     block[:sub.shape[0], :sub.shape[1]] = sub
                     raw = block.tobytes()
-                    strips.append(zlib.compress(raw, 6)
+                    blocks.append(zlib.compress(raw, 6)
                                   if compress else raw)
     else:
-        # one strip per band
-        strips = []
         for b in range(nbands):
             raw = np.ascontiguousarray(data[b]).astype(
                 dt.newbyteorder('<')).tobytes()
-            strips.append(zlib.compress(raw, 6) if compress else raw)
+            blocks.append(zlib.compress(raw, 6) if compress else raw)
+    return blocks
 
-    add(256, 4, width, 'I')
-    add(257, 4, height, 'I')
-    add(258, 3, [bits] * nbands, 'H')
-    add(259, 3, 8 if compress else 1, 'H')
-    add(262, 3, 1, 'H')
-    # block offsets resolved later: placeholder entry, located by tag
+
+def _build_level_ifd(data, compress, tiled, ts, reduced=False):
+    """Assemble the raster-structure tags + blocks of one IFD level."""
+    nbands, height, width = data.shape
+    dt = data.dtype
+    sample_format = _DTYPE_TO_SAMPLE.get(dt.kind)
+    if sample_format is None:
+        raise TypeError('cannot write dtype %r' % dt)
+    bits = dt.itemsize * 8
+
+    w = _IFDWriter()
+    if reduced:
+        w.add(254, 4, 1, 'I')               # NewSubfileType: overview
+    w.add(256, 4, width, 'I')
+    w.add(257, 4, height, 'I')
+    w.add(258, 3, [bits] * nbands, 'H')
+    w.add(259, 3, 8 if compress else 1, 'H')
+    w.add(262, 3, 1, 'H')
+    w.add(277, 3, nbands, 'H')
+    w.add(284, 3, 2, 'H')                   # planar
+    blocks = _encode_blocks(data, compress, tiled, ts)
     if tiled:
-        add(277, 3, nbands, 'H')
-        add(284, 3, 2, 'H')  # planar
-        add(322, 4, ts, 'I')
-        add(323, 4, ts, 'I')
-        strip_off_index = len(entries)
-        add(324, 4, [0] * len(strips), 'I')
-        add(325, 4, [len(s) for s in strips], 'I')
+        w.add(322, 4, ts, 'I')
+        w.add(323, 4, ts, 'I')
+        w.set_blocks(blocks, 324, 325)
     else:
-        strip_off_index = len(entries)
-        add(273, 4, [0] * len(strips), 'I')
-        add(277, 3, nbands, 'H')
-        add(278, 4, height, 'I')
-        add(279, 4, [len(s) for s in strips], 'I')
-        add(284, 3, 2, 'H')  # planar
-    add(339, 3, [sample_format] * nbands, 'H')
+        w.add(278, 4, height, 'I')
+        w.set_blocks(blocks, 273, 279)
+    w.add(339, 3, [sample_format] * nbands, 'H')
+    return w
+
+
+def write_geotiff(path, data, transform=None, crs=None, nodata=None,
+                  compress=True, tiled=False, tile_size=256,
+                  overviews=None):
+    """Write a (bands, height, width) or (height, width) array as a
+    GeoTIFF (little-endian, band-sequential, optional Deflate).
+
+    ``tiled=True`` writes a tiled layout (``tile_size`` square tiles,
+    the cloud-optimized access pattern) instead of one strip per band.
+    ``overviews`` adds reduced-resolution IFDs: an iterable of integer
+    decimation factors (e.g. ``[2, 4, 8]``) or ``True`` for powers of
+    two down to ~256 px — block-averaged for float rasters, nearest
+    for integer ones, the COG overview pyramid GDAL builds with
+    ``gdaladdo``.
+
+    A writing capability the reference lacks (it only reads rasters via
+    GDAL); enables raster export without any GDAL dependency.
+    """
+    data = np.asarray(data)
+    if data.ndim == 2:
+        data = data[None]
+    nbands, height, width = data.shape
+    if data.dtype == np.float16:
+        data = data.astype(np.float32)
+    if data.dtype == bool:
+        data = data.astype(np.uint8)
+
+    ts = max(16, int(tile_size) // 16 * 16) if tiled else None
+
+    if overviews is True:
+        overviews = []
+        f = 2
+        while max(height, width) // f >= 256:
+            overviews.append(f)
+            f *= 2
+        if not overviews and max(height, width) >= 2:
+            overviews = [2]
+    factors = sorted(int(f) for f in overviews) if overviews else []
+    if any(f < 2 for f in factors):
+        raise ValueError('overview factors must be >= 2')
+
+    main = _build_level_ifd(data, compress, tiled, ts)
 
     if transform is not None:
         t = transform if isinstance(transform, Affine) \
             else Affine(*tuple(transform)[:6])
         if t.b == 0 and t.d == 0:
-            add(33550, 12, [abs(t.a), abs(t.e), 0.0], 'd')
-            add(33922, 12, [0.0, 0.0, 0.0, t.c, t.f, 0.0], 'd')
+            main.add(33550, 12, [abs(t.a), abs(t.e), 0.0], 'd')
+            main.add(33922, 12, [0.0, 0.0, 0.0, t.c, t.f, 0.0], 'd')
         else:
-            add(34264, 12, [t.a, t.b, 0.0, t.c,
-                            t.d, t.e, 0.0, t.f,
-                            0.0, 0.0, 0.0, 0.0,
-                            0.0, 0.0, 0.0, 1.0], 'd')
+            main.add(34264, 12, [t.a, t.b, 0.0, t.c,
+                                 t.d, t.e, 0.0, t.f,
+                                 0.0, 0.0, 0.0, 0.0,
+                                 0.0, 0.0, 0.0, 1.0], 'd')
 
     if crs is not None:
         crs = CRS.from_user_input(crs)
@@ -650,58 +797,38 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
         gkd = [1, 1, 0, len(keys)]
         for k in keys:
             gkd.extend(k)
-        add(34735, 3, gkd, 'H')
+        main.add(34735, 3, gkd, 'H')
         if ascii_params is not None:
-            add(34737, 2, list(ascii_params.encode('latin-1')), 'B')
+            main.add(34737, 2, list(ascii_params.encode('latin-1')),
+                     'B')
 
     if nodata is not None:
-        add_ascii(42113, repr(float(nodata)))
+        main.add_ascii(42113, repr(float(nodata)))
 
-    entries.sort(key=lambda e: e[0])
-    off_tag = 324 if tiled else 273
-    strip_off_index = next(i for i, e in enumerate(entries)
-                           if e[0] == off_tag)
-    n_blocks = len(strips)
+    writers = [main]
+    for f in factors:
+        ov = _decimate(data, f)
+        # overviews of a strip raster stay stripped; tiled stays tiled
+        writers.append(_build_level_ifd(ov, compress, tiled, ts,
+                                        reduced=True))
 
-    header_size = 8
-    ifd_size = 2 + len(entries) * 12 + 4
-    extra_offset = header_size + ifd_size
-    data_offset = extra_offset + len(extra)
+    # serialize the chain: header, then each IFD block back-to-back
+    blobs = []
+    next_fields = []
+    base = 8
+    for w in writers:
+        blob, nf = w.serialize(base)
+        blobs.append(bytearray(blob))
+        next_fields.append((nf, base))
+        base += len(blob)
 
-    # resolve block offsets
-    offsets = []
-    pos = data_offset
-    for s in strips:
-        offsets.append(pos)
-        pos += len(s)
-    packed = struct.pack(bo + 'I' * n_blocks, *offsets)
-    if len(packed) <= 4:
-        entries[strip_off_index] = (
-            off_tag, 4, n_blocks, packed + b'\0' * (4 - len(packed)))
-    else:
-        entries[strip_off_index] = (off_tag, 4, n_blocks,
-                                    ('extra', len(extra)))
-        extra.extend(packed)
-        data_offset = extra_offset + len(extra)
-        offsets = []
-        pos = data_offset
-        for s in strips:
-            offsets.append(pos)
-            pos += len(s)
-        struct.pack_into(bo + 'I' * n_blocks, extra,
-                         len(extra) - 4 * n_blocks, *offsets)
+    # patch next-IFD pointers
+    for i in range(len(blobs) - 1):
+        nf, b0 = next_fields[i]
+        nxt = next_fields[i + 1][1]
+        struct.pack_into('<I', blobs[i], nf - b0, nxt)
 
     with open(path, 'wb') as fh:
-        fh.write(b'II*\0' + struct.pack(bo + 'I', 8))
-        fh.write(struct.pack(bo + 'H', len(entries)))
-        for tag, typ, count, val in entries:
-            fh.write(struct.pack(bo + 'HHI', tag, typ, count))
-            if isinstance(val, tuple):
-                fh.write(struct.pack(bo + 'I',
-                                     extra_offset + val[1]))
-            else:
-                fh.write(val)
-        fh.write(struct.pack(bo + 'I', 0))  # no next IFD
-        fh.write(bytes(extra))
-        for s in strips:
-            fh.write(s)
+        fh.write(b'II*\0' + struct.pack('<I', 8))
+        for blob in blobs:
+            fh.write(bytes(blob))

@@ -2,7 +2,9 @@
 BigTIFF containers, floating-point predictor 3, JPEG + ZSTD codecs
 (import-gated), tiled-TIFF write."""
 
+import os
 import struct
+import tempfile
 import zlib
 
 import numpy as np
@@ -224,3 +226,66 @@ def test_tiled_write_with_geo_roundtrip(tmp_path):
         assert t.crs is not None and t.crs.to_epsg() == 32633
         assert tuple(t.transform)[:6] == (10, 0, 5, 0, -10, 995)
     np.testing.assert_array_equal(out[0], img)
+
+
+# ---------------------------------------------------------------------------
+# overview pyramids (reduced-resolution IFD chain, the COG layout)
+# ---------------------------------------------------------------------------
+
+def test_overview_roundtrip_float_average():
+    from nd_tpu.io.geotiff import _decimate
+    rng = np.random.RandomState(0)
+    data = (rng.rand(2, 130, 97) * 10).astype(np.float32)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'ov.tif')
+        write_geotiff(path, data, tiled=True, tile_size=32,
+                      overviews=[2, 4])
+        with TiffFile(path) as t:
+            np.testing.assert_array_equal(t.read(), data)
+            assert t.overviews == [(49, 65), (25, 33)]
+            np.testing.assert_allclose(t.read_overview(0),
+                                       _decimate(data, 2), rtol=1e-6)
+            np.testing.assert_allclose(t.read_overview(1),
+                                       _decimate(data, 4), rtol=1e-6)
+
+
+def test_overview_int_nearest_and_auto_factors():
+    rng = np.random.RandomState(1)
+    data = rng.randint(0, 255, size=(1, 600, 520)).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'ovi.tif')
+        write_geotiff(path, data, overviews=True)
+        with TiffFile(path) as t:
+            np.testing.assert_array_equal(t.read(), data)
+            assert t.overviews == [(260, 300)]   # 520x600 // 2
+            np.testing.assert_array_equal(t.read_overview(0),
+                                          data[:, ::2, ::2])
+
+
+def test_overview_absent_and_bad_level():
+    data = np.zeros((1, 8, 8), np.float32)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'plain.tif')
+        write_geotiff(path, data)
+        with TiffFile(path) as t:
+            assert t.overviews == []
+            with pytest.raises(IndexError):
+                t.read_overview(0)
+
+def test_overview_factor_validation():
+    with pytest.raises(ValueError):
+        write_geotiff('/tmp/never.tif', np.zeros((4, 4), np.float32),
+                      overviews=[1])
+
+
+def test_overview_nan_average():
+    """NaN pixels are excluded from the block average, like GDAL."""
+    data = np.full((1, 4, 4), np.nan, np.float32)
+    data[0, 0, 0] = 4.0
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'nan.tif')
+        write_geotiff(path, data, overviews=[2])
+        with TiffFile(path) as t:
+            ov = t.read_overview(0)
+    assert ov[0, 0, 0] == 4.0       # sole finite sample survives
+    assert np.isnan(ov[0, 1, 1])
