@@ -80,6 +80,17 @@ _EPSG = {
     # World Mollweide (ESRI:54009 — commonly requested by that number)
     54009: {'proj': 'moll', 'lon_0': 0, 'x_0': 0, 'y_0': 0,
             'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    # Swiss national grids (Swiss oblique Mercator on Bessel 1841)
+    2056: {'proj': 'somerc', 'lat_0': 46.95240555555556,
+           'lon_0': 7.439583333333333, 'k_0': 1, 'x_0': 2600000,
+           'y_0': 1200000, 'ellps': 'bessel',
+           'towgs84': (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
+           'units': 'm'},
+    21781: {'proj': 'somerc', 'lat_0': 46.95240555555556,
+            'lon_0': 7.439583333333333, 'k_0': 1, 'x_0': 600000,
+            'y_0': 200000, 'ellps': 'bessel',
+            'towgs84': (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
+            'units': 'm'},
 }
 for _zone in range(1, 61):
     _EPSG[32600 + _zone] = _utm_params(_zone, south=False)
@@ -98,6 +109,9 @@ _PROJECTION_WKT_NAMES = {
     'laea': 'Lambert_Azimuthal_Equal_Area',
     'cea': 'Cylindrical_Equal_Area',
     'moll': 'Mollweide',
+    'geos': 'Geostationary_Satellite',
+    'somerc': 'Hotine_Oblique_Mercator_Azimuth_Center',
+    'ortho': 'Orthographic',
 }
 
 _WKT_NAME_TO_PROJ = {
@@ -131,6 +145,16 @@ _WKT_NAME_TO_PROJ = {
     'lambert_cylindrical_equal_area': 'cea',
     'lambert_cylindrical_equal_area_(spherical)': 'cea',
     'mollweide': 'moll',
+    # geostationary view (GDAL WKT1 / WKT2 sweep-suffixed method names)
+    'geostationary_satellite': 'geos',
+    'geostationary_satellite_(sweep_x)': 'geos',
+    'geostationary_satellite_(sweep_y)': 'geos',
+    # Swiss oblique Mercator: GDAL writes the Hotine azimuth-center
+    # method name with azimuth 90 for +proj=somerc
+    'hotine_oblique_mercator_azimuth_center': 'somerc',
+    'swiss_oblique_cylindrical': 'somerc',
+    'swiss_oblique_mercator': 'somerc',
+    'orthographic': 'ortho',
 }
 
 # projections whose WKT standard_parallel_1/2 mean the conic
@@ -138,7 +162,7 @@ _WKT_NAME_TO_PROJ = {
 _CONIC_PROJS = ('lcc', 'aea')
 
 _NUMERIC_KEYS = ('lat_0', 'lon_0', 'lat_1', 'lat_2', 'lat_ts', 'k', 'k_0',
-                 'x_0', 'y_0', 'zone', 'a', 'b', 'rf')
+                 'x_0', 'y_0', 'zone', 'a', 'b', 'rf', 'h')
 
 
 def _lookup_ellps(name):
@@ -373,9 +397,27 @@ class CRS:
                     'standard_parallel_2': 'lat_2',
                     'latitude_of_2nd_standard_parallel': 'lat_2',
                     'latitude_of_standard_parallel': 'lat_ts',
+                    'satellite_height': 'h',
+                    'azimuth': 'alpha',
+                    'azimuth_of_initial_line': 'alpha',
                 }.get(pk)
                 if key:
                     params[key] = pv
+            if proj == 'geos':
+                if 'sweep_x' in pname:
+                    params['sweep'] = 'x'
+                elif 'sweep' not in params:
+                    params['sweep'] = 'y'
+            if proj == 'somerc':
+                # only the azimuth-90 (Swiss) case is the somerc
+                # formulation; a general Hotine initial line is a
+                # different projection and must not be silently wrong
+                alpha = params.pop('alpha', 90.0)
+                if abs(abs(alpha) - 90.0) > 1e-9:
+                    raise NotImplementedError(
+                        'Hotine oblique Mercator with azimuth %g is '
+                        'not supported (only the azimuth-90 Swiss '
+                        'somerc case)' % alpha)
             if pname.startswith('polar_stereographic') \
                     and 'lat_ts' not in params \
                     and abs(params.get('lat_0', 0.0)) != 90.0:
@@ -473,9 +515,20 @@ class CRS:
         if self.is_geographic:
             return geogcs
         pname = _PROJECTION_WKT_NAMES.get(self.proj, self.proj)
+        if self.proj == 'geos' \
+                and str(self._params.get('sweep', 'y')).lower() == 'x':
+            pname = 'Geostationary_Satellite_(Sweep_X)'
         polar = self.proj == 'stere' and 'lat_ts' in self._params
         conic = self.proj in _CONIC_PROJS
         par = []
+        if self.proj == 'geos' and 'h' in self._params:
+            par.append('PARAMETER["satellite_height",%.12g]'
+                       % float(self._params['h']))
+        if self.proj == 'somerc':
+            # GDAL convention for +proj=somerc under the Hotine
+            # azimuth-center method name
+            par.append('PARAMETER["azimuth",90]')
+            par.append('PARAMETER["rectified_grid_angle",90]')
         fields = [('latitude_of_origin', 'lat_0'),
                   ('central_meridian', 'lon_0'),
                   ('standard_parallel_1', 'lat_ts'),

@@ -680,6 +680,205 @@ def _eqc_inverse(x, y, ell, lon0, k0, xp=np):
     return x / ell.a + lon0, y / ell.a
 
 
+# ---------------------------------------------------------------------------
+# Geostationary satellite view (geos) — GOES ABI (sweep=x), MSG SEVIRI /
+# Himawari AHI (sweep=y). Coordinates are scanning angles times the
+# satellite height: the native grid of every geostationary L1 product
+# (CGMS LRIT/HRIT normalized geostationary projection).
+# ---------------------------------------------------------------------------
+
+def _geos_setup(ell, params):
+    if 'h' not in params:
+        raise ValueError("+proj=geos requires +h (satellite height "
+                         "above the ellipsoid, e.g. h=35785831)")
+    h = float(params['h'])
+    radius_g_1 = h / ell.a            # satellite height, earth radii
+    radius_g = 1.0 + radius_g_1       # orbit radius, earth radii
+    radius_p = ell.b / ell.a          # normalized polar radius
+    radius_p2 = radius_p * radius_p
+    C = radius_g * radius_g - 1.0
+    sweep_x = str(params.get('sweep', 'y')).lower() == 'x'
+    return radius_g, radius_g_1, radius_p, radius_p2, sweep_x, C
+
+
+def _geos_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    rg, rg1, rp, rp2, sweep_x, _C = _geos_setup(ell, params)
+    lam = lon - lon0
+    # geocentric latitude of the ellipsoid surface point
+    phi = xp.arctan(rp2 * xp.tan(lat))
+    # geocentric distance (units of a) and the surface point vector
+    r = rp / xp.hypot(rp * xp.cos(phi), xp.sin(phi))
+    vx = r * xp.cos(lam) * xp.cos(phi)
+    vy = r * xp.sin(lam) * xp.cos(phi)
+    vz = r * xp.sin(phi)
+    # the satellite sits at (rg, 0, 0); a point is imaged only if the
+    # ray does not pass through the Earth first
+    tmp = rg - vx
+    visible = ((rg - vx) * vx - vy * vy - vz * vz / rp2) >= 0.0
+    if sweep_x:
+        x = rg1 * xp.arctan(vy / xp.hypot(vz, tmp))
+        y = rg1 * xp.arctan(vz / tmp)
+    else:
+        x = rg1 * xp.arctan(vy / tmp)
+        y = rg1 * xp.arctan(vz / xp.hypot(vy, tmp))
+    mask = xp.where(visible, 1.0, xp.nan)
+    return ell.a * x * mask, ell.a * y * mask
+
+
+def _geos_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    rg, rg1, rp, rp2, sweep_x, C = _geos_setup(ell, params)
+    xs = x / ell.a
+    ys = y / ell.a
+    # unit-free view-direction components (satellite looks along -x)
+    if sweep_x:
+        vz = xp.tan(ys / rg1)
+        vy = xp.tan(xs / rg1) * xp.hypot(1.0, vz)
+    else:
+        vy = xp.tan(xs / rg1)
+        vz = xp.tan(ys / rg1) * xp.hypot(1.0, vy)
+    # intersect the view ray with the ellipsoid (quadratic in the ray
+    # parameter k; the smaller root is the visible near side)
+    aq = vy * vy + (vz / rp) ** 2 + 1.0
+    bq = -2.0 * rg
+    det = bq * bq - 4.0 * aq * C
+    det_ok = det >= 0.0
+    det = xp.where(det_ok, det, 0.0)
+    k = (-bq - xp.sqrt(det)) / (2.0 * aq)
+    gx = rg - k
+    gy = vy * k
+    gz = vz * k
+    lam = xp.arctan2(gy, gx)
+    phi = xp.arctan(gz * xp.cos(lam) / gx)
+    phi = xp.arctan(xp.tan(phi) / rp2)
+    mask = xp.where(det_ok, 1.0, xp.nan)
+    return (lam + lon0) * mask, phi * mask
+
+
+# ---------------------------------------------------------------------------
+# Swiss oblique Mercator (somerc) — the CH1903 / CH1903+ national grids
+# (EPSG:21781 LV03, EPSG:2056 LV95). Double projection: ellipsoid ->
+# conformal sphere -> oblique Mercator (swisstopo formulation).
+# ---------------------------------------------------------------------------
+
+def _somerc_setup(ell, lat0, k0):
+    e = ell.e
+    es = ell.e2
+    one_es = 1.0 - es
+    hlf_e = 0.5 * e
+    cp = math.cos(lat0) ** 2
+    c = math.sqrt(1.0 + es * cp * cp / one_es)
+    sp = math.sin(lat0)
+    sinp0 = sp / c
+    phip0 = math.asin(sinp0)
+    cosp0 = math.cos(phip0)
+    spe = sp * e
+    K = (math.log(math.tan(math.pi / 4 + 0.5 * phip0))
+         - c * (math.log(math.tan(math.pi / 4 + 0.5 * lat0))
+                - hlf_e * math.log((1.0 + spe) / (1.0 - spe))))
+    kR = k0 * math.sqrt(one_es) / (1.0 - spe * spe)
+    return c, K, kR, sinp0, cosp0, hlf_e
+
+
+def _somerc_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    lat0 = math.radians(params.get('lat_0', 0.0))
+    c, K, kR, sinp0, cosp0, hlf_e = _somerc_setup(ell, lat0, k0)
+    sp = ell.e * xp.sin(lat)
+    phip = 2.0 * xp.arctan(xp.exp(
+        c * (xp.log(xp.tan(math.pi / 4 + 0.5 * lat))
+             - hlf_e * xp.log((1.0 + sp) / (1.0 - sp))) + K)) \
+        - math.pi / 2
+    lamp = c * (lon - lon0)
+    cp = xp.cos(phip)
+    phipp = xp.arcsin(cosp0 * xp.sin(phip)
+                      - sinp0 * cp * xp.cos(lamp))
+    lampp = xp.arcsin(cp * xp.sin(lamp) / xp.cos(phipp))
+    x = ell.a * kR * lampp
+    y = ell.a * kR * xp.log(xp.tan(math.pi / 4 + 0.5 * phipp))
+    return x, y
+
+
+def _somerc_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    lat0 = math.radians(params.get('lat_0', 0.0))
+    c, K, kR, sinp0, cosp0, hlf_e = _somerc_setup(ell, lat0, k0)
+    one_es = 1.0 - ell.e2
+    phipp = 2.0 * (xp.arctan(xp.exp(y / (ell.a * kR)))
+                   - math.pi / 4)
+    lampp = x / (ell.a * kR)
+    cp = xp.cos(phipp)
+    phip = xp.arcsin(cosp0 * xp.sin(phipp)
+                     + sinp0 * cp * xp.cos(lampp))
+    lamp = xp.arcsin(cp * xp.sin(lampp) / xp.cos(phip))
+    con = (K - xp.log(xp.tan(math.pi / 4 + 0.5 * phip))) / c
+    for _ in range(8):     # fixed-count: identical under numpy and jax
+        esp = ell.e * xp.sin(phip)
+        delp = ((con + xp.log(xp.tan(math.pi / 4 + 0.5 * phip))
+                 - hlf_e * xp.log((1.0 + esp) / (1.0 - esp)))
+                * (1.0 - esp * esp) * xp.cos(phip) / one_es)
+        phip = phip - delp
+    return lamp / c + lon0, phip
+
+
+# ---------------------------------------------------------------------------
+# Orthographic (ortho) — the "view from space" azimuthal projection
+# (EPSG method 9840, ellipsoidal).
+# ---------------------------------------------------------------------------
+
+def _ortho_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    lat0 = math.radians(params.get('lat_0', 0.0))
+    es = ell.e2
+    sp0, cp0 = math.sin(lat0), math.cos(lat0)
+    nu0 = 1.0 / math.sqrt(1.0 - es * sp0 * sp0)
+    sp = xp.sin(lat)
+    cp = xp.cos(lat)
+    dlam = lon - lon0
+    nu = 1.0 / xp.sqrt(1.0 - es * sp * sp)
+    x = ell.a * nu * cp * xp.sin(dlam)
+    y = ell.a * (nu * (sp * cp0 - cp * sp0 * xp.cos(dlam))
+                 + es * (nu0 * sp0 - nu * sp) * cp0)
+    # beyond-horizon points are not on the visible hemisphere
+    cosc = sp0 * sp + cp0 * cp * xp.cos(dlam)
+    mask = xp.where(cosc >= 0.0, 1.0, xp.nan)
+    return x * mask, y * mask
+
+
+def _ortho_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    lat0 = math.radians(params.get('lat_0', 0.0))
+    sp0, cp0 = math.sin(lat0), math.cos(lat0)
+    xs = x / ell.a
+    ys = y / ell.a
+    # spherical closed-form first guess
+    rho = xp.hypot(xs, ys)
+    ok = rho <= 1.0
+    rho_c = xp.clip(rho, 1e-12, 1.0)
+    cc = xp.arcsin(rho_c)
+    cosc, sinc = xp.cos(cc), xp.sin(cc)
+    lat = xp.arcsin(cosc * sp0 + ys * sinc * cp0 / rho_c)
+    lon = lon0 + xp.arctan2(
+        xs * sinc, rho_c * cosc * cp0 - ys * sinc * sp0)
+    # Newton-refine against the ellipsoidal forward (numeric Jacobian,
+    # fixed count so the loop stays trace-friendly)
+    for _ in range(6):
+        fx, fy = _ortho_forward(lon, lat, ell, lon0, k0, xp=xp,
+                                params=params)
+        rx = fx / ell.a - xs
+        ry = fy / ell.a - ys
+        eps = 1e-7
+        fx1, fy1 = _ortho_forward(lon + eps, lat, ell, lon0, k0,
+                                  xp=xp, params=params)
+        fx2, fy2 = _ortho_forward(lon, lat + eps, ell, lon0, k0,
+                                  xp=xp, params=params)
+        j11 = (fx1 - fx) / (eps * ell.a)
+        j21 = (fy1 - fy) / (eps * ell.a)
+        j12 = (fx2 - fx) / (eps * ell.a)
+        j22 = (fy2 - fy) / (eps * ell.a)
+        det = j11 * j22 - j12 * j21
+        det = xp.where(xp.abs(det) < 1e-30, 1e-30, det)
+        lon = lon - (j22 * rx - j12 * ry) / det
+        lat = lat - (-j21 * rx + j11 * ry) / det
+    mask = xp.where(ok, 1.0, xp.nan)
+    return lon * mask, lat * mask
+
+
 _FORWARD = {
     'stere': _stere_forward,
     'tmerc': _tmerc_forward,
@@ -693,6 +892,9 @@ _FORWARD = {
     'laea': _laea_forward,
     'cea': _cea_forward,
     'moll': _moll_forward,
+    'geos': _geos_forward,
+    'somerc': _somerc_forward,
+    'ortho': _ortho_forward,
 }
 
 _INVERSE = {
@@ -708,11 +910,15 @@ _INVERSE = {
     'laea': _laea_inverse,
     'cea': _cea_inverse,
     'moll': _moll_inverse,
+    'geos': _geos_inverse,
+    'somerc': _somerc_inverse,
+    'ortho': _ortho_inverse,
 }
 
 # projections whose math needs the full parameter dict (standard
-# parallels, center latitude) beyond (lon0, k0)
-_PARAMETRIC = frozenset({'lcc', 'aea', 'laea', 'cea'})
+# parallels, center latitude, satellite height) beyond (lon0, k0)
+_PARAMETRIC = frozenset({'lcc', 'aea', 'laea', 'cea', 'geos',
+                         'somerc', 'ortho'})
 
 
 def _scale_factor(proj, params, ell):

@@ -90,6 +90,18 @@ _FAMILY_PARAMS = [
     ('cea', {'lat_ts': 30.0, 'lon_0': 0.0}, WGS84,
      (-179.0, 179.0, -85.0, 85.0)),
     ('moll', {'lon_0': 0.0}, WGS84, (-170.0, 170.0, -85.0, 85.0)),
+    ('somerc', {'lat_0': 46.952405555555565,
+                'lon_0': 7.439583333333333, 'k_0': 1.0}, None,
+     (5.9, 10.5, 45.8, 47.8)),
+    ('geos', {'h': 35785831.0, 'lon_0': 0.0, 'sweep': 'y'}, WGS84,
+     (-55.0, 55.0, -55.0, 55.0)),
+    ('ortho', {'lat_0': 40.0, 'lon_0': -100.0}, WGS84,
+     (-140.0, -60.0, 5.0, 75.0)),
+]
+# somerc runs on its native Bessel ellipsoid
+_FAMILY_PARAMS = [
+    (p, prm, (ELLIPSOIDS['bessel'] if e is None else e), b)
+    for p, prm, e, b in _FAMILY_PARAMS
 ]
 
 
@@ -108,7 +120,9 @@ def test_jax_path_matches_numpy():
     import jax.numpy as jnp
     lon = np.linspace(-10.0, 30.0, 11)
     lat = np.linspace(35.0, 68.0, 11)
-    for crs in ('epsg:3035', 'epsg:5070', 'epsg:2154', 'epsg:6933'):
+    for crs in ('epsg:3035', 'epsg:5070', 'epsg:2154', 'epsg:6933',
+                'epsg:2056',
+                '+proj=ortho +lat_0=45 +lon_0=10 +ellps=WGS84'):
         xn, yn = transform_coords('epsg:4326', crs, lon, lat, xp=np)
         xj, yj = transform_coords('epsg:4326', crs,
                                   jnp.asarray(lon), jnp.asarray(lat),
@@ -348,3 +362,209 @@ def test_reproject_roundtrip_epsg3035_preserves_values():
     assert interior.mean() > 0.9
     diff = np.abs(b - a)[4:-4, 4:-4, ...]
     assert np.nanmedian(diff) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: geostationary (geos), Swiss oblique Mercator
+# (somerc), orthographic (ortho)
+# ---------------------------------------------------------------------------
+
+def _lv03_params():
+    return {'proj': 'somerc', 'lat_0': 46.952405555555565,
+            'lon_0': 7.439583333333333, 'k_0': 1.0,
+            'x_0': 600000.0, 'y_0': 200000.0}
+
+
+def test_somerc_swisstopo_worked_example():
+    """swisstopo 'Formulas and constants' reference point (Rigi):
+    lat 47°03'28.956590" lon 8°29'11.111270" -> E 679520.05 N 212273.44
+    (CH1903/LV03), and the projection origin maps to the false origin
+    exactly."""
+    bessel = ELLIPSOIDS['bessel']
+    p = _lv03_params()
+    x, y = project_forward('somerc', np.array([7.439583333333333]),
+                           np.array([46.952405555555565]), bessel, p)
+    assert abs(x[0] - 600000.0) < 1e-6
+    assert abs(y[0] - 200000.0) < 1e-6
+    lat = 47 + 3 / 60 + 28.956590 / 3600
+    lon = 8 + 29 / 60 + 11.111270 / 3600
+    x, y = project_forward('somerc', np.array([lon]), np.array([lat]),
+                           bessel, p)
+    assert abs(x[0] - 679520.05) < 0.01
+    assert abs(y[0] - 212273.44) < 0.01
+
+
+def test_somerc_roundtrip_and_conformality():
+    bessel = ELLIPSOIDS['bessel']
+    p = _lv03_params()
+    lons, lats = np.meshgrid(np.linspace(5.9, 10.5, 9),
+                             np.linspace(45.8, 47.8, 9))
+    x, y = project_forward('somerc', lons, lats, bessel, p)
+    lo, la = project_inverse('somerc', x, y, bessel, p)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+    # conformal: the local scale is direction-independent
+    eps = 1e-6
+    for lon, lat in [(7.0, 46.5), (9.5, 47.2)]:
+        x0, y0 = project_forward('somerc', np.array([lon]),
+                                 np.array([lat]), bessel, p)
+        xe, ye = project_forward('somerc', np.array([lon + eps]),
+                                 np.array([lat]), bessel, p)
+        xn, yn = project_forward('somerc', np.array([lon]),
+                                 np.array([lat + eps]), bessel, p)
+        phi = math.radians(lat)
+        nu = bessel.a / math.sqrt(1 - bessel.e2 * math.sin(phi) ** 2)
+        rho = bessel.a * (1 - bessel.e2) \
+            / (1 - bessel.e2 * math.sin(phi) ** 2) ** 1.5
+        k_east = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) \
+            / (math.radians(eps) * nu * math.cos(phi))
+        k_north = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) \
+            / (math.radians(eps) * rho)
+        assert abs(k_east / k_north - 1.0) < 1e-6
+
+
+def test_geos_geometric_oracle():
+    """Forward geos must equal a literal ray-trace from the geometric
+    definition: scanning angles of the satellite->surface-point vector
+    from a satellite at (r_orbit, 0, 0) in sub-satellite coordinates."""
+    wgs = ELLIPSOIDS['WGS84']
+    h = 35785831.0
+    p = {'proj': 'geos', 'h': h, 'lon_0': 0.0, 'sweep': 'y',
+         'x_0': 0.0, 'y_0': 0.0}
+    rng = np.random.RandomState(0)
+    lons = rng.uniform(-55, 55, 40)
+    lats = rng.uniform(-55, 55, 40)
+    x, y = project_forward('geos', lons, lats, wgs, p)
+    a, b = wgs.a, wgs.b
+    sat = np.array([a + h, 0.0, 0.0])
+    for lon, lat, xi, yi in zip(lons, lats, x, y):
+        lam, phi = math.radians(lon), math.radians(lat)
+        # ellipsoid surface point (geodetic, h=0)
+        nu = a / math.sqrt(1 - wgs.e2 * math.sin(phi) ** 2)
+        P = np.array([nu * math.cos(phi) * math.cos(lam),
+                      nu * math.cos(phi) * math.sin(lam),
+                      nu * (1 - wgs.e2) * math.sin(phi)])
+        v = P - sat                      # satellite->point ray
+        # sweep=y (SEVIRI): x is the scan angle about the N-S axis
+        # (after rotating out the elevation), y the elevation angle
+        x_ang = math.atan2(v[1], -v[0])
+        y_ang = math.atan2(v[2], math.hypot(v[0], v[1]))
+        assert abs(xi - h * x_ang) < 1e-3, (lon, lat)
+        assert abs(yi - h * y_ang) < 1e-3, (lon, lat)
+
+
+def test_geos_roundtrip_visibility_and_sweep():
+    wgs = ELLIPSOIDS['WGS84']
+    p = {'proj': 'geos', 'h': 35785831.0, 'lon_0': 140.7,
+         'sweep': 'y', 'x_0': 0.0, 'y_0': 0.0}
+    lons, lats = np.meshgrid(np.linspace(90, 190, 9),
+                             np.linspace(-60, 60, 9))
+    x, y = project_forward('geos', lons, lats, wgs, p)
+    lo, la = project_inverse('geos', x, y, wgs, p)
+    assert np.nanmax(np.abs(lo - lons)) < 1e-9
+    assert np.nanmax(np.abs(la - lats)) < 1e-9
+    # sub-satellite point maps to the origin
+    x0, y0 = project_forward('geos', np.array([140.7]),
+                             np.array([0.0]), wgs, p)
+    assert abs(x0[0]) < 1e-6 and abs(y0[0]) < 1e-6
+    # the far side of the Earth is not visible
+    xf, yf = project_forward('geos', np.array([-39.3]),
+                             np.array([0.0]), wgs, p)
+    assert np.isnan(xf[0]) and np.isnan(yf[0])
+    # GOES sweep=x and SEVIRI sweep=y disagree off-axis
+    px = dict(p, sweep='x')
+    xa, ya = project_forward('geos', np.array([150.0]),
+                             np.array([20.0]), wgs, p)
+    xb, yb = project_forward('geos', np.array([150.0]),
+                             np.array([20.0]), wgs, px)
+    assert abs(xa[0] - xb[0]) > 100.0
+    lo2, la2 = project_inverse('geos', xb, yb, wgs, px)
+    assert abs(lo2[0] - 150.0) < 1e-9 and abs(la2[0] - 20.0) < 1e-9
+
+
+def test_ortho_epsg_guidance_worked_example():
+    """EPSG Guidance 7-2 method 9840 example: topocentric origin
+    55°N 5°E on WGS84; lat 53°48'33.82"N lon 2°07'46.38"E ->
+    E -189011.711 N -128640.567."""
+    wgs = ELLIPSOIDS['WGS84']
+    p = {'proj': 'ortho', 'lat_0': 55.0, 'lon_0': 5.0,
+         'x_0': 0.0, 'y_0': 0.0}
+    lat = 53 + 48 / 60 + 33.82 / 3600
+    lon = 2 + 7 / 60 + 46.38 / 3600
+    x, y = project_forward('ortho', np.array([lon]), np.array([lat]),
+                           wgs, p)
+    assert abs(x[0] - (-189011.711)) < 0.01
+    assert abs(y[0] - (-128640.567)) < 0.01
+    lo, la = project_inverse('ortho', x, y, wgs, p)
+    assert abs(lo[0] - lon) < 1e-9
+    assert abs(la[0] - lat) < 1e-9
+
+
+def test_ortho_horizon_mask_and_roundtrip():
+    wgs = ELLIPSOIDS['WGS84']
+    p = {'proj': 'ortho', 'lat_0': 40.0, 'lon_0': -100.0,
+         'x_0': 0.0, 'y_0': 0.0}
+    lons, lats = np.meshgrid(np.linspace(-140, -60, 9),
+                             np.linspace(5, 75, 9))
+    x, y = project_forward('ortho', lons, lats, wgs, p)
+    lo, la = project_inverse('ortho', x, y, wgs, p)
+    assert np.nanmax(np.abs(lo - lons)) < 1e-9
+    assert np.nanmax(np.abs(la - lats)) < 1e-9
+    # antipodal hemisphere is masked
+    xf, yf = project_forward('ortho', np.array([80.0]),
+                             np.array([-40.0]), wgs, p)
+    assert np.isnan(xf[0])
+
+
+@pytest.mark.parametrize('code', [2056, 21781])
+def test_swiss_epsg_registry(code):
+    crs = CRS.from_epsg(code)
+    assert crs.proj == 'somerc'
+    assert CRS.from_string(crs.to_proj4()) == crs
+    assert CRS.from_string(crs.to_wkt()) == crs
+    # LV95 false origin is offset (+2000000, +1000000) from LV03
+    x0 = crs.params['x_0']
+    assert x0 == (2600000 if code == 2056 else 600000)
+
+
+def test_geos_wkt_and_proj4_roundtrip():
+    for s in ['+proj=geos +h=35785831 +lon_0=0 +sweep=y +ellps=WGS84',
+              '+proj=geos +h=35786023 +lon_0=-75 +sweep=x +ellps=GRS80']:
+        crs = CRS.from_string(s)
+        assert crs.proj == 'geos'
+        assert CRS.from_string(crs.to_proj4()) == crs
+        back = CRS.from_string(crs.to_wkt())
+        assert back == crs
+        assert back.params.get('sweep') == crs.params.get('sweep', 'y')
+
+
+def test_hotine_general_azimuth_refused():
+    wkt = ('PROJCS["rso",GEOGCS["g",DATUM["WGS84",SPHEROID["WGS84",'
+           '6378137,298.257223563],TOWGS84[0,0,0,0,0,0,0]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+           'PARAMETER["azimuth",53.31580995],'
+           'PARAMETER["latitude_of_center",4],'
+           'PARAMETER["longitude_of_center",115],UNIT["metre",1]]')
+    with pytest.raises(NotImplementedError):
+        CRS.from_string(wkt)
+
+
+def test_reproject_onto_lv95_and_geos():
+    from nd_tpu.testing import generate_test_dataset
+    from nd_tpu.warp import Reprojection
+
+    ds = generate_test_dataset(dims={'y': 40, 'x': 50, 'time': 1},
+                               extent=(6.0, 46.0, 10.0, 47.5))
+    out = Reprojection(crs='epsg:2056').apply(ds)
+    xs = np.asarray(out._coords['x'].values)
+    assert np.isfinite(np.asarray(out['C11'].values)).mean() > 0.8
+    assert 2450000 < xs.min() < xs.max() < 2850000   # LV95 band
+
+    ds2 = generate_test_dataset(dims={'y': 30, 'x': 30, 'time': 1},
+                                extent=(-20.0, -20.0, 20.0, 20.0))
+    out2 = Reprojection(
+        crs='+proj=geos +h=35785831 +lon_0=0 +sweep=y +ellps=WGS84',
+        extent=(-2.2e6, -2.2e6, 2.2e6, 2.2e6),
+        width=64, height=64).apply(ds2)
+    assert np.isfinite(np.asarray(out2['C11'].values)).mean() > 0.8
