@@ -91,7 +91,19 @@ _EPSG = {
             'y_0': 200000, 'ellps': 'bessel',
             'towgs84': (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
             'units': 'm'},
+    # World Azimuthal Equidistant (ESRI:54032)
+    54032: {'proj': 'aeqd', 'lat_0': 0, 'lon_0': 0, 'x_0': 0,
+            'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
+            'units': 'm'},
+    # ETRS89 geographic + UTM zones (the standard European grids used
+    # by Sentinel-2 tiles and national mapping)
+    4258: {'proj': 'longlat', 'ellps': 'GRS80', 'datum': 'ETRS89'},
 }
+for _zone in range(28, 39):
+    _EPSG[25800 + _zone] = {
+        'proj': 'utm', 'zone': _zone, 'lon_0': _zone * 6 - 183,
+        'k': 0.9996, 'x_0': 500000.0, 'y_0': 0.0, 'ellps': 'GRS80',
+        'datum': 'ETRS89', 'units': 'm'}
 for _zone in range(1, 61):
     _EPSG[32600 + _zone] = _utm_params(_zone, south=False)
     _EPSG[32700 + _zone] = _utm_params(_zone, south=True)
@@ -112,6 +124,7 @@ _PROJECTION_WKT_NAMES = {
     'geos': 'Geostationary_Satellite',
     'somerc': 'Hotine_Oblique_Mercator_Azimuth_Center',
     'ortho': 'Orthographic',
+    'aeqd': 'Azimuthal_Equidistant',
 }
 
 _WKT_NAME_TO_PROJ = {
@@ -155,6 +168,8 @@ _WKT_NAME_TO_PROJ = {
     'swiss_oblique_cylindrical': 'somerc',
     'swiss_oblique_mercator': 'somerc',
     'orthographic': 'ortho',
+    'azimuthal_equidistant': 'aeqd',
+    'modified_azimuthal_equidistant': 'aeqd',
 }
 
 # projections whose WKT standard_parallel_1/2 mean the conic

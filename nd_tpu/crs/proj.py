@@ -93,6 +93,8 @@ DATUM_TO_WGS84 = {
                -20.4894),
     'NAD83': (0, 0, 0, 0, 0, 0, 0),
     'ED50': (-87, -98, -121, 0, 0, 0, 0),
+    # ETRS89 is within cm of WGS84 (fixed to ITRF at epoch 1989.0)
+    'ETRS89': (0, 0, 0, 0, 0, 0, 0),
 }
 
 
@@ -819,6 +821,38 @@ def _somerc_inverse(x, y, ell, lon0, k0, xp=np, params=None):
 
 
 # ---------------------------------------------------------------------------
+# Azimuthal equidistant (aeqd) — true geodesic distance and azimuth
+# from the projection center (x = s·sin α₁, y = s·cos α₁), computed
+# with the vectorized Vincenty geodesics in crs.geodesic. Matches
+# PROJ's geodesic-based aeqd to its convergence accuracy.
+# ---------------------------------------------------------------------------
+
+def _aeqd_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    from .geodesic import geodesic_inverse
+    lat0 = math.radians(params.get('lat_0', 0.0))
+    s, az1, _ = geodesic_inverse(lon0, lat0, lon, lat, ell, xp=xp)
+    # the center itself: zero distance, azimuth irrelevant
+    at_center = s < 1e-9
+    s = xp.where(at_center, 0.0, s)
+    az1 = xp.where(at_center, 0.0, az1)
+    return s * xp.sin(az1), s * xp.cos(az1)
+
+
+def _aeqd_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    from .geodesic import geodesic_direct
+    lat0 = math.radians(params.get('lat_0', 0.0))
+    s = xp.hypot(x, y)
+    az1 = xp.arctan2(x, y)
+    lon, lat, _ = geodesic_direct(
+        xp.zeros_like(s) + lon0, xp.zeros_like(s) + lat0, az1, s,
+        ell, xp=xp)
+    at_center = s < 1e-9
+    lon = xp.where(at_center, lon0, lon)
+    lat = xp.where(at_center, lat0, lat)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
 # Orthographic (ortho) — the "view from space" azimuthal projection
 # (EPSG method 9840, ellipsoidal).
 # ---------------------------------------------------------------------------
@@ -895,6 +929,7 @@ _FORWARD = {
     'geos': _geos_forward,
     'somerc': _somerc_forward,
     'ortho': _ortho_forward,
+    'aeqd': _aeqd_forward,
 }
 
 _INVERSE = {
@@ -913,12 +948,13 @@ _INVERSE = {
     'geos': _geos_inverse,
     'somerc': _somerc_inverse,
     'ortho': _ortho_inverse,
+    'aeqd': _aeqd_inverse,
 }
 
 # projections whose math needs the full parameter dict (standard
 # parallels, center latitude, satellite height) beyond (lon0, k0)
 _PARAMETRIC = frozenset({'lcc', 'aea', 'laea', 'cea', 'geos',
-                         'somerc', 'ortho'})
+                         'somerc', 'ortho', 'aeqd'})
 
 
 def _scale_factor(proj, params, ell):

@@ -432,13 +432,13 @@ def scale_bar(ax, location=(0.1, 0.05), length=None,
     lon0, lat0 = pc.transform_point(sbx, sby, ax.projection)
     lon1, lat1 = pc.transform_point(sbx + (x1 - x0) * 0.2, sby,
                                     ax.projection)
-    # haversine ground distance of 20% of the view width
-    R = 6371.0088
-    dlat = np.radians(lat1 - lat0)
-    dlon = np.radians(lon1 - lon0)
-    a = (np.sin(dlat / 2) ** 2 + np.cos(np.radians(lat0))
-         * np.cos(np.radians(lat1)) * np.sin(dlon / 2) ** 2)
-    span_km = 2 * R * np.arcsin(np.sqrt(a))
+    # true ellipsoidal ground distance of 20% of the view width
+    from .crs.geodesic import geodesic_inverse
+    from .crs.proj import ELLIPSOIDS
+    s, _, _ = geodesic_inverse(np.radians(lon0), np.radians(lat0),
+                               np.radians(lon1), np.radians(lat1),
+                               ELLIPSOIDS['WGS84'])
+    span_km = float(s) / 1000.0
     if length_km is None:
         # round to a nice number
         mag = 10 ** np.floor(np.log10(max(span_km, 1e-6)))

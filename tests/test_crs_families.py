@@ -97,6 +97,8 @@ _FAMILY_PARAMS = [
      (-55.0, 55.0, -55.0, 55.0)),
     ('ortho', {'lat_0': 40.0, 'lon_0': -100.0}, WGS84,
      (-140.0, -60.0, 5.0, 75.0)),
+    ('aeqd', {'lat_0': 48.0, 'lon_0': 12.0}, WGS84,
+     (-60.0, 84.0, -40.0, 80.0)),
 ]
 # somerc runs on its native Bessel ellipsoid
 _FAMILY_PARAMS = [
