@@ -183,7 +183,8 @@ def open_netcdf(path, as_complex=False, rename_latlon=True, *args,
 # FORMAT: RASTER (TIFF)
 # ---------------------
 
-def open_rasterio(path, chunks=None, *args, **kwargs):
+def open_rasterio(path, chunks=None, overview_level=None, *args,
+                  **kwargs):
     """Read a GeoTIFF into a (band, y, x) DataArray.
 
     Mirrors ``xarray.open_rasterio`` used by the reference
@@ -195,17 +196,31 @@ def open_rasterio(path, chunks=None, *args, **kwargs):
     nothing is decoded at open time, and slicing materializes only the
     strips/tiles the window touches — the reference's dask-backed
     windowed GDAL read.
+
+    ``overview_level`` selects a reduced-resolution overview IFD
+    (0 = first/largest, like rasterio): the raster decodes at that
+    decimation and the transform/coords scale to match.
     """
     from .geotiff import TiffFile
     t = TiffFile(str(path))
     nbands, height, width = t.nbands, t.height, t.width
-    if chunks is not None:
+    if overview_level is not None:
+        data = t.read_overview(int(overview_level))
+        ov_h, ov_w = data.shape[1], data.shape[2]
+    elif chunks is not None:
         from .lazy import LazyGeoTIFFArray
         data = LazyGeoTIFFArray.from_file(
             str(path), (nbands, height, width), t.band_dtype)
     else:
         data = t.read()
     transform = t.transform
+    if overview_level is not None:
+        if transform is not None:
+            # decimated pixels cover width/ov_w source pixels each
+            from ..crs import Affine
+            transform = transform * Affine.scale(width / ov_w,
+                                                 height / ov_h)
+        height, width = ov_h, ov_w
     attrs = {}
     coords = {'band': np.arange(1, nbands + 1)}
     if transform is not None:

@@ -289,3 +289,23 @@ def test_overview_nan_average():
             ov = t.read_overview(0)
     assert ov[0, 0, 0] == 4.0       # sole finite sample survives
     assert np.isnan(ov[0, 1, 1])
+
+
+def test_open_rasterio_overview_level():
+    from nd_tpu.crs import Affine
+    from nd_tpu.io import open_rasterio
+    rng = np.random.RandomState(5)
+    data = (rng.rand(1, 200, 160) * 10).astype(np.float32)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'ov.tif')
+        write_geotiff(path, data, tiled=True, tile_size=64,
+                      overviews=[2, 4],
+                      transform=Affine(0.01, 0, 10.0, 0, -0.01, 50.0),
+                      crs='epsg:4326')
+        full = open_rasterio(path)
+        ov = open_rasterio(path, overview_level=0)
+    assert dict(ov.sizes) == {'band': 1, 'y': 100, 'x': 80}
+    assert ov.attrs['res'] == (0.02, 0.02)
+    # pixel centers shift by half a source pixel at 2x decimation
+    assert abs(float(ov._coords['x'].values[0]) - 10.01) < 1e-9
+    assert abs(float(full._coords['x'].values[0]) - 10.005) < 1e-9
