@@ -537,6 +537,22 @@ def main():
     return result
 
 
+def _hard_exit(code):
+    """Exit with a DETERMINISTIC status: results are already printed
+    and flushed; a background placement probe blocked on a loaded
+    remote service must not turn a finished run into a hang or a
+    teardown abort (BENCH_r01 was voided by exactly one stray rc)."""
+    import sys
+    sys.stdout.flush()
+    sys.stderr.flush()
+    try:
+        from nd_tpu.ops.conv import _placement
+        _placement._join_probe(timeout=15.0)
+    except Exception:
+        pass
+    os._exit(code)
+
+
 if __name__ == '__main__':
     try:
         main()
@@ -546,4 +562,5 @@ if __name__ == '__main__':
                       'change-map parity <=1e-5',
             'value': None, 'unit': 'Mpix/s', 'vs_baseline': None,
             'detail': {'fatal': str(exc).splitlines()[0][:500]}}))
-        raise SystemExit(1)
+        _hard_exit(1)
+    _hard_exit(0)

@@ -261,7 +261,11 @@ class ConvolutionFilter(Filter):
     def _filter(self, arr, axes, output=None):
         mode = self.kwargs.get('mode', 'reflect')
         cval = self.kwargs.get('cval', 0.0)
-        result = _xla_convolve(arr, jnp.asarray(self.kernel), axes=axes,
+        # the kernel stays host-side: converting it to a device array
+        # here would cost a tunnel round trip per tile on the host
+        # placement path (convolve uploads it only when dispatching
+        # to the device)
+        result = _xla_convolve(arr, self.kernel, axes=axes,
                                mode=mode, cval=cval)
         return self._finalize(result, output)
 

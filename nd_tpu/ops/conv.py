@@ -176,6 +176,7 @@ class _HostDevicePlacement:
         self.n = 0
         self._warmed = set()   # executable keys whose compile-bearing
         #                        first device sample was discarded
+        self._probing = False  # a background device probe is in flight
 
     def _winner(self):
         d, h = self.rates['device'], self.rates['host']
@@ -184,20 +185,82 @@ class _HostDevicePlacement:
         return 'device' if d >= h else 'host'
 
     def choose(self, nbytes):
+        """Route a host-resident call.
+
+        The serving path is NEVER routed to an unmeasured device: on a
+        loaded remote-tunnel backend a single device dispatch can
+        block for minutes, which would stall the whole tile pipeline
+        (it did — the round-2 out-of-core regression). The device is
+        measured by a BACKGROUND probe (`maybe_probe_device`) on a
+        copy of one tile; traffic switches only once the measurement
+        lands and wins. A device that currently wins is re-probed
+        against the host every `_REPROBE` calls by routing one real
+        call to the host (the host path is bounded — safe to sample
+        inline).
+        """
         import os
         mode = os.environ.get('ND_TPU_HOST_FILTER', 'auto')
         if mode in ('never', 'always'):
             return 'host' if mode == 'always' else 'device'
         if nbytes < self._MIN_BYTES:
-            return self._winner() or 'device'
+            return self._winner() or 'host'
         self.n += 1
-        if self.rates['device'] is None:
-            return 'device'
-        if self.rates['host'] is None:
+        w = self._winner()
+        if w is None:
             return 'host'
-        if self.n % self._REPROBE == 0:
-            return 'host' if self._winner() == 'device' else 'device'
-        return self._winner()
+        if w == 'device' and self.n % self._REPROBE == 0:
+            return 'host'
+        return w
+
+    def maybe_probe_device(self, thunk, nbytes, key=None):
+        """Measure the device path in the background (at most one in
+        flight). ``thunk`` must be self-contained (own data copy) and
+        record its own 'device' sample — its first pass is discarded
+        by the `_warmed` per-executable logic (compile-bearing)."""
+        import os
+        if os.environ.get('ND_TPU_HOST_FILTER', 'auto') != 'auto':
+            return   # pinned placement must never touch the device
+        if self._probing:
+            return
+        if self.rates['device'] is not None \
+                and self.n % self._REPROBE != 1:
+            return
+        import threading
+        self._probing = True
+
+        def run():
+            try:
+                # two passes: the first bears the (possibly cached)
+                # compile and is discarded via the _warmed key logic
+                for _ in range(2):
+                    thunk()
+            except Exception:
+                pass   # a failing device probe must never hurt serving
+            finally:
+                self._probing = False
+
+        t = threading.Thread(target=run, daemon=True,
+                             name='nd-tpu-placement-probe')
+        self._thread = t
+        if not getattr(self, '_atexit_registered', False):
+            # a probe mid-dispatch while the interpreter tears down
+            # aborts inside the PJRT runtime ("exception not
+            # rethrown") — drain it before exit
+            import atexit
+            atexit.register(self._join_probe)
+            self._atexit_registered = True
+        t.start()
+
+    def _join_probe(self, timeout=20.0):
+        """Drain an in-flight probe (bounded): a probe blocked on an
+        unresponsive remote service should delay exit by at most
+        ``timeout`` — after that the daemon thread is abandoned (a
+        teardown abort is then possible but the work is already
+        done; scripts that need a guaranteed exit code should exit
+        via ``os._exit`` after flushing, as bench.py does)."""
+        t = getattr(self, '_thread', None)
+        if t is not None and t.is_alive():
+            t.join(timeout=timeout)
 
     def record(self, path, nbytes, seconds, key=None):
         if nbytes < self._MIN_BYTES or seconds <= 0:
@@ -220,13 +283,45 @@ _placement = _HostDevicePlacement()
 def _scipy_convolve(arr, kernel, axes, mode, cval):
     """Host path: scipy.ndimage.convolve with the kernel expanded to
     the array rank (size-1 on unfiltered axes) — the exact oracle the
-    XLA conv is parity-tested against."""
+    XLA conv is parity-tested against.
+
+    Kernel dim i filters ``axes[i]``; when ``axes`` is not ascending
+    (a transposed dataset layout) the kernel must be transposed to
+    match before the reshape — a plain reshape would scatter its
+    elements across the wrong axes."""
     from scipy import ndimage
+    k = np.asarray(kernel, dtype=arr.dtype)
+    order = np.argsort(np.asarray(axes))
+    k = np.transpose(k, order)
     shape = [1] * arr.ndim
-    for ax, ks in zip(axes, np.shape(kernel)):
+    for ax, ks in zip(sorted(axes), k.shape):
         shape[ax] = ks
-    weights = np.asarray(kernel, dtype=arr.dtype).reshape(shape)
+    weights = k.reshape(shape)
     return ndimage.convolve(arr, weights, mode=mode, cval=cval)
+
+
+def _hosted_device_conv(a_np, kernel, axes, mode, cval, pad_width,
+                        trail, crop):
+    """Host in -> host out device convolution: the pad AND the crop
+    run in numpy, so the device executes exactly one canonical-shape
+    executable regardless of the tile's ragged shape — and the tiling
+    flow needs the result on host anyway (NetCDF write). Shared by
+    the device route and the background placement probe."""
+    import time as _time
+    t0 = _time.perf_counter()
+    np_mode = _SCIPY_TO_NP_PAD[mode]
+    kwargs = {'constant_values': cval} if np_mode == 'constant' \
+        else {}
+    padded = np.pad(a_np, pad_width, mode=np_mode, **kwargs)
+    if any(t for _, t in trail):
+        padded = np.pad(padded, trail)
+    out = np.asarray(_conv_core(jnp.asarray(padded), kernel, axes))
+    out = out[crop] if any(t for _, t in trail) else out
+    _placement.record('device', a_np.nbytes,
+                      _time.perf_counter() - t0,
+                      key=('conv', padded.shape,
+                           tuple(kernel.shape), axes))
+    return out
 
 
 def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
@@ -252,7 +347,13 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     # over the tunneled backend — the round-1 out-of-core cliff).
     host_input = not isinstance(arr, jax.Array)
     arr = arr if host_input else jnp.asarray(arr)
-    kernel = jnp.asarray(kernel)
+    # the kernel is NOT converted to a device array here: the host
+    # placement path must never touch the device (a jnp.asarray +
+    # np.asarray pair costs a tunnel round trip per tile, and blocks
+    # arbitrarily long when the remote service is loaded). Device
+    # paths convert at their dispatch site.
+    if not isinstance(kernel, jax.Array):
+        kernel = np.asarray(kernel)
     if axes is None:
         axes = tuple(range(arr.ndim))
     axes = tuple(int(a) % arr.ndim for a in axes)
@@ -268,15 +369,63 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
         a_np = np.asarray(arr)
         if _placement.choose(a_np.nbytes) == 'host':
             import time as _time
+            from scipy import ndimage
             t0 = _time.perf_counter()
-            out = _scipy_convolve(a_np, np.asarray(kernel), axes,
-                                  mode, cval)
+            k_np = np.asarray(kernel)
+            factors = _separable_factors(k_np)
+            if factors is not None \
+                    and all(len(f) % 2 == 1 for f in factors) \
+                    and (mode != 'constant' or cval == 0.0):
+                # rank-1 kernels run as 1-d passes (boxcar, Gaussian
+                # outer products): w+w taps instead of w*w. Gated to
+                # odd sizes so the origin convention is unambiguous,
+                # and to cval==0 for 'constant' — sequential 1-d
+                # passes re-pad each stage, which differs from the
+                # single N-d constant pad when cval != 0.
+                out = a_np
+                for ax, fac in zip(axes, factors):
+                    if len(fac) == 1:
+                        out = out * np.asarray(fac[0], out.dtype)
+                    else:
+                        out = ndimage.convolve1d(
+                            out, fac.astype(np.float64), axis=ax,
+                            mode=mode, cval=cval).astype(
+                                out.dtype, copy=False)
+            else:
+                out = _scipy_convolve(a_np, k_np, axes, mode, cval)
             _placement.record('host', a_np.nbytes,
                               _time.perf_counter() - t0)
+
+            def _probe():
+                kf = np.flip(k_np, axis=tuple(range(k_np.ndim)))
+                pw = [(0, 0)] * a_np.ndim
+                for ax, ks in zip(axes, kf.shape):
+                    pw[ax] = ((ks - 1) // 2, ks // 2)
+                tr = [(0, (-a_np.shape[ax]) % _SHAPE_BUCKET)
+                      if ax in axes else (0, 0)
+                      for ax in range(a_np.ndim)]
+                cr = tuple(slice(0, a_np.shape[ax])
+                           for ax in range(a_np.ndim))
+                _hosted_device_conv(a_np, kf, axes, mode, cval,
+                                    pw, tr, cr)
+
+            _placement.maybe_probe_device(
+                _probe, a_np.nbytes,
+                key=('conv-probe', a_np.shape, tuple(k_np.shape),
+                     axes))
             return out
 
-    # scipy convolve flips the kernel (true convolution)
-    kernel = jnp.flip(kernel, axis=tuple(range(kernel.ndim)))
+    # scipy convolve flips the kernel (true convolution). For concrete
+    # host kernels the flip stays in numpy: _conv_core reads the
+    # kernel values on the host (separability probe), and XLA converts
+    # constants at dispatch — a device kernel here would cost one
+    # tunnel round trip per call. Traced kernels (inside jit, e.g. the
+    # pipeline's multilook) must stay in jnp.
+    if isinstance(kernel, jax.Array):
+        kernel = jnp.flip(kernel, axis=tuple(range(kernel.ndim)))
+    else:
+        kernel = np.flip(np.asarray(kernel),
+                         axis=tuple(range(np.ndim(kernel))))
 
     # Pad so output size == input size with scipy's origin convention
     # (origin at size//2 before the flip).
@@ -298,27 +447,8 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     crop = tuple(slice(0, arr.shape[ax]) for ax in range(arr.ndim))
 
     if host_input:
-        # host in -> host out: the pad AND the crop run in numpy, so
-        # the device executes exactly one canonical-shape executable
-        # regardless of the tile's ragged shape — and the tiling flow
-        # needs the result on host anyway (NetCDF write)
-        import time as _time
-        t0 = _time.perf_counter()
-        np_mode = _SCIPY_TO_NP_PAD[mode]
-        kwargs = {'constant_values': cval} if np_mode == 'constant' \
-            else {}
-        a_np = np.asarray(arr)
-        padded = np.pad(a_np, pad_width, mode=np_mode, **kwargs)
-        if any(t for _, t in trail):
-            padded = np.pad(padded, trail)
-        out = np.asarray(_conv_core(jnp.asarray(padded), kernel,
-                                    axes))
-        out = out[crop] if any(t for _, t in trail) else out
-        _placement.record('device', a_np.nbytes,
-                          _time.perf_counter() - t0,
-                          key=('conv', padded.shape,
-                               tuple(kernel.shape), axes))
-        return out
+        return _hosted_device_conv(np.asarray(arr), kernel, axes,
+                                   mode, cval, pad_width, trail, crop)
 
     padded = pad_reflect(arr, pad_width, mode, cval)
     if any(t for _, t in trail):
@@ -347,11 +477,14 @@ def separable_convolve(arr, kernels, axes, mode='reflect', cval=0.0):
     padding in numpy, then the per-axis VALID convolutions run at
     canonical shapes shared by every ragged tile (see ``convolve``).
     """
-    active = [(int(ax), jnp.asarray(k)) for ax, k in zip(axes, kernels)
+    # kernels stay host-side (see convolve: the host placement path
+    # must never touch the device); device paths upload at dispatch
+    active = [(int(ax), np.asarray(k)) for ax, k in zip(axes, kernels)
               if np.shape(k)[0] > 1]
-    if not active:
-        return jnp.asarray(arr)
     host_input = not isinstance(arr, jax.Array)
+    if not active:
+        # identity: host input stays host (no gratuitous upload)
+        return np.asarray(arr) if host_input else jnp.asarray(arr)
     if not host_input or np.iscomplexobj(arr):
         out = jnp.asarray(arr)
         for ax, k in active:
@@ -369,8 +502,18 @@ def separable_convolve(arr, kernels, axes, mode='reflect', cval=0.0):
                                      mode=mode, cval=cval)
         _placement.record('host', a.nbytes,
                           _time.perf_counter() - t0)
+        _placement.maybe_probe_device(
+            lambda: _hosted_device_sep(a, active, mode, cval),
+            a.nbytes)
         return out
 
+    return _hosted_device_sep(a, active, mode, cval)
+
+
+def _hosted_device_sep(a, active, mode, cval):
+    """Host in -> host out separable device convolution (see
+    ``_hosted_device_conv``); shared by the device route and the
+    background placement probe."""
     pad_width = [(0, 0)] * a.ndim
     for ax, k in active:
         n = int(k.shape[0])
@@ -390,7 +533,7 @@ def separable_convolve(arr, kernels, axes, mode='reflect', cval=0.0):
     for ax, k in active:
         # scipy convolve semantics: flipped kernel (symmetric Gaussian
         # kernels are unaffected, arbitrary kernels match convolve())
-        out = _conv_core(out, jnp.flip(k, 0), (ax,))
+        out = _conv_core(out, np.flip(np.asarray(k), 0), (ax,))
     # host in -> host out (see convolve): the crop stays in numpy
     out = np.asarray(out)[
         tuple(slice(0, a.shape[ax]) for ax in range(a.ndim))]

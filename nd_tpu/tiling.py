@@ -196,17 +196,31 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
     def _wrapper(f):
         return _store(fn(_open(f), *args, **kwargs), _out_file(f))
 
-    def _run_all(fs):
+    def _run_all(fs, collect=None):
+        """Process all tiles; with ``collect`` a list, also append each
+        in-memory result so the merge path can consume them directly
+        instead of re-reading the just-written files (saves one full
+        write-barrier + read of the whole output)."""
         if len(fs) <= 1 or (max_workers is not None
                             and max_workers <= 1):
-            return [_wrapper(f) for f in fs]
+            if collect is None:
+                return [_wrapper(f) for f in fs]
+            out = []
+            for f in fs:
+                result = fn(_open(f), *args, **kwargs)
+                collect.append(result)
+                out.append(_store(result, _out_file(f)))
+            return out
         # Run the FIRST tile alone: tiles share compiled programs, and
         # launching them all at once makes every thread compile the
         # same executable concurrently (none sees the others' cache
         # entry until one finishes) — with remote-compile backends that
         # multiplies a ~minute compile by the pool width. One warm tile
         # populates the jit caches; the rest then pipeline.
-        head = [_wrapper(fs[0])]
+        first_result = fn(_open(fs[0]), *args, **kwargs)
+        if collect is not None:
+            collect.append(first_result)
+        head = [_store(first_result, _out_file(fs[0]))]
         rest = fs[1:]
         # None = "pick for me" (ThreadPoolExecutor's old contract)
         workers = max(2, max_workers if max_workers is not None else 4)
@@ -220,6 +234,8 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
             while pending:
                 f, fut = pending.pop(0)
                 result = fn(fut.result(), *args, **kwargs)
+                if collect is not None:
+                    collect.append(result)
                 stores.append(writers.submit(_store, result,
                                              _out_file(f)))
                 nxt = next(it, None)
@@ -228,8 +244,17 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
             tail = [s.result() for s in stores]
         return head + tail
 
+    def _run_and_merge(fs):
+        # merge straight from the in-memory results; the per-tile
+        # writes still happen (write-behind) so the on-disk outputs
+        # keep their resume/auditing role, but the merge no longer
+        # waits for a full write+re-read of the output set
+        results = []
+        _run_all(fs, collect=results)
+        return auto_merge(results)
+
     if merge:
-        result = Delayed(lambda fs: auto_merge(_run_all(fs)), files)
+        result = Delayed(_run_and_merge, files)
     else:
         result = Delayed(_run_all, files)
 
@@ -499,6 +524,13 @@ def auto_merge(datasets, buffer=True, chunks={}, meta_variables=[],
                 datasets = list(pool.map(_open, datasets))
         else:
             datasets = [_open(path) for path in datasets]
+    else:
+        # in-memory inputs get the same time-axis treatment as
+        # re-opened tiles (map_over_tiles merges without a re-read)
+        datasets = [add_time(d)
+                    if 'time' not in d._coords
+                    and 'start_date' in d.attrs else d
+                    for d in datasets]
 
     for meta in meta_variables:
         for d in datasets:

@@ -117,3 +117,53 @@ def test_hybrid_failures_feed_the_circuit_breaker(monkeypatch):
         assert pallas_disabled()
     finally:
         reset_pallas_strikes()
+
+
+def test_placement_never_routes_serving_to_unmeasured_device():
+    """The serving path must not block on an unmeasured device: on a
+    loaded remote tunnel one dispatch can stall for minutes (the
+    round-2 out-of-core regression). Devices are measured by a
+    background probe instead."""
+    import time
+
+    from nd_tpu.ops.conv import _HostDevicePlacement
+
+    p = _HostDevicePlacement()
+    mb = 4 << 20
+    # nothing measured: big calls go host, never device
+    for _ in range(5):
+        assert p.choose(mb) == 'host'
+    p.record('host', mb, 0.1)
+    assert p.choose(mb) == 'host'
+    # a measured, faster device wins
+    p.record('device', mb, 10.0, key='k')     # compile-bearing, dropped
+    p.record('device', mb, 0.01, key='k')
+    assert p.choose(mb) == 'device'
+    # background probe runs the thunk off-thread and completes
+    ran = []
+    p2 = _HostDevicePlacement()
+    p2.record('host', mb, 0.1)
+    p2.n = 1
+    p2.maybe_probe_device(lambda: ran.append(1), mb)
+    for _ in range(100):
+        if not p2._probing:
+            break
+        time.sleep(0.01)
+    assert ran == [1, 1]          # two passes (first bears compile)
+
+
+def test_scipy_convolve_transposed_axes_parity():
+    """Kernel dims must land on their axes even when `axes` is not
+    ascending (transposed layouts) — a plain reshape scattered them."""
+    import scipy.ndimage as ndi
+
+    from nd_tpu.ops.conv import _scipy_convolve
+
+    rng = np.random.RandomState(0)
+    arr = rng.rand(5, 7, 6).astype(np.float64)
+    k = rng.rand(3, 5)
+    out = _scipy_convolve(arr, k, axes=(2, 1), mode='reflect', cval=0)
+    # oracle: kernel dim 0 on axis 2, dim 1 on axis 1
+    w = np.transpose(k, (1, 0)).reshape(1, 5, 3)
+    expect = ndi.convolve(arr, w, mode='reflect')
+    np.testing.assert_allclose(out, expect, rtol=1e-12)
