@@ -57,3 +57,24 @@ def test_continental_mosaic():
     # averaged mosaic stays in the synthetic data's range
     assert np.isfinite(vals).mean() > 0.4
     assert np.nanstd(vals) < 3.0
+
+
+def test_geostationary_disk():
+    from geostationary_disk import main
+    disk, europe, laea = main()
+    bt = np.asarray(disk['BT'].values)
+    # the Earth disk fills pi/4 of the square bounding grid (+ margin)
+    frac = np.isfinite(bt).mean()
+    assert 0.70 < frac < 0.85
+    # the European cut-out lies fully on the disk
+    e = np.asarray(europe['BT'].values)
+    assert np.isfinite(e).all()
+    # equator warm, poleward cold (the synthetic field's gradient
+    # survives the geos inverse + reprojection)
+    ey = np.asarray(europe._coords['y'].values)
+    south = e[np.argmax(ey < 40.0)]
+    north = e[np.argmax(ey < 60.0)]
+    assert np.nanmean(south) > np.nanmean(north)
+    from nd_tpu.crs import CRS
+    from nd_tpu.warp import get_crs
+    assert get_crs(laea) == CRS.from_epsg(3035)
