@@ -20,11 +20,12 @@ from .. import warp
 from ..core import Dataset
 from ..core.variable import Variable
 from ..crs import transform_coords
+from .geometry import mapping
 from .geometry import shape as geom_shape
 from .geometry import transform_geom
 from .shapefile import read_shapefile
 
-__all__ = ['read_file', 'rasterize']
+__all__ = ['read_file', 'to_file', 'rasterize']
 
 
 def _set_crs(df, crs):
@@ -225,3 +226,63 @@ def rasterize(shp, ds, columns=None, encode_labels=True, crs=None,
         layer._variables[c].attrs.update(meta)
 
     return layer
+
+
+def to_file(df, path, crs=None):
+    """Write a geometry table to GeoJSON (RFC 7946).
+
+    The inverse of :func:`read_file` for the GeoJSON flavor — a
+    writing capability the reference delegates to geopandas/fiona.
+    Geometries are emitted as GeoJSON mappings; every other column
+    becomes a feature property (numpy scalars converted, datetimes as
+    ISO strings). RFC 7946 expects WGS84 coordinates: a table carrying
+    a different CRS is reprojected to EPSG:4326 first (pass ``crs`` to
+    declare the table's CRS when ``df.attrs`` lacks one).
+
+    Parameters
+    ----------
+    df : pandas.DataFrame
+        Table with a ``geometry`` column (as from :func:`read_file`).
+    path : str
+        Output ``.geojson`` path.
+    crs : CRS-like, optional
+        CRS of the table's coordinates if not recorded in
+        ``df.attrs['crs']``.
+    """
+    src_crs = get_crs_of(df)
+    if src_crs is None and crs is not None:
+        df = _set_crs(df.copy(), warp._parse_crs(crs))
+        src_crs = get_crs_of(df)
+    if src_crs is not None:
+        df = _to_crs(df, warp._parse_crs('epsg:4326'))
+
+    def _prop(v):
+        if v is None:
+            return None
+        if isinstance(v, (np.floating, np.integer, np.bool_)):
+            v = v.item()
+        if isinstance(v, float) and np.isnan(v):
+            return None
+        if isinstance(v, (np.datetime64, )):
+            return np.datetime_as_string(v, unit='s')
+        if hasattr(v, 'isoformat'):
+            return v.isoformat()
+        if isinstance(v, (int, float, bool, str)):
+            return v
+        return str(v)
+
+    features = []
+    prop_cols = [c for c in df.columns if c != 'geometry']
+    for _, row in df.iterrows():
+        geom = row['geometry']
+        features.append({
+            'type': 'Feature',
+            'geometry': None if geom is None else mapping(geom),
+            'properties': {c: _prop(row[c]) for c in prop_cols},
+        })
+    doc = {'type': 'FeatureCollection', 'features': features}
+    tmp = str(path) + '.part'
+    with open(tmp, 'w') as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, path)
+    return path

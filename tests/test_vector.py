@@ -183,3 +183,42 @@ def test_dbf_unset_date_is_none(tmp_path):
     rows = _read_dbf(str(dbf))
     assert rows[0]['DATE'] == datetime.date(2020, 1, 15)
     assert rows[1]['DATE'] is None
+
+
+def test_to_file_geojson_roundtrip(tmp_path):
+    """to_file writes RFC 7946 GeoJSON that read_file round-trips."""
+    from nd_tpu.testing import generate_test_geodataframe
+    from nd_tpu.vector import read_file, to_file
+
+    df = generate_test_geodataframe()
+    path = str(tmp_path / 'out.geojson')
+    to_file(df, path)
+    back = read_file(path)
+    assert len(back) == len(df)
+    for a, b in zip(df['geometry'], back['geometry']):
+        if hasattr(a, 'area'):
+            assert abs(a.area - b.area) < 1e-9
+    # properties survive with JSON-safe types
+    prop_cols = [c for c in df.columns if c != 'geometry']
+    for c in prop_cols:
+        assert c in back.columns
+
+
+def test_to_file_reprojects_to_wgs84(tmp_path):
+    """A table in a projected CRS is written in lon/lat (RFC 7946)."""
+    import json
+
+    from nd_tpu.vector import to_file
+    from nd_tpu.vector.geometry import Point
+    import pandas as pd
+
+    df = pd.DataFrame({'name': ['bern']})
+    df['geometry'] = [Point(2600000.0, 1200000.0)]   # LV95 origin
+    path = str(tmp_path / 'pt.geojson')
+    to_file(df, path, crs='epsg:2056')
+    gj = json.load(open(path))
+    lon, lat = gj['features'][0]['geometry']['coordinates']
+    # the CH1903+ -> WGS84 datum shift moves Bern by ~70 m: the
+    # true WGS84 position of the LV95 false origin
+    assert abs(lon - 7.438632) < 1e-4
+    assert abs(lat - 46.951083) < 1e-3
