@@ -21,6 +21,7 @@ Extra per-config throughputs are reported in "detail".
 """
 
 import json
+import os
 import time
 
 import numpy as np

@@ -880,9 +880,11 @@ def _ortho_inverse(x, y, ell, lon0, k0, xp=np, params=None):
     sp0, cp0 = math.sin(lat0), math.cos(lat0)
     xs = x / ell.a
     ys = y / ell.a
-    # spherical closed-form first guess
+    # spherical closed-form first guess (rho clipped: the ELLIPSOIDAL
+    # forward legitimately produces rho slightly beyond the spherical
+    # unit disk near the limb — up to ~1.002 — so the disk test must
+    # not be the validity oracle; convergence is, below)
     rho = xp.hypot(xs, ys)
-    ok = rho <= 1.0
     rho_c = xp.clip(rho, 1e-12, 1.0)
     cc = xp.arcsin(rho_c)
     cosc, sinc = xp.cos(cc), xp.sin(cc)
@@ -890,10 +892,15 @@ def _ortho_inverse(x, y, ell, lon0, k0, xp=np, params=None):
     lon = lon0 + xp.arctan2(
         xs * sinc, rho_c * cosc * cp0 - ys * sinc * sp0)
     # Newton-refine against the ellipsoidal forward (numeric Jacobian,
-    # fixed count so the loop stays trace-friendly)
-    for _ in range(6):
+    # fixed count so the loop stays trace-friendly). Near the limb the
+    # Jacobian is nearly singular; a damped step keeps the iterate on
+    # the visible hemisphere instead of overshooting past it.
+    rx = ry = None
+    for i in range(12):
         fx, fy = _ortho_forward(lon, lat, ell, lon0, k0, xp=xp,
                                 params=params)
+        fx = xp.where(xp.isnan(fx), 2.0 * ell.a, fx)
+        fy = xp.where(xp.isnan(fy), 2.0 * ell.a, fy)
         rx = fx / ell.a - xs
         ry = fy / ell.a - ys
         eps = 1e-7
@@ -907,8 +914,18 @@ def _ortho_inverse(x, y, ell, lon0, k0, xp=np, params=None):
         j22 = (fy2 - fy) / (eps * ell.a)
         det = j11 * j22 - j12 * j21
         det = xp.where(xp.abs(det) < 1e-30, 1e-30, det)
-        lon = lon - (j22 * rx - j12 * ry) / det
-        lat = lat - (-j21 * rx + j11 * ry) / det
+        damp = 0.5 if i < 4 else 1.0
+        lon = lon - damp * (j22 * rx - j12 * ry) / det
+        lat = lat - damp * (-j21 * rx + j11 * ry) / det
+        lat = xp.clip(lat, -math.pi / 2 + 1e-12,
+                      math.pi / 2 - 1e-12)
+    # validity = convergence: points whose forward image lands on the
+    # requested coordinates (within ~1 m) are on the visible
+    # hemisphere; off-disk requests never converge and go NaN
+    fx, fy = _ortho_forward(lon, lat, ell, lon0, k0, xp=xp,
+                            params=params)
+    resid = xp.hypot(fx - x, fy - y)
+    ok = xp.isfinite(resid) & (resid < 1.0)
     mask = xp.where(ok, 1.0, xp.nan)
     return lon * mask, lat * mask
 

@@ -205,6 +205,11 @@ def open_rasterio(path, chunks=None, overview_level=None, *args,
     t = TiffFile(str(path))
     nbands, height, width = t.nbands, t.height, t.width
     if overview_level is not None:
+        if chunks is not None:
+            t.close()
+            raise ValueError(
+                'pass either chunks= (lazy full-resolution view) or '
+                'overview_level= (eager decimated read), not both')
         data = t.read_overview(int(overview_level))
         ov_h, ov_w = data.shape[1], data.shape[2]
     elif chunks is not None:

@@ -555,9 +555,10 @@ _DTYPE_TO_SAMPLE = {
 }
 
 
-def _decimate(data, f):
+def _decimate(data, f, nodata=None):
     """Reduce a (bands, h, w) array by factor ``f``: block-average for
-    floats (GDAL's 'average' resampling), nearest for integer/bool
+    floats (GDAL's 'average' resampling, masking NaN and the declared
+    ``nodata`` value like ``gdaladdo``), nearest for integer/bool
     rasters (no invented values in categorical data)."""
     nb, h, w = data.shape
     if data.dtype.kind == 'f':
@@ -565,11 +566,17 @@ def _decimate(data, f):
         pad = np.full((nb, oh * f, ow * f), np.nan, np.float64)
         pad[:, :h, :w] = data
         blocks = pad.reshape(nb, oh, f, ow, f)
-        finite = np.isfinite(blocks)
-        total = np.where(finite, blocks, 0.0).sum(axis=(2, 4))
-        count = finite.sum(axis=(2, 4))
+        valid = np.isfinite(blocks)
+        if nodata is not None and np.isfinite(nodata):
+            valid &= blocks != float(nodata)
+        total = np.where(valid, blocks, 0.0).sum(axis=(2, 4))
+        count = valid.sum(axis=(2, 4))
         out = total / np.maximum(count, 1)
-        out[count == 0] = np.nan       # all-NaN block stays nodata
+        # an all-masked block stays nodata (the declared value when
+        # one exists, NaN otherwise) — never an invented average
+        fill = float(nodata) if nodata is not None \
+            and np.isfinite(nodata) else np.nan
+        out[count == 0] = fill
         return out.astype(data.dtype)
     return data[:, ::f, ::f]
 
@@ -807,7 +814,7 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
 
     writers = [main]
     for f in factors:
-        ov = _decimate(data, f)
+        ov = _decimate(data, f, nodata=nodata)
         # overviews of a strip raster stay stripped; tiled stays tiled
         writers.append(_build_level_ifd(ov, compress, tiled, ts,
                                         reduced=True))

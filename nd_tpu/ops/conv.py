@@ -212,7 +212,7 @@ class _HostDevicePlacement:
             return 'host'
         return w
 
-    def maybe_probe_device(self, thunk, nbytes, key=None):
+    def maybe_probe_device(self, thunk, nbytes):
         """Measure the device path in the background (at most one in
         flight). ``thunk`` must be self-contained (own data copy) and
         record its own 'device' sample — its first pass is discarded
@@ -220,6 +220,11 @@ class _HostDevicePlacement:
         import os
         if os.environ.get('ND_TPU_HOST_FILTER', 'auto') != 'auto':
             return   # pinned placement must never touch the device
+        if nbytes < self._MIN_BYTES:
+            # record() drops sub-MB samples, so a probe would neither
+            # measure anything nor ever satisfy the rates gate — it
+            # would respawn (and remote-compile) on every small call
+            return
         if self._probing:
             return
         if self.rates['device'] is not None \
@@ -365,56 +370,6 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
         im = convolve(arr.imag, kernel, axes, mode, cval)
         return re + 1j * im
 
-    if host_input:
-        a_np = np.asarray(arr)
-        if _placement.choose(a_np.nbytes) == 'host':
-            import time as _time
-            from scipy import ndimage
-            t0 = _time.perf_counter()
-            k_np = np.asarray(kernel)
-            factors = _separable_factors(k_np)
-            if factors is not None \
-                    and all(len(f) % 2 == 1 for f in factors) \
-                    and (mode != 'constant' or cval == 0.0):
-                # rank-1 kernels run as 1-d passes (boxcar, Gaussian
-                # outer products): w+w taps instead of w*w. Gated to
-                # odd sizes so the origin convention is unambiguous,
-                # and to cval==0 for 'constant' — sequential 1-d
-                # passes re-pad each stage, which differs from the
-                # single N-d constant pad when cval != 0.
-                out = a_np
-                for ax, fac in zip(axes, factors):
-                    if len(fac) == 1:
-                        out = out * np.asarray(fac[0], out.dtype)
-                    else:
-                        out = ndimage.convolve1d(
-                            out, fac.astype(np.float64), axis=ax,
-                            mode=mode, cval=cval).astype(
-                                out.dtype, copy=False)
-            else:
-                out = _scipy_convolve(a_np, k_np, axes, mode, cval)
-            _placement.record('host', a_np.nbytes,
-                              _time.perf_counter() - t0)
-
-            def _probe():
-                kf = np.flip(k_np, axis=tuple(range(k_np.ndim)))
-                pw = [(0, 0)] * a_np.ndim
-                for ax, ks in zip(axes, kf.shape):
-                    pw[ax] = ((ks - 1) // 2, ks // 2)
-                tr = [(0, (-a_np.shape[ax]) % _SHAPE_BUCKET)
-                      if ax in axes else (0, 0)
-                      for ax in range(a_np.ndim)]
-                cr = tuple(slice(0, a_np.shape[ax])
-                           for ax in range(a_np.ndim))
-                _hosted_device_conv(a_np, kf, axes, mode, cval,
-                                    pw, tr, cr)
-
-            _placement.maybe_probe_device(
-                _probe, a_np.nbytes,
-                key=('conv-probe', a_np.shape, tuple(k_np.shape),
-                     axes))
-            return out
-
     # scipy convolve flips the kernel (true convolution). For concrete
     # host kernels the flip stays in numpy: _conv_core reads the
     # kernel values on the host (separability probe), and XLA converts
@@ -422,15 +377,15 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     # tunnel round trip per call. Traced kernels (inside jit, e.g. the
     # pipeline's multilook) must stay in jnp.
     if isinstance(kernel, jax.Array):
-        kernel = jnp.flip(kernel, axis=tuple(range(kernel.ndim)))
+        kflip = jnp.flip(kernel, axis=tuple(range(kernel.ndim)))
     else:
-        kernel = np.flip(np.asarray(kernel),
-                         axis=tuple(range(np.ndim(kernel))))
+        kflip = np.flip(np.asarray(kernel),
+                        axis=tuple(range(np.ndim(kernel))))
 
     # Pad so output size == input size with scipy's origin convention
     # (origin at size//2 before the flip).
     pad_width = [(0, 0)] * arr.ndim
-    for ax, ks in zip(axes, kernel.shape):
+    for ax, ks in zip(axes, kflip.shape):
         pad_width[ax] = ((ks - 1) // 2, ks // 2)
 
     # Shape bucketing: round the filtered axes up to a multiple of
@@ -447,8 +402,50 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
     crop = tuple(slice(0, arr.shape[ax]) for ax in range(arr.ndim))
 
     if host_input:
-        return _hosted_device_conv(np.asarray(arr), kernel, axes,
-                                   mode, cval, pad_width, trail, crop)
+        a_np = np.asarray(arr)
+        if _placement.choose(a_np.nbytes) != 'host':
+            return _hosted_device_conv(a_np, kflip, axes, mode, cval,
+                                       pad_width, trail, crop)
+        import time as _time
+        from scipy import ndimage
+        t0 = _time.perf_counter()
+        k_np = np.asarray(kernel)
+        factors = _separable_factors(k_np)
+        if factors is not None \
+                and all(len(f) % 2 == 1 for f in factors) \
+                and (mode != 'constant' or cval == 0.0) \
+                and a_np.dtype.kind == 'f':
+            # rank-1 kernels run as 1-d passes (boxcar, Gaussian
+            # outer products): w+w taps instead of w*w. Gated to odd
+            # sizes so the origin convention is unambiguous, to
+            # cval==0 for 'constant' (sequential 1-d passes re-pad
+            # each stage, which differs from the single N-d constant
+            # pad), and to float data — the oracle casts the kernel
+            # to the ARRAY dtype, so integer kernels truncate, which
+            # float64 factor passes would not reproduce.
+            out = a_np
+            for ax, fac in zip(axes, factors):
+                if len(fac) == 1:
+                    out = out * np.asarray(fac[0], out.dtype)
+                else:
+                    out = ndimage.convolve1d(
+                        out, fac.astype(np.float64), axis=ax,
+                        mode=mode, cval=cval).astype(
+                            out.dtype, copy=False)
+        else:
+            out = _scipy_convolve(a_np, k_np, axes, mode, cval)
+        _placement.record('host', a_np.nbytes,
+                          _time.perf_counter() - t0)
+        kf_np = kflip if isinstance(kflip, np.ndarray) \
+            else np.asarray(kflip)
+        _placement.maybe_probe_device(
+            lambda: _hosted_device_conv(a_np, kf_np, axes, mode,
+                                        cval, pad_width, trail,
+                                        crop),
+            a_np.nbytes)
+        return out
+
+    kernel = kflip
 
     padded = pad_reflect(arr, pad_width, mode, cval)
     if any(t for _, t in trail):

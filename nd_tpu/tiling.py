@@ -248,9 +248,17 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
         # merge straight from the in-memory results; the per-tile
         # writes still happen (write-behind) so the on-disk outputs
         # keep their resume/auditing role, but the merge no longer
-        # waits for a full write+re-read of the output set
+        # waits for a full write+re-read of the output set. Results
+        # are normalized exactly as the old write+re-read path did:
+        # a DataArray comes back from NetCDF as a Dataset with the
+        # array's name (or 'data'), so the merged return type must
+        # not depend on which path produced it
+        from .core import DataArray
         results = []
         _run_all(fs, collect=results)
+        results = [r.to_dataset(name=r.name or 'data')
+                   if isinstance(r, DataArray) else r
+                   for r in results]
         return auto_merge(results)
 
     if merge:

@@ -263,8 +263,13 @@ def to_file(df, path, crs=None):
             v = v.item()
         if isinstance(v, float) and np.isnan(v):
             return None
-        if isinstance(v, (np.datetime64, )):
+        if isinstance(v, np.datetime64):
+            if np.isnat(v):
+                return None            # NaT is a missing value, not
             return np.datetime_as_string(v, unit='s')
+        if v is pd.NaT or (hasattr(v, 'isoformat')
+                           and str(v) == 'NaT'):
+            return None                # the string 'NaT'
         if hasattr(v, 'isoformat'):
             return v.isoformat()
         if isinstance(v, (int, float, bool, str)):

@@ -167,3 +167,118 @@ def test_scipy_convolve_transposed_axes_parity():
     w = np.transpose(k, (1, 0)).reshape(1, 5, 3)
     expect = ndi.convolve(arr, w, mode='reflect')
     np.testing.assert_allclose(out, expect, rtol=1e-12)
+
+
+def test_host_conv_integer_dtype_matches_oracle():
+    """Integer arrays must produce the _scipy_convolve-oracle result
+    (kernel cast to the array dtype, i.e. truncated) on every route —
+    the float64 separable fast path would silently differ."""
+    import scipy.ndimage as ndi
+
+    from nd_tpu.ops.conv import convolve
+
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(40, 40) * 400).astype(np.uint16)
+    k = np.ones((3, 3)) / 9.0
+    out = convolve(arr, k, axes=(0, 1))
+    expect = ndi.convolve(arr, k.astype(np.uint16), mode='reflect')
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_probe_not_spawned_for_small_calls():
+    from nd_tpu.ops.conv import _HostDevicePlacement
+
+    p = _HostDevicePlacement()
+    p.record('host', 4 << 20, 0.1)
+    p.n = 1
+    ran = []
+    p.maybe_probe_device(lambda: ran.append(1), 32 << 10)  # 32 KB
+    assert not p._probing and ran == []
+
+
+def test_overview_respects_declared_nodata():
+    import os
+    import tempfile
+
+    from nd_tpu.io.geotiff import TiffFile, write_geotiff
+
+    data = np.full((1, 4, 4), -9999.0, np.float32)
+    data[0, 0, 0] = 100.0
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'nd.tif')
+        write_geotiff(path, data, nodata=-9999, overviews=[2])
+        with TiffFile(path) as t:
+            ov = t.read_overview(0)
+    assert ov[0, 0, 0] == 100.0      # sole valid sample survives
+    assert ov[0, 1, 1] == -9999.0    # all-nodata block stays nodata
+
+
+def test_ortho_inverse_limb_roundtrip():
+    """Points the ellipsoidal forward produces (incl. rho slightly
+    beyond the spherical unit disk) invert accurately or mask NaN —
+    never silently wrong."""
+    from nd_tpu.crs.proj import (ELLIPSOIDS, project_forward,
+                                 project_inverse)
+
+    wgs = ELLIPSOIDS['WGS84']
+    p = {'proj': 'ortho', 'lat_0': 52.0, 'lon_0': 5.0,
+         'x_0': 0.0, 'y_0': 0.0}
+    rng = np.random.RandomState(1)
+    lons = rng.uniform(-180, 180, 4000)
+    lats = rng.uniform(-90, 90, 4000)
+    X, Y = project_forward('ortho', lons, lats, wgs, p)
+    vis = np.isfinite(X)
+    lo, la = project_inverse('ortho', X[vis], Y[vis], wgs, p)
+    ok = np.isfinite(lo)
+    assert ok.mean() > 0.99          # only degenerate limb pixels drop
+    dlo = np.abs((lo[ok] - lons[vis][ok] + 180) % 360 - 180)
+    dla = np.abs(la[ok] - lats[vis][ok])
+    err_m = np.hypot(dlo * 111320 * np.cos(np.radians(
+        lats[vis][ok])), dla * 111320)
+    assert np.percentile(err_m, 99) < 0.01    # sub-cm for the bulk
+    assert err_m.max() < 500.0                # bounded at the limb
+
+
+def test_map_over_tiles_dataarray_merge_shape(tmp_path):
+    """merge=True on an fn returning a DataArray must come back as a
+    Dataset (the NetCDF round-trip shape), not a DataArray."""
+    from nd_tpu.core.dataarray import Dataset
+    from nd_tpu.testing import generate_test_dataset
+    from nd_tpu.tiling import map_over_tiles, tile
+
+    ds = generate_test_dataset(dims={'y': 16, 'x': 16, 'time': 2})
+    tile(ds, str(tmp_path), chunks={'y': 8})
+    merged = map_over_tiles(str(tmp_path / '*.nc'),
+                            lambda d: d['C11'], merge=True,
+                            compute=True)
+    assert isinstance(merged, Dataset)
+    assert 'C11' in merged.data_vars
+
+
+def test_to_file_nat_becomes_null(tmp_path):
+    import json
+
+    import pandas as pd
+
+    from nd_tpu.vector import to_file
+    from nd_tpu.vector.geometry import Point
+
+    df = pd.DataFrame({'d': [pd.NaT]})
+    df['geometry'] = [Point(1.0, 2.0)]
+    path = str(tmp_path / 'nat.geojson')
+    to_file(df, path)
+    gj = json.load(open(path))
+    assert gj['features'][0]['properties']['d'] is None
+
+
+def test_open_rasterio_rejects_chunks_plus_overview(tmp_path):
+    import pytest as _pytest
+
+    from nd_tpu.io import open_rasterio
+    from nd_tpu.io.geotiff import write_geotiff
+
+    path = str(tmp_path / 'r.tif')
+    write_geotiff(path, np.zeros((1, 32, 32), np.float32),
+                  overviews=[2])
+    with _pytest.raises(ValueError):
+        open_rasterio(path, chunks={}, overview_level=0)
