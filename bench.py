@@ -313,6 +313,35 @@ def main():
             lambda: _time_loop(run_omnibus_fast, cube_d))
         if res:
             detail['omnibus_fast_mpix_s'] = round(mpix / res[0], 2)
+            t_fast = res[0]
+
+            # spec-driven headline choice: BASELINE's bar is change-map
+            # parity <= 1e-5, not bit-exactness. If the fast f32
+            # kernel's FULL-GRID mismatch vs the exact decisions is
+            # within that bar (measured, on this data), it carries the
+            # headline; otherwise the exact kernel keeps it. Both
+            # rates are reported either way.
+            def fast_vs_exact():
+                fm = run_omnibus_fast(cube_d)
+                em = run_omnibus(cube_d)
+                # reduce on device: one scalar crosses the tunnel,
+                # not two full boolean maps
+                return float(np.asarray(
+                    jnp.mean((fm != em).astype(jnp.float32))))
+            rate, _ = _resilient(detail, 'omnibus_fast_parity',
+                                 fast_vs_exact)
+            if rate is not None:
+                detail['omnibus_fast_vs_exact_mismatch'] = rate
+                if rate <= 1e-5 and t_om and t_fast < t_om:
+                    t_om = t_fast
+                    detail['omnibus_headline_kernel'] = \
+                        'pallas-fast-f32 (parity %.1e <= 1e-5)' % rate
+                    res, _ = _resilient(
+                        detail, 'omnibus_fast_wall',
+                        lambda: _time(jax.jit(run_omnibus_fast),
+                                      cube_d))
+                    if res:
+                        change_map = _sync(res[1])
 
     # ---- secondary configs ---------------------------------------------
     k3 = jnp.ones((3, 3), jnp.float32) / 9

@@ -124,7 +124,10 @@ def test_jax_path_matches_numpy():
     lat = np.linspace(35.0, 68.0, 11)
     for crs in ('epsg:3035', 'epsg:5070', 'epsg:2154', 'epsg:6933',
                 'epsg:2056',
-                '+proj=ortho +lat_0=45 +lon_0=10 +ellps=WGS84'):
+                '+proj=ortho +lat_0=45 +lon_0=10 +ellps=WGS84',
+                '+proj=aeqd +lat_0=48 +lon_0=12 +ellps=WGS84',
+                '+proj=geos +h=35785831 +lon_0=0 +sweep=y '
+                '+ellps=WGS84'):
         xn, yn = transform_coords('epsg:4326', crs, lon, lat, xp=np)
         xj, yj = transform_coords('epsg:4326', crs,
                                   jnp.asarray(lon), jnp.asarray(lat),
