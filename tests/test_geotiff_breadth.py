@@ -309,3 +309,35 @@ def test_open_rasterio_overview_level():
     # pixel centers shift by half a source pixel at 2x decimation
     assert abs(float(ov._coords['x'].values[0]) - 10.01) < 1e-9
     assert abs(float(full._coords['x'].values[0]) - 10.005) < 1e-9
+
+
+@pytest.mark.parametrize('seed', range(8))
+def test_fuzz_windowed_reads_match_full(seed):
+    """Random layouts x random windows: read_window must equal the
+    corresponding slice of the full decode."""
+    rng = np.random.RandomState(seed)
+    nb = rng.randint(1, 4)
+    h = rng.randint(5, 120)
+    w = rng.randint(5, 120)
+    dtype = rng.choice([np.uint8, np.int16, np.float32, np.float64])
+    data = (rng.rand(nb, h, w) * 200).astype(dtype)
+    tiled = bool(rng.randint(2))
+    kw = {'compress': bool(rng.randint(2))}
+    if tiled:
+        kw.update(tiled=True,
+                  tile_size=int(rng.choice([16, 32, 48])))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'f.tif')
+        write_geotiff(path, data, **kw)
+        with TiffFile(path) as t:
+            full = t.read()
+            np.testing.assert_array_equal(full, data)
+            for _ in range(6):
+                y0 = rng.randint(0, h)
+                y1 = rng.randint(y0, h + 1)
+                x0 = rng.randint(0, w)
+                x1 = rng.randint(x0, w + 1)
+                bands = list(rng.permutation(nb)[:rng.randint(1, nb + 1)])
+                win = t.read_window(bands, y0, y1, x0, x1)
+                np.testing.assert_array_equal(
+                    win, data[bands, y0:y1, x0:x1])
