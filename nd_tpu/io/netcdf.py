@@ -215,6 +215,14 @@ def open_netcdf_file(path, decode_cf=True, chunks=None):
     """
     if h5py is None:
         raise ImportError('h5py is required for NetCDF I/O')
+    with open(path, 'rb') as fh:
+        magic = fh.read(3)
+    if magic == b'CDF':
+        # NetCDF classic (versions 1/2/5) is NOT an HDF5 container;
+        # plenty of real archives still ship it. scipy's pure-Python
+        # reader covers it (the reference gets this via the netCDF-C
+        # stack under h5netcdf/xarray).
+        return _open_netcdf_classic(path, decode_cf=decode_cf)
     with h5py.File(path, 'r') as f:
         dim_names = {}     # dataset-name -> dim name (for scales)
         coord_like = set()
@@ -370,6 +378,80 @@ def open_netcdf_file(path, decode_cf=True, chunks=None):
         ds._coords = coords
         ds._variables = variables
         return ds
+
+
+def _open_netcdf_classic(path, decode_cf=True):
+    """Read a NetCDF classic (CDF-1/2/5) file via scipy's pure-Python
+    reader, with the same CF conventions as the HDF5 path: fill /
+    missing_value masking, scale/offset unpacking, standard-calendar
+    time decode, dimension-named variables as coordinates, and
+    CF ``coordinates`` attribute promotion."""
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(path), 'r', mmap=False)
+    try:
+        dim_sizes = dict(f.dimensions)
+        variables = {}
+        coords = {}
+        extra_coord_names = set()
+        for name, v in f.variables.items():
+            attrs = {k: _decode_attr(val)
+                     for k, val in (v._attributes or {}).items()}
+            dims = tuple(v.dimensions)
+            data = np.asarray(v.data)
+            # scipy returns record (unlimited) dims with the real size
+            for d, s in zip(dims, data.shape):
+                if dim_sizes.get(d) in (None, 0):
+                    dim_sizes[d] = s
+            if data.dtype.kind == 'S' and data.ndim >= 1:
+                try:
+                    data = np.char.decode(data, 'utf-8')
+                except Exception:
+                    pass
+            if decode_cf:
+                fill = attrs.pop('_FillValue', None)
+                missing = attrs.pop('missing_value', None)
+                scale = attrs.pop('scale_factor', None)
+                offset = attrs.pop('add_offset', None)
+                units = attrs.get('units')
+                cal = attrs.get('calendar')
+                std_cal = cal is None or str(cal).lower() in (
+                    'standard', 'gregorian', 'proleptic_gregorian')
+                decode_time = bool(units) and std_cal \
+                    and data.dtype.kind in 'iuf' \
+                    and _parse_time_units(units) is not None
+                if decode_time:
+                    attrs.pop('units', None)
+                    attrs.pop('calendar', None)
+                if (fill is not None or missing is not None
+                        or scale is not None or offset is not None
+                        or decode_time):
+                    data = _cf_transform(
+                        fill, missing, scale, offset,
+                        units if decode_time else None, cal,
+                        False)(data)
+            var = Variable(dims, data, attrs)
+            if name in dim_sizes and dims == (name,):
+                coords[name] = var
+            else:
+                cattr = attrs.get('coordinates')
+                if cattr:
+                    extra_coord_names.update(str(cattr).split())
+                variables[name] = var
+        for cname in list(extra_coord_names):
+            if cname in variables:
+                coords[cname] = variables.pop(cname)
+        for v in variables.values():
+            v.attrs.pop('coordinates', None)
+        ds = Dataset(attrs={k: _decode_attr(val) for k, val
+                            in (f._attributes or {}).items()})
+        ds._coords = coords
+        ds._variables = variables
+        return ds
+    finally:
+        try:
+            f.close()
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------

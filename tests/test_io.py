@@ -316,3 +316,40 @@ def test_zarr_bool_attr_and_user_coordinates_attr(tmp_path):
     assert back.attrs['flag'] is False
     assert back.attrs['coordinates'] == 'my special note'
     assert 'x' in back.coords
+
+
+def test_open_netcdf_classic_cdf(tmp_path):
+    """NetCDF classic (CDF magic, not HDF5) opens through the scipy
+    fallback with the same CF conventions as the HDF5 path."""
+    from scipy.io import netcdf_file
+
+    p = str(tmp_path / 'classic.nc')
+    f = netcdf_file(p, 'w')
+    f.createDimension('time', None)
+    f.createDimension('y', 4)
+    f.createDimension('x', 5)
+    y = f.createVariable('y', 'f8', ('y',))
+    y[:] = np.arange(4.0)
+    x = f.createVariable('x', 'f8', ('x',))
+    x[:] = np.arange(5.0)
+    t = f.createVariable('time', 'f8', ('time',))
+    t[:] = np.array([0.0, 1.0])
+    t.units = b'days since 2020-01-01'
+    v = f.createVariable('temp', 'i2', ('time', 'y', 'x'))
+    data = (np.arange(40) % 30).astype(np.int16).reshape(2, 4, 5)
+    data[0, 0, 0] = -999
+    v[:] = data
+    v._FillValue = np.int16(-999)
+    v.scale_factor = 0.5
+    f.history = b'classic writer'
+    f.close()
+
+    ds = ndio.open_netcdf(p)
+    assert dict(ds.sizes) == {'time': 2, 'y': 4, 'x': 5}
+    tv = np.asarray(ds['temp'].values)
+    assert np.isnan(tv[0, 0, 0])                 # fill masked
+    assert tv[0, 0, 1] == data[0, 0, 1] * 0.5    # unpacked
+    times = np.asarray(ds.coords['time'].values)
+    assert times.dtype.kind == 'M'
+    assert str(times[1]).startswith('2020-01-02')
+    assert ds.attrs['history'] == 'classic writer'
