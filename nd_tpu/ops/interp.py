@@ -36,6 +36,12 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
     array (..., *S)
     """
     values = jnp.asarray(values)
+    if method == 'bilinear' and values.dtype.kind not in 'fc':
+        # fractional weights need a float accumulator: integer
+        # rasters would truncate the weights to 0/1 (and the default
+        # NaN cval cannot be represented at all) — promote like
+        # warp._reproject_da does
+        values = values.astype(jnp.float32)
     rows = jnp.asarray(rows)
     cols = jnp.asarray(cols)
     H, W = values.shape[-2], values.shape[-1]

@@ -674,9 +674,8 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                     values = values.astype(jnp.float64)
                 proj_dims = tuple(d for d in vdims if d in da.dims)
                 if jnp.iscomplexobj(values):
-                    key = (dim_order, values.real.dtype,
-                           'bilinear' if method == 'bilinear'
-                           else method, 'nan', values.shape)
+                    key = (dim_order, values.real.dtype, method,
+                           'nan', values.shape)
                     groups.setdefault(key, []).append(
                         (v, values.real, values.imag, proj_dims,
                          orig_order, out_dtype))
@@ -978,7 +977,7 @@ class Coregistration(Algorithm):
                            upsampling=self.upsampling)
 
 
-def _coregister(ds, reference, upsampling, order=None):
+def _coregister(ds, reference, upsampling, order=3):
     """Batched translation-only coregistration.
 
     The reference loops skimage calls per time step and per variable
@@ -987,7 +986,9 @@ def _coregister(ds, reference, upsampling, order=None):
     TPU hosts. Now the whole series registers in <= 3 dispatches:
     one batched phase correlation over all k time steps (VERDICT r1
     item 5), one jitted ``translate_batch`` over the stacked
-    (V*k, y, x) cube, one result fetch.
+    (V*k, y, x) cube, one result fetch. ``order=3`` (the reference's
+    default) resamples with the Catmull-Rom translate kernels; other
+    spline orders route through ``scipy.ndimage.shift`` per image.
     """
     from .ops.fft import phase_cross_correlation_batch, translate_batch
 
@@ -997,8 +998,10 @@ def _coregister(ds, reference, upsampling, order=None):
     k = ds_new.sizes['time']
 
     # (k, y, x) master series -> (k, 2) row/col shifts in one pass
-    series = jnp.asarray(
-        ds_new[ref_var].transpose('time', 'y', 'x').data)
+    master = ds_new[ref_var].transpose('time', 'y', 'x').data
+    if master.dtype.kind not in 'fc':
+        master = np.asarray(master).astype(np.float64)   # FFT input
+    series = jnp.asarray(master)
     shifts = np.array(phase_cross_correlation_batch(
         series, series[reference], upsample_factor=upsampling))
     shifts[reference] = 0.0              # exact identity at the master
@@ -1006,23 +1009,52 @@ def _coregister(ds, reference, upsampling, order=None):
     # one dispatch: every variable, every time step, traced shifts —
     # stacked on host when the payloads are host-resident, so
     # translate_batch's measured placement can keep tunnel-bound
-    # series off the link entirely
+    # series off the link entirely. The resampling taps are
+    # fractional: integer variables are promoted to float for the
+    # warp and cast back to their own dtype afterwards (truncating,
+    # exactly like the reference's .loc assignment of skimage's
+    # float output into an integer DataArray) — without the
+    # promotion an all-integer dataset came back all zeros.
     arrs = [ds_new[v].transpose('time', 'y', 'x').data
             for v in datavars]
-    if all(isinstance(a, np.ndarray) for a in arrs):
-        stack = np.stack(arrs)                       # (V, k, y, x)
+    dtypes = [np.asarray(a).dtype if isinstance(a, np.ndarray)
+              else a.dtype for a in arrs]
+    host = all(isinstance(a, np.ndarray) for a in arrs)
+    if host:
+        stack = np.stack([np.asarray(a, dtype=np.float64)
+                          if np.asarray(a).dtype.kind not in 'f'
+                          else a for a in arrs])       # (V, k, y, x)
     else:
-        stack = jnp.stack([jnp.asarray(a) for a in arrs])
+        stack = jnp.stack([
+            jnp.asarray(a).astype(jnp.float32)
+            if jnp.asarray(a).dtype.kind not in 'f'
+            else jnp.asarray(a) for a in arrs])
     nv, _, ny, nx = stack.shape
     translations = np.tile(shifts[:, ::-1], (nv, 1))   # (V*k, [dx,dy])
-    shifted = translate_batch(stack.reshape(nv * k, ny, nx),
-                              translations)
-    shifted = np.asarray(shifted).reshape(nv, k, ny, nx)
+    if order == 3:
+        shifted = translate_batch(stack.reshape(nv * k, ny, nx),
+                                  translations)
+        shifted = np.asarray(shifted).reshape(nv, k, ny, nx)
+    else:
+        # non-default spline orders: the reference's skimage warp
+        # honors order 0-5; scipy.ndimage.shift is the host twin
+        from scipy import ndimage
+        flat = np.asarray(stack).reshape(nv * k, ny, nx)
+        shifted = np.stack([
+            ndimage.shift(flat[i], (translations[i, 1],
+                                    translations[i, 0]),
+                          order=int(order), mode='nearest')
+            for i in range(nv * k)]).reshape(nv, k, ny, nx)
 
     for i, v in enumerate(datavars):
         dims = ds_new[v].dims
+        out = shifted[i]
+        if dtypes[i].kind not in 'fc':
+            out = out.astype(dtypes[i])   # truncating, like .loc
+        elif out.dtype != dtypes[i]:
+            out = out.astype(dtypes[i])   # keep each var's own width
         ds_new._variables[v] = Variable(
-            ('time', 'y', 'x'), shifted[i]).transpose(*dims)
+            ('time', 'y', 'x'), out).transpose(*dims)
     return ds_new
 
 

@@ -282,3 +282,66 @@ def test_open_rasterio_rejects_chunks_plus_overview(tmp_path):
                   overviews=[2])
     with _pytest.raises(ValueError):
         open_rasterio(path, chunks={}, overview_level=0)
+
+
+def test_coregister_integer_and_mixed_dtypes():
+    """All-integer datasets must coregister to real values (they came
+    back all zeros: the cubic taps truncated to the int dtype), and
+    every variable keeps its OWN dtype after the stacked warp."""
+    from nd_tpu.core.dataarray import Dataset
+    from nd_tpu.warp import _coregister
+
+    rng = np.random.RandomState(0)
+    base = (rng.rand(16, 16) * 200).astype(np.float64)
+    cube_f = np.stack([base, np.roll(base, (1, 2), (0, 1))])
+    ds = Dataset({
+        'C11': (('time', 'y', 'x'), cube_f),
+        'counts': (('time', 'y', 'x'),
+                   (cube_f * 3).astype(np.int32)),
+        'f32v': (('time', 'y', 'x'), cube_f.astype(np.float32)),
+    }, coords={'time': np.arange(2), 'y': np.arange(16.0),
+               'x': np.arange(16.0)})
+    out = _coregister(ds, reference=0, upsampling=20)
+    c = np.asarray(out['counts'].values)
+    assert c.dtype == np.int32
+    assert np.abs(c).sum() > 0            # was all zeros
+    assert np.asarray(out['f32v'].values).dtype == np.float32
+    assert np.asarray(out['C11'].values).dtype == np.float64
+    # interior of the realigned slice matches the master
+    interior = np.s_[4:-4, 4:-4]
+    a = np.asarray(out['C11'].values)[1][interior]
+    b = cube_f[0][interior]
+    assert np.nanmax(np.abs(a - b)) < 1.0
+
+
+def test_coregister_order_parameter_honored():
+    from nd_tpu.core.dataarray import Dataset
+    from nd_tpu.warp import _coregister
+
+    rng = np.random.RandomState(1)
+    base = rng.rand(16, 16)
+    cube = np.stack([base, np.roll(base, 1, 0)])
+    ds = Dataset({'C11': (('time', 'y', 'x'), cube)},
+                 coords={'time': np.arange(2), 'y': np.arange(16.0),
+                         'x': np.arange(16.0)})
+    out3 = _coregister(ds, reference=0, upsampling=10, order=3)
+    out1 = _coregister(ds, reference=0, upsampling=10, order=1)
+    a3 = np.asarray(out3['C11'].values)
+    a1 = np.asarray(out1['C11'].values)
+    assert np.isfinite(a1).all()
+    # different spline orders produce measurably different resamples
+    assert np.abs(a3 - a1).max() > 1e-6
+
+
+def test_map_coordinates_integer_bilinear():
+    from nd_tpu.ops.interp import map_coordinates
+
+    raster = np.arange(25, dtype=np.int32).reshape(5, 5)
+    out = np.asarray(map_coordinates(raster, np.array([1.5]),
+                                     np.array([2.5])))
+    # true bilinear midpoint, not 0/1-truncated weights
+    assert abs(float(out[0]) - (7 + 8 + 12 + 13) / 4.0) < 1e-5
+    # default NaN cval representable in the promoted output
+    out2 = np.asarray(map_coordinates(raster, np.array([99.0]),
+                                      np.array([0.0])))
+    assert np.isnan(out2[0])
