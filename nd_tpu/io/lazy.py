@@ -95,11 +95,29 @@ class LazyArray:
     def __getitem__(self, key):
         if not isinstance(key, tuple):
             key = (key,)
-        if any(k is None or k is Ellipsis or not
-               (isinstance(k, slice) or np.isscalar(k)
-                or (hasattr(k, 'ndim') and np.ndim(k) == 0))
+        if len(key) > self.ndim:
+            raise IndexError(
+                'too many indices for array: array is %d-dimensional, '
+                'but %d were indexed' % (self.ndim, len(key)))
+
+        def _is_lazy_ok(k):
+            if isinstance(k, slice):
+                return True
+            if isinstance(k, (bool, np.bool_)):
+                return False           # numpy: a mask, not an index
+            if isinstance(k, float) or (hasattr(k, 'dtype')
+                                        and np.ndim(k) == 0
+                                        and np.asarray(k).dtype.kind
+                                        == 'f'):
+                raise IndexError(
+                    'only integers, slices and arrays are valid '
+                    'indices (got float)')
+            return np.isscalar(k) or (hasattr(k, 'ndim')
+                                      and np.ndim(k) == 0)
+
+        if any(k is None or k is Ellipsis or not _is_lazy_ok(k)
                for k in key):
-            # fancy/newaxis indexing: materialize, then defer to numpy
+            # fancy/newaxis/bool indexing: materialize, defer to numpy
             return self._read()[key]
         key = key + (slice(None),) * (self.ndim - len(key))
 

@@ -174,6 +174,40 @@ def _cf_transform(fill, missing, scale, offset, time_units, calendar,
     return decode
 
 
+def _cf_decode_for(attrs, dtype_kind, with_bool=True):
+    """Extract + consume the CF decode parameters from ``attrs`` and
+    return the slab decode closure (or None when nothing applies).
+    One implementation for the HDF5, lazy, and classic readers — a CF
+    rule fixed in one reader must not silently diverge in another.
+    The decode is always dtype-STABLE (see :func:`_cf_transform`)."""
+    fill = attrs.pop('_FillValue', None)
+    missing = attrs.pop('missing_value', None)
+    scale = attrs.pop('scale_factor', None)
+    offset = attrs.pop('add_offset', None)
+    units = attrs.get('units')
+    cal = attrs.get('calendar')
+    std_cal = cal is None or str(cal).lower() in (
+        'standard', 'gregorian', 'proleptic_gregorian')
+    # time-decode eligibility is static (dtype + units string):
+    # unpacking preserves numeric-ness, so the stored dtype decides.
+    # Non-standard calendars (360_day, noleap, ...) stay undecoded
+    # with their attrs — silently-wrong proleptic dates are worse.
+    decode_time = bool(units) and std_cal and dtype_kind in 'iuf' \
+        and _parse_time_units(units) is not None
+    to_bool = with_bool and attrs.get('dtype') == 'bool'
+    if decode_time:
+        attrs.pop('units', None)
+        attrs.pop('calendar', None)
+    if to_bool:
+        attrs.pop('dtype')
+    if (fill is not None or missing is not None or scale is not None
+            or offset is not None or decode_time or to_bool):
+        return _cf_transform(fill, missing, scale, offset,
+                             units if decode_time else None, cal,
+                             to_bool, stable_dtype=True)
+    return None
+
+
 def _bulk_read(obj, path):
     """Read one dataset's payload, bypassing h5py's global lock for
     contiguous uncompressed data.
@@ -287,34 +321,12 @@ def open_netcdf_file(path, decode_cf=True, chunks=None):
 
             decode = None
             if decode_cf:
-                fill = attrs.pop('_FillValue', None)
-                missing = attrs.pop('missing_value', None)
-                scale = attrs.pop('scale_factor', None)
-                offset = attrs.pop('add_offset', None)
-                units = attrs.get('units')
-                cal = attrs.get('calendar')
-                std_cal = cal is None or str(cal).lower() in (
-                    'standard', 'gregorian', 'proleptic_gregorian')
-                # time-decode eligibility is static (dtype + units
-                # string): unpacking preserves numeric-ness, so the
-                # stored dtype decides. Non-standard calendars
-                # (360_day, noleap, ...) stay undecoded with their
-                # attrs — silently-wrong proleptic dates are worse.
-                decode_time = bool(units) and std_cal \
-                    and obj.dtype.kind in 'iuf' \
-                    and _parse_time_units(units) is not None
-                to_bool = attrs.get('dtype') == 'bool'
-                if decode_time:
-                    attrs.pop('units', None)
-                    attrs.pop('calendar', None)
-                if to_bool:
-                    attrs.pop('dtype')
-                if (fill is not None or missing is not None
-                        or scale is not None or offset is not None
-                        or decode_time or to_bool):
-                    decode = _cf_transform(
-                        fill, missing, scale, offset,
-                        units if decode_time else None, cal, to_bool)
+                # stable_dtype everywhere (inside _cf_decode_for): a
+                # DECLARED fill sentinel fixes the decoded dtype
+                # (float, like xarray's mask_and_scale) whether or
+                # not this particular file contains fills — so the
+                # eager and lazy opens of one file always agree
+                decode = _cf_decode_for(attrs, obj.dtype.kind)
 
             lazy_ok = (chunks is not None
                        and name not in coord_like
@@ -326,14 +338,8 @@ def open_netcdf_file(path, decode_cf=True, chunks=None):
                 if decode is None:
                     out_dtype = obj.dtype
                 else:
-                    # the lazy decode must be dtype-STABLE (a declared
-                    # fill coerces every slab to float, fills present
-                    # or not); probe one synthetic element for the
-                    # resulting dtype
-                    decode = _cf_transform(
-                        fill, missing, scale, offset,
-                        units if decode_time else None, cal, to_bool,
-                        stable_dtype=True)
+                    # the decode is dtype-stable, so probing one
+                    # synthetic element yields every slab's dtype
                     out_dtype = decode(np.ones(1, obj.dtype)).dtype
                 data = LazyNetCDFArray(str(path), obj.name, obj.shape,
                                        out_dtype, decode=decode)
@@ -369,7 +375,17 @@ def open_netcdf_file(path, decode_cf=True, chunks=None):
                 _decode_attr(group_coords).split())
         for cname in list(extra_coord_names):
             if cname in variables:
-                coords[cname] = variables.pop(cname)
+                cvar = variables.pop(cname)
+                from .lazy import LazyArray
+                if isinstance(cvar.data, LazyArray):
+                    # "coordinates stay eager": aux coords promoted
+                    # via the CF attr index everything else, so a
+                    # lazy payload would re-read the file on every
+                    # coord access (and supports no arithmetic)
+                    cvar = Variable(cvar.dims,
+                                    np.asarray(cvar.data),
+                                    cvar.attrs)
+                coords[cname] = cvar
         for v in variables.values():
             v.attrs.pop('coordinates', None)
 
@@ -408,27 +424,10 @@ def _open_netcdf_classic(path, decode_cf=True):
                 except Exception:
                     pass
             if decode_cf:
-                fill = attrs.pop('_FillValue', None)
-                missing = attrs.pop('missing_value', None)
-                scale = attrs.pop('scale_factor', None)
-                offset = attrs.pop('add_offset', None)
-                units = attrs.get('units')
-                cal = attrs.get('calendar')
-                std_cal = cal is None or str(cal).lower() in (
-                    'standard', 'gregorian', 'proleptic_gregorian')
-                decode_time = bool(units) and std_cal \
-                    and data.dtype.kind in 'iuf' \
-                    and _parse_time_units(units) is not None
-                if decode_time:
-                    attrs.pop('units', None)
-                    attrs.pop('calendar', None)
-                if (fill is not None or missing is not None
-                        or scale is not None or offset is not None
-                        or decode_time):
-                    data = _cf_transform(
-                        fill, missing, scale, offset,
-                        units if decode_time else None, cal,
-                        False)(data)
+                decode = _cf_decode_for(attrs, data.dtype.kind,
+                                        with_bool=False)
+                if decode is not None:
+                    data = decode(data)
             var = Variable(dims, data, attrs)
             if name in dim_sizes and dims == (name,):
                 coords[name] = var

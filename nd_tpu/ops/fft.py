@@ -58,8 +58,10 @@ def phase_cross_correlation_batch(srcs, ref, upsample_factor=1,
     Returns a (B, 2) array of (row, col) shifts.
     """
     xp = _fft_xp()
-    srcs = xp.asarray(np.asarray(srcs))
-    ref = xp.asarray(np.asarray(ref))
+    # only the host-FFT branch needs a host copy; converting an
+    # already-device cube through numpy would round-trip the payload
+    srcs = np.asarray(srcs) if xp is np else xp.asarray(srcs)
+    ref = np.asarray(ref) if xp is np else xp.asarray(ref)
     nb, H, W = srcs.shape
     src_f = xp.fft.fft2(srcs, axes=(-2, -1))
     ref_f = xp.fft.fft2(ref)
@@ -140,9 +142,14 @@ def _shift_axis_cubic(img, shift, axis):
     the cubic resampling reduces to an integer shift + separable 4-tap
     convolution — no gathers (which lower poorly on TPU).
     """
+    size = img.shape[axis]
+    # saturation-exact clamp (see the traced twin): any |shift| past
+    # size+1 reads only the edge-clamped border — clamping first also
+    # bounds the pad (an unclamped 1e8 shift used to allocate a
+    # gigabyte intermediate) and keeps t in [0, 1)
+    shift = float(np.clip(shift, -(size + 1), size + 1))
     n = int(np.floor(shift))
     t = float(shift) - n
-    size = img.shape[axis]
 
     # integer part: slice with edge padding
     pad = [(0, 0)] * img.ndim
@@ -189,7 +196,12 @@ def _shift_axis_cubic_traced(imgs, shifts, axis):
     # produces too — so the clamp is saturation-exact for ALL shifts
     # (a tighter bound silently mis-shifted beyond ~size/2)
     m = size + 2
-    n_int = jnp.clip(jnp.floor(shifts), -(m - 1), m - 1)
+    # clamp the SHIFT (not just its integer part): a wild shift (e.g.
+    # a sentinel from a failed registration) would otherwise leave a
+    # huge fractional t whose cubed taps overflow f32 to inf/NaN —
+    # clamped, every out-of-range shift saturates to the edge exactly
+    shifts = jnp.clip(shifts, -(m - 1), m - 1)
+    n_int = jnp.floor(shifts)
     t = (shifts - n_int)[(...,) + (None,) * (imgs.ndim - 1)]
     n_int = n_int.astype(jnp.int32)
 
@@ -235,7 +247,8 @@ def _shift_axis_cubic_host(imgs, shifts, axis):
     b = imgs.shape[0]
     size = imgs.shape[axis]
     m = size + 2            # saturation-exact bound (see traced twin)
-    n_int = np.clip(np.floor(shifts), -(m - 1), m - 1).astype(int)
+    shifts = np.clip(shifts, -(m - 1), m - 1)
+    n_int = np.floor(shifts).astype(int)
     t = (shifts - n_int).reshape((b,) + (1,) * (imgs.ndim - 1))
     pad = [(0, 0)] * imgs.ndim
     pad[axis] = (m + 1, m + 2)
@@ -278,19 +291,36 @@ def translate_batch(imgs, translations):
     (0, 1, 0, 0) and the integer slice is centered).
     """
     host_input = not isinstance(imgs, jax.Array)
+    # fractional taps need a float accumulator: integer images are
+    # promoted for the warp and cast back (truncating — matching the
+    # reference's .loc assignment of skimage's float output); without
+    # this the public API returned all zeros for integer rasters
+    in_dtype = np.dtype(imgs.dtype) if hasattr(imgs, 'dtype') \
+        else np.asarray(imgs).dtype
+    integer_in = in_dtype.kind not in 'fc'
     if host_input:
         from .conv import _placement
-        if _placement._winner() == 'host':
-            return _shift_axis_cubic_host(
-                _shift_axis_cubic_host(np.asarray(imgs),
+        a_np = np.asarray(imgs)
+        # same routing contract as the conv layer: honor the
+        # ND_TPU_HOST_FILTER pin and never block the serving path on
+        # an unmeasured device (_winner() bypassed both)
+        if _placement.choose(a_np.nbytes) == 'host':
+            work = a_np.astype(np.float64) if integer_in else a_np
+            out = _shift_axis_cubic_host(
+                _shift_axis_cubic_host(work,
                                        np.asarray(translations)[:, 0],
                                        2),
                 np.asarray(translations)[:, 1], 1)
+            return out.astype(in_dtype) if integer_in else out
+        imgs = a_np
     imgs = jnp.asarray(imgs)
+    if integer_in:
+        imgs = imgs.astype(jnp.float32)
     translations = jnp.asarray(translations, jnp.float64
                                if jax.config.jax_enable_x64
                                else jnp.float32)
-    return _translate_batch_device(imgs, translations)
+    out = _translate_batch_device(imgs, translations)
+    return out.astype(in_dtype) if integer_in else out
 
 
 def translate(img, translation, method='cubic'):
@@ -307,9 +337,15 @@ def translate(img, translation, method='cubic'):
     """
     img = jnp.asarray(img)
     if method == 'cubic':
+        in_dtype = img.dtype
+        if in_dtype.kind not in 'fc':
+            # fractional taps truncate to 0 in integer dtypes (see
+            # translate_batch); promote and cast back
+            img = img.astype(jnp.float32)
         out = _shift_axis_cubic(img, float(translation[1]), img.ndim - 2)
         out = _shift_axis_cubic(out, float(translation[0]), img.ndim - 1)
-        return out
+        return out.astype(in_dtype) if in_dtype.kind not in 'fc' \
+            else out
     from .interp import map_coordinates
     H, W = img.shape[-2:]
     ii = jnp.arange(H, dtype=jnp.float64)[:, None] + translation[1]

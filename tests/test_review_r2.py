@@ -345,3 +345,103 @@ def test_map_coordinates_integer_bilinear():
     out2 = np.asarray(map_coordinates(raster, np.array([99.0]),
                                       np.array([0.0])))
     assert np.isnan(out2[0])
+
+
+def test_translate_batch_integer_and_routing(monkeypatch):
+    """Public translate/translate_batch must resample integer images
+    (taps truncated to the int dtype before — all zeros), and host
+    routing honors the ND_TPU_HOST_FILTER pin via choose()."""
+    from nd_tpu.ops.fft import translate, translate_batch
+
+    img = (np.arange(64, dtype=np.int32).reshape(8, 8) * 3)
+    out = np.asarray(translate_batch(img[None].astype(np.int32),
+                                     np.array([[0.5, 0.5]])))
+    assert out.dtype == np.int32
+    assert np.abs(out).sum() > 0
+    out1 = np.asarray(translate(img, (0.5, 0.5)))
+    assert out1.dtype == np.int32 and np.abs(out1).sum() > 0
+    # host pin: no device dispatch at all
+    monkeypatch.setenv('ND_TPU_HOST_FILTER', 'always')
+    out2 = np.asarray(translate_batch(
+        img[None].astype(np.float64), np.array([[0.25, 0.0]])))
+    assert np.isfinite(out2).all()
+
+
+def test_cubic_shift_wild_values_saturate():
+    """Shifts far beyond the image (e.g. a failed-registration
+    sentinel) saturate to the edge instead of overflowing to NaN."""
+    from nd_tpu.ops.fft import translate, translate_batch
+
+    img = np.random.RandomState(0).rand(1, 8, 8).astype(np.float32)
+    out = np.asarray(translate_batch(img, np.array([[1e30, 0.0]])))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], np.broadcast_to(
+        img[0][:, -1:], (8, 8)), rtol=1e-5)
+    # the static path must not allocate a gigabyte pad either
+    out2 = np.asarray(translate(img[0], (1e8, 0.0)))
+    assert np.isfinite(out2).all()
+
+
+def test_lazy_indexing_numpy_error_parity(tmp_path):
+    from nd_tpu.core.dataarray import Dataset
+    from nd_tpu.io import open_netcdf, to_netcdf
+
+    ds = Dataset({'a': (('y', 'x'),
+                        np.arange(12.0).reshape(3, 4))},
+                 coords={'y': np.arange(3.0), 'x': np.arange(4.0)})
+    p = str(tmp_path / 'l.nc')
+    to_netcdf(ds, p)
+    lazy = open_netcdf(p, chunks={})['a'].variable.data
+    with pytest.raises(IndexError):
+        lazy[0, 0, 0]                       # too many indices
+    with pytest.raises(IndexError):
+        lazy[1.5]                           # float index
+    # bool scalar behaves like numpy (mask adding an axis)
+    ref = np.arange(12.0).reshape(3, 4)
+    np.testing.assert_array_equal(np.asarray(lazy[True]), ref[True])
+
+
+def test_eager_lazy_dtype_agreement_declared_fill(tmp_path):
+    """A DECLARED fill fixes the decoded dtype whether or not fills
+    occur — eager and lazy opens must agree (xarray semantics)."""
+    import h5py
+
+    p = str(tmp_path / 'df.nc')
+    with h5py.File(p, 'w') as f:
+        d = f.create_dataset('v', data=np.array([1, 2, 3], np.int16))
+        d.attrs['_FillValue'] = np.int16(-9999)   # declared, unused
+        d.make_scale('v')
+
+    from nd_tpu.io import open_netcdf
+    eager = open_netcdf(p)
+    lazy = open_netcdf(p, chunks={})
+    ev = np.asarray((eager['v'] if 'v' in eager.data_vars
+                     else eager.coords['v']).values)
+    lv = np.asarray((lazy['v'] if 'v' in lazy.data_vars
+                     else lazy.coords['v']).values)
+    assert ev.dtype == lv.dtype
+    assert ev.dtype.kind == 'f'
+    np.testing.assert_array_equal(ev, lv)
+
+
+def test_aux_coords_promoted_eagerly_under_chunks(tmp_path):
+    """CF 'coordinates' variables become EAGER coords even on a lazy
+    open — coords index everything and need arithmetic."""
+    from nd_tpu.core.dataarray import Dataset
+    from nd_tpu.io import open_netcdf, to_netcdf
+
+    lat = np.linspace(40, 41, 12).reshape(3, 4)
+    lon = np.linspace(5, 6, 12).reshape(3, 4)
+    ds = Dataset({'v': (('y', 'x'), np.ones((3, 4), np.float32))},
+                 coords={'y': np.arange(3.0), 'x': np.arange(4.0)})
+    ds.coords['lat'] = (('y', 'x'), lat)
+    ds.coords['lon'] = (('y', 'x'), lon)
+    p = str(tmp_path / 'aux.nc')
+    to_netcdf(ds, p)
+    back = open_netcdf(p, chunks={}, rename_latlon=False)
+    cl = back.coords['lat'].variable.data if 'lat' in back._coords \
+        else back['lat'].variable.data
+    assert isinstance(np.asarray(cl), np.ndarray)
+    assert isinstance(cl, np.ndarray)        # eager, not a lazy view
+    # arithmetic works
+    _ = np.asarray(cl) + 0.5
