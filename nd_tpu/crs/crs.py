@@ -177,7 +177,15 @@ _WKT_NAME_TO_PROJ = {
 _CONIC_PROJS = ('lcc', 'aea')
 
 _NUMERIC_KEYS = ('lat_0', 'lon_0', 'lat_1', 'lat_2', 'lat_ts', 'k', 'k_0',
-                 'x_0', 'y_0', 'zone', 'a', 'b', 'rf', 'h')
+                 'x_0', 'y_0', 'zone', 'a', 'b', 'rf', 'h', 'to_meter')
+
+# proj4 +units= names -> meters per unit
+_UNIT_TO_METER = {
+    'm': 1.0, 'meter': 1.0, 'metre': 1.0, 'km': 1000.0,
+    'ft': 0.3048, 'us-ft': 1200.0 / 3937.0, 'mi': 1609.344,
+    'us-mi': 6336000.0 / 3937.0, 'yd': 0.9144, 'cm': 0.01,
+    'mm': 0.001,
+}
 
 
 def _lookup_ellps(name):
@@ -217,19 +225,31 @@ class CRS:
             merged = dict(other._params)
             merged.update(params)
             self._params = merged
-            self._epsg = other._epsg
+            # overrides that CHANGE the definition void the code —
+            # to_epsg()/AUTHORITY must not claim a CRS this is not
+            changed = any(other._params.get(k) != v
+                          for k, v in params.items())
+            self._epsg = None if changed else other._epsg
+            if self._epsg is None:
+                self._epsg = self._match_epsg()
             return
         self._params = params
         self._epsg = epsg
         if epsg is None:
             self._epsg = self._match_epsg()
 
+    _EPSG_CANONICAL = None   # lazily-built {canonical: code} lookup
+
     def _match_epsg(self):
-        mine = self._canonical()
-        for code, p in _EPSG.items():
-            if CRS._canonical_params(p) == mine:
-                return code
-        return None
+        # canonicalizing all ~190 registry entries per construction
+        # was the hot path of every CRS parse; build the reverse
+        # lookup once
+        if CRS._EPSG_CANONICAL is None:
+            table = {}
+            for code, p in _EPSG.items():
+                table.setdefault(CRS._canonical_params(p), code)
+            CRS._EPSG_CANONICAL = table
+        return CRS._EPSG_CANONICAL.get(self._canonical())
 
     # -- constructors ---------------------------------------------------------
     @classmethod
@@ -302,6 +322,14 @@ class CRS:
                 params[k] = v
             else:
                 params[tok] = True
+        units = params.get('units')
+        if units and 'to_meter' not in params:
+            factor = _UNIT_TO_METER.get(str(units).lower())
+            if factor is None:
+                raise ValueError('unknown +units=%s (pass +to_meter '
+                                 'explicitly)' % units)
+            if factor != 1.0:
+                params['to_meter'] = factor
         if 'init' in params:
             return cls({'init': params.pop('init'), **params})
         if params.get('proj') == 'utm' and 'zone' in params:
@@ -348,7 +376,8 @@ class CRS:
             for key, e in ELLIPSOIDS.items():
                 if abs(e.a - a) < 0.5 and (
                         (rf == 0 and e.f == 0)
-                        or (rf != 0 and abs(1 / e.f - rf) < 1e-6)):
+                        or (rf != 0 and e.f != 0
+                            and abs(1 / e.f - rf) < 1e-6)):
                     ell = key
                     break
             if ell is not None:
@@ -443,6 +472,34 @@ class CRS:
                 params['lat_ts'] = params.get('lat_0', 90.0)
                 params['lat_0'] = 90.0 if params['lat_ts'] >= 0 \
                     else -90.0
+            if pname.startswith('polar_stereographic') \
+                    and 'lat_ts' in params and 'lat_0' not in params:
+                # WKT2 variant B carries only the standard parallel
+                # ('Latitude of standard parallel'); the pole is its
+                # hemisphere. Without this EPSG:3031-style WKT2
+                # silently projected with the NORTH-polar aspect.
+                params['lat_0'] = 90.0 if params['lat_ts'] >= 0 \
+                    else -90.0
+            # projected linear unit: any UNIT/LENGTHUNIT factor that
+            # is not the degree (0.01745...) scales the CRS's
+            # coordinates AND its false easting/northing parameters.
+            # Ignoring it treated US state-plane feet as meters
+            # (a silent 3.28x position error).
+            unit_factors = [
+                float(fv) for fv in re.findall(
+                    r'(?:LENGTH)?UNIT\[\"[^\"]*\",\s*'
+                    r'([0-9.eE+-]+)', wkt)
+                if abs(float(fv) - 0.017453292519943295) > 1e-6
+                and float(fv) > 0]
+            if unit_factors:
+                factor = unit_factors[-1]
+                if abs(factor - 1.0) > 1e-12:
+                    params['to_meter'] = factor
+                    # stored x_0/y_0 came from PARAMETER values in
+                    # CRS units; proj4 convention keeps them meters
+                    for fk in ('x_0', 'y_0'):
+                        if fk in params:
+                            params[fk] = params[fk] * factor
             params.setdefault('units', 'm')
         else:
             params['proj'] = 'longlat'
@@ -475,7 +532,14 @@ class CRS:
         if 'towgs84' in self._params:
             return tuple(self._params['towgs84'])
         datum = self._params.get('datum', 'WGS84')
-        return DATUM_TO_WGS84.get(datum, (0, 0, 0, 0, 0, 0, 0))
+        try:
+            return DATUM_TO_WGS84[datum]
+        except KeyError:
+            raise NotImplementedError(
+                'datum %r has no built-in Helmert shift to WGS84; '
+                'supply +towgs84=dx,dy,dz[,rx,ry,rz,s] explicitly '
+                '(a silent zero shift would be tens to hundreds of '
+                'meters wrong)' % datum)
 
     @property
     def is_geographic(self):
@@ -575,13 +639,24 @@ class CRS:
                                % float(k))
                 continue
             if pk in self._params or pk in ('lat_0', 'lon_0'):
-                par.append('PARAMETER["%s",%.12g]'
-                           % (wk, float(self._params.get(pk, 0.0))))
+                pv = float(self._params.get(pk, 0.0))
+                fmt = '%.12g'
+                if pk in ('x_0', 'y_0'):
+                    # WKT false easting/northing are in the CRS's
+                    # linear unit; params store meters (proj4) — full
+                    # precision so the unit conversion round-trips
+                    pv = pv / float(self._params.get('to_meter', 1.0))
+                    fmt = '%.17g'
+                par.append(('PARAMETER["%s",' + fmt + ']') % (wk, pv))
         auth = (',AUTHORITY["EPSG","%d"]' % self._epsg) if self._epsg \
             else ''
+        to_m = float(self._params.get('to_meter', 1.0) or 1.0)
+        unit = 'UNIT["metre",1]' if to_m == 1.0 \
+            else 'UNIT["unit",%.17g]' % to_m
         return ('PROJCS["%s",%s,PROJECTION["%s"],%s,'
-                'UNIT["metre",1]%s]'
-                % (self._name(), geogcs, pname, ','.join(par), auth))
+                '%s%s]'
+                % (self._name(), geogcs, pname, ','.join(par), unit,
+                   auth))
 
     def _name(self):
         if self._epsg:
@@ -622,20 +697,42 @@ class CRS:
             for k in ('lat_0', 'lon_0', 'x_0', 'y_0'):
                 out[k] = round(float(p.get(k, 0.0)), 9)
             out['k'] = round(float(p.get('k', p.get('k_0', 1.0))), 12)
+            if proj == 'geos':
+                # different satellite heights / sweep axes are
+                # different grids — conflating them made
+                # transform_coords hand back inputs unchanged
+                out['h'] = round(float(p.get('h', 0.0)), 3)
+                out['sweep'] = str(p.get('sweep', 'y')).lower()
+            if 'to_meter' in p:
+                out['to_meter'] = round(float(p['to_meter']), 12)
         ell = _lookup_ellps(p['ellps']) if 'ellps' in p else (
             Ellipsoid('user', p['a'], rf=p.get('rf'), b=p.get('b'))
             if 'a' in p else ELLIPSOIDS['WGS84'])
         out['a'] = round(ell.a, 6)
         out['f'] = round(ell.f, 12)
         datum = p.get('datum', None)
-        shift = p.get('towgs84',
-                      DATUM_TO_WGS84.get(datum or 'WGS84',
-                                         (0, 0, 0, 0, 0, 0, 0)))
-        out['towgs84'] = tuple(round(float(v), 6) for v in shift)
+        if 'towgs84' in p or datum is None \
+                or datum in DATUM_TO_WGS84:
+            shift = p.get('towgs84',
+                          DATUM_TO_WGS84.get(datum or 'WGS84',
+                                             (0, 0, 0, 0, 0, 0, 0)))
+            out['towgs84'] = tuple(round(float(v), 6) for v in shift)
+        else:
+            # an unknown datum is NOT the same thing as WGS84: keep
+            # its name in the identity so e.g. +datum=potsdam never
+            # compares equal to plain WGS84 (transform_coords raises
+            # for it instead of silently skipping the shift)
+            out['datum'] = str(datum)
         return tuple(sorted(out.items()))
 
     def _canonical(self):
-        return CRS._canonical_params(self._params)
+        # params are immutable after construction: cache the
+        # canonical form (it backs __eq__/__hash__, called per warp)
+        c = getattr(self, '_canonical_cache', None)
+        if c is None:
+            c = CRS._canonical_params(self._params)
+            self._canonical_cache = c
+        return c
 
     def __eq__(self, other):
         try:
@@ -669,7 +766,25 @@ def transform_coords(src_crs, dst_crs, x, y, xp=np):
         return (xp.asarray(x), xp.asarray(y))
     lon, lat = project_inverse(src.proj, x, y, src.ellipsoid, src._params,
                                xp=xp)
-    if src.datum_shift != dst.datum_shift:
+
+    def _null_grid(crs):
+        # '+nadgrids=@null' is the legacy sphere Web Mercator idiom:
+        # it DISABLES datum conversion (PROJ semantics) — treating
+        # the sphere as a different ellipsoid shifted EPSG:3857-style
+        # strings by ~30 km
+        return str(crs._params.get('nadgrids', '')) == '@null'
+
+    skip_datum = _null_grid(src) or _null_grid(dst)
+    if not skip_datum:
+        # two CRS on the SAME unknown datum need no shift at all —
+        # only a cross-datum transform needs the (possibly missing)
+        # Helmert parameters
+        sd, dd = (src._params.get('datum'), dst._params.get('datum'))
+        if sd is not None and sd == dd \
+                and 'towgs84' not in src._params \
+                and 'towgs84' not in dst._params:
+            skip_datum = True
+    if not skip_datum and src.datum_shift != dst.datum_shift:
         X, Y, Z = geodetic_to_geocentric(lon, lat, 0.0, src.ellipsoid,
                                          xp=xp)
         if any(src.datum_shift):
@@ -679,7 +794,7 @@ def transform_coords(src_crs, dst_crs, x, y, xp=np):
             X, Y, Z = helmert_transform(X, Y, Z, dst.datum_shift,
                                         inverse=True, xp=xp)
         lon, lat, _ = geocentric_to_geodetic(X, Y, Z, dst.ellipsoid, xp=xp)
-    elif src.ellipsoid != dst.ellipsoid:
+    elif not skip_datum and src.ellipsoid != dst.ellipsoid:
         X, Y, Z = geodetic_to_geocentric(lon, lat, 0.0, src.ellipsoid,
                                          xp=xp)
         lon, lat, _ = geocentric_to_geodetic(X, Y, Z, dst.ellipsoid, xp=xp)

@@ -41,7 +41,9 @@ def geodesic_inverse(lon1, lat1, lon2, lat2, ell, xp=np, iters=32):
     L = lon2 - lon1
     lam = L
     tiny = 1e-300
-    for _ in range(iters):
+
+    def geometry(lam):
+        """Vincenty angular geometry at longitude difference lam."""
         sl, cl = xp.sin(lam), xp.cos(lam)
         sin_sigma = xp.hypot(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
         cos_sigma = su1 * su2 + cu1 * cu2 * cl
@@ -54,6 +56,12 @@ def geodesic_inverse(lon1, lat1, lon2, lat2, ell, xp=np, iters=32):
                           cos_sigma - 2.0 * su1 * su2
                           / xp.where(cos2_alpha == 0.0, 1.0,
                                      cos2_alpha))
+        return sin_sigma, cos_sigma, sigma, sin_alpha, cos2_alpha, \
+            cos2sm
+
+    for _ in range(iters):
+        (sin_sigma, cos_sigma, sigma, sin_alpha, cos2_alpha,
+         cos2sm) = geometry(lam)
         C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
         lam_new = L + (1.0 - C) * f * sin_alpha * (
             sigma + C * sin_sigma * (
@@ -62,16 +70,9 @@ def geodesic_inverse(lon1, lat1, lon2, lat2, ell, xp=np, iters=32):
         lam = lam_new
     converged = delta < 1e-12
     # final geometry from the converged longitude difference
+    (sin_sigma, cos_sigma, sigma, sin_alpha, cos2_alpha,
+     cos2sm) = geometry(lam)
     sl, cl = xp.sin(lam), xp.cos(lam)
-    sin_sigma = xp.hypot(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
-    cos_sigma = su1 * su2 + cu1 * cu2 * cl
-    sigma = xp.arctan2(sin_sigma, cos_sigma)
-    sin_alpha = cu1 * cu2 * sl / xp.where(sin_sigma == 0.0, tiny,
-                                          sin_sigma)
-    cos2_alpha = xp.clip(1.0 - sin_alpha * sin_alpha, 0.0, 1.0)
-    cos2sm = xp.where(cos2_alpha == 0.0, 0.0,
-                      cos_sigma - 2.0 * su1 * su2
-                      / xp.where(cos2_alpha == 0.0, 1.0, cos2_alpha))
     u2 = cos2_alpha * (a * a - b * b) / (b * b)
     A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2
                                              * (320.0 - 175.0 * u2)))

@@ -95,6 +95,10 @@ DATUM_TO_WGS84 = {
     'ED50': (-87, -98, -121, 0, 0, 0, 0),
     # ETRS89 is within cm of WGS84 (fixed to ITRF at epoch 1989.0)
     'ETRS89': (0, 0, 0, 0, 0, 0, 0),
+    # CONUS-average 3-parameter NAD27 shift (EPSG tfm 1173 class,
+    # ~5-10 m accuracy; exact NAD27 needs NADCON grids)
+    'NAD27': (-8, 160, 176, 0, 0, 0, 0),
+    'potsdam': (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
 }
 
 
@@ -672,14 +676,22 @@ def _moll_inverse(x, y, ell, lon0, k0, xp=np):
 # Equidistant cylindrical (eqc) — used by some simple grids
 # ---------------------------------------------------------------------------
 
-def _eqc_forward(lon, lat, ell, lon0, k0, xp=np):
-    x = ell.a * (lon - lon0)
-    y = ell.a * lat
+def _eqc_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    # PROJ eqc: x scaled by cos(lat_ts) (the standard parallel), y
+    # offset by the origin latitude
+    p = params or {}
+    rc = math.cos(math.radians(float(p.get('lat_ts', 0.0))))
+    lat0 = math.radians(float(p.get('lat_0', 0.0)))
+    x = ell.a * rc * (lon - lon0)
+    y = ell.a * (lat - lat0)
     return x, y
 
 
-def _eqc_inverse(x, y, ell, lon0, k0, xp=np):
-    return x / ell.a + lon0, y / ell.a
+def _eqc_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    p = params or {}
+    rc = math.cos(math.radians(float(p.get('lat_ts', 0.0))))
+    lat0 = math.radians(float(p.get('lat_0', 0.0)))
+    return x / (ell.a * rc) + lon0, y / ell.a + lat0
 
 
 # ---------------------------------------------------------------------------
@@ -971,7 +983,7 @@ _INVERSE = {
 # projections whose math needs the full parameter dict (standard
 # parallels, center latitude, satellite height) beyond (lon0, k0)
 _PARAMETRIC = frozenset({'lcc', 'aea', 'laea', 'cea', 'geos',
-                         'somerc', 'ortho', 'aeqd'})
+                         'somerc', 'ortho', 'aeqd', 'eqc'})
 
 
 def _scale_factor(proj, params, ell):
@@ -1018,7 +1030,15 @@ def project_forward(proj, lon_deg, lat_deg, ell, params, xp=np):
     if proj in ('tmerc', 'utm') and lat0 != 0.0:
         m0 = meridian_arc(lat0, ell, xp=np)
         y = y - k0 * m0
-    return x + x0, y + y0
+    x = x + x0
+    y = y + y0
+    to_m = float(params.get('to_meter', 1.0) or 1.0)
+    if to_m != 1.0:
+        # coordinates are expressed in the CRS's linear unit (feet,
+        # km, ...); x_0/y_0 are stored in meters (proj4 convention)
+        x = x / to_m
+        y = y / to_m
+    return x, y
 
 
 def project_inverse(proj, x, y, ell, params, xp=np):
@@ -1030,8 +1050,11 @@ def project_inverse(proj, x, y, ell, params, xp=np):
     k0 = _scale_factor(proj, params, ell)
     x0 = params.get('x_0', 0.0)
     y0 = params.get('y_0', 0.0)
-    x = (xp.asarray(x, dtype=np.float64) if xp is np else x) - x0
-    y = (xp.asarray(y, dtype=np.float64) if xp is np else y) - y0
+    to_m = float(params.get('to_meter', 1.0) or 1.0)
+    x = (xp.asarray(x, dtype=np.float64) if xp is np else x) * to_m \
+        - x0
+    y = (xp.asarray(y, dtype=np.float64) if xp is np else y) * to_m \
+        - y0
     if proj in ('tmerc', 'utm') and lat0 != 0.0:
         m0 = meridian_arc(lat0, ell, xp=np)
         y = y + k0 * m0

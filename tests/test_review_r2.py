@@ -445,3 +445,148 @@ def test_aux_coords_promoted_eagerly_under_chunks(tmp_path):
     assert isinstance(cl, np.ndarray)        # eager, not a lazy view
     # arithmetic works
     _ = np.asarray(cl) + 0.5
+
+
+# ---------------------------------------------------------------------------
+# CRS review fixes (round 2, third review pass)
+# ---------------------------------------------------------------------------
+
+def test_wkt2_polar_stereographic_variant_b_south():
+    """EPSG:3031-style WKT2 (standard parallel -71, no lat_0) must
+    project with the SOUTH-polar aspect."""
+    from nd_tpu.crs import CRS
+    from nd_tpu.crs.proj import project_forward
+
+    wkt = ('PROJCRS["WGS 84 / Antarctic Polar Stereographic",'
+           'BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+           'ELLIPSOID["WGS 84",6378137,298.257223563]]],'
+           'CONVERSION["Antarctic Polar Stereographic",'
+           'METHOD["Polar Stereographic (variant B)"],'
+           'PARAMETER["Latitude of standard parallel",-71],'
+           'PARAMETER["Longitude of origin",0],'
+           'PARAMETER["False easting",0],'
+           'PARAMETER["False northing",0]],'
+           'CS[Cartesian,2],LENGTHUNIT["metre",1]]')
+    crs = CRS.from_string(wkt)
+    assert crs.params.get('lat_0') == -90.0
+    x, y = project_forward('stere', np.array([0.0]),
+                           np.array([-75.0]), crs.ellipsoid,
+                           crs.params)
+    # agrees with the registered EPSG:3031 definition
+    ref = CRS.from_epsg(3031)
+    xr_, yr = project_forward('stere', np.array([0.0]),
+                              np.array([-75.0]), ref.ellipsoid,
+                              ref.params)
+    assert abs(y[0] - yr[0]) < 1e-6 and abs(x[0] - xr_[0]) < 1e-6
+
+
+def test_wkt_linear_units_feet():
+    """A US-survey-foot PROJCS must not be treated as meters."""
+    from nd_tpu.crs import CRS, transform_coords
+
+    ft = 1200.0 / 3937.0
+    wkt = ('PROJCS["ftcrs",GEOGCS["WGS 84",DATUM["WGS84",'
+           'SPHEROID["WGS 84",6378137,298.257223563],'
+           'TOWGS84[0,0,0,0,0,0,0]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["latitude_of_origin",0],'
+           'PARAMETER["central_meridian",-120],'
+           'PARAMETER["scale_factor",0.9996],'
+           'PARAMETER["false_easting",1640416.666666667],'
+           'PARAMETER["false_northing",0],'
+           'UNIT["US survey foot",%.15f]]' % ft)
+    crs = CRS.from_string(wkt)
+    assert abs(crs.params['to_meter'] - ft) < 1e-12
+    assert abs(crs.params['x_0'] - 500000.0) < 0.01   # meters
+    xf, yf = transform_coords('epsg:4326', crs, np.array([-120.0]),
+                              np.array([45.0]))
+    xm, ym = transform_coords(
+        'epsg:4326',
+        '+proj=tmerc +lat_0=0 +lon_0=-120 +k=0.9996 +x_0=500000 '
+        '+y_0=0 +ellps=WGS84 +datum=WGS84',
+        np.array([-120.0]), np.array([45.0]))
+    # foot coordinates = meter coordinates / to_meter
+    assert abs(xf[0] - xm[0] / ft) < 0.01
+    assert abs(yf[0] - ym[0] / ft) < 0.01
+    # round-trips both directions and through WKT
+    back = CRS.from_string(crs.to_wkt())
+    assert back == crs
+
+
+def test_legacy_sphere_webmercator_nadgrids_null():
+    """The classic '+proj=merc +a=6378137 +b=6378137 +nadgrids=@null'
+    string must match EPSG:3857 (no spurious sphere->WGS84 datum
+    conversion — it was ~30 km off)."""
+    from nd_tpu.crs import transform_coords
+
+    legacy = ('+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 '
+              '+x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +no_defs')
+    x1, y1 = transform_coords('epsg:4326', legacy, np.array([10.0]),
+                              np.array([45.0]))
+    x2, y2 = transform_coords('epsg:4326', 'epsg:3857',
+                              np.array([10.0]), np.array([45.0]))
+    assert abs(y1[0] - y2[0]) < 1.0
+    assert abs(x1[0] - x2[0]) < 1.0
+
+
+def test_geos_equality_includes_height_and_sweep():
+    from nd_tpu.crs import CRS
+
+    a = CRS({'proj': 'geos', 'lon_0': -75, 'h': 35786023,
+             'sweep': 'x', 'ellps': 'WGS84'})
+    b = CRS({'proj': 'geos', 'lon_0': -75, 'h': 42164000,
+             'sweep': 'y', 'ellps': 'WGS84'})
+    assert a != b
+
+
+def test_unknown_datum_raises_not_silent_zero():
+    from nd_tpu.crs import CRS, transform_coords
+
+    crs = CRS.from_proj4('+proj=longlat +datum=carthage')
+    assert crs != CRS.from_epsg(4326)      # not silently WGS84
+    with pytest.raises(NotImplementedError):
+        transform_coords(crs, 'epsg:4326', np.array([10.0]),
+                         np.array([36.0]))
+    # same unknown datum on both sides needs no shift: fine
+    x, y = transform_coords(
+        crs, '+proj=merc +datum=carthage +ellps=WGS84',
+        np.array([10.0]), np.array([36.0]))
+    assert np.isfinite(x).all()
+
+
+def test_eqc_standard_parallel():
+    from nd_tpu.crs.proj import (ELLIPSOIDS, project_forward,
+                                 project_inverse)
+
+    wgs = ELLIPSOIDS['WGS84']
+    p = {'proj': 'eqc', 'lat_ts': 30.0, 'lat_0': 10.0, 'lon_0': 0.0,
+         'x_0': 0.0, 'y_0': 0.0}
+    x, y = project_forward('eqc', np.array([10.0]), np.array([45.0]),
+                           wgs, p)
+    import math
+    assert abs(x[0] - wgs.a * math.radians(10.0)
+               * math.cos(math.radians(30.0))) < 1e-6
+    assert abs(y[0] - wgs.a * math.radians(35.0)) < 1e-6
+    lo, la = project_inverse('eqc', x, y, wgs, p)
+    assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 45.0) < 1e-9
+
+
+def test_init_override_voids_epsg_code():
+    from nd_tpu.crs import CRS
+
+    tweaked = CRS({'init': 'epsg:32633', 'lon_0': 12})
+    assert tweaked.to_epsg() is None
+    assert 'AUTHORITY["EPSG","32633"]' not in tweaked.to_wkt()
+    same = CRS({'init': 'epsg:32633'})
+    assert same.to_epsg() == 32633
+
+
+def test_spheroid_near_sphere_radius_no_crash():
+    from nd_tpu.crs import CRS
+
+    wkt = ('GEOGCS["odd",DATUM["u",SPHEROID["z",6370997,298.0],'
+           'TOWGS84[0,0,0,0,0,0,0]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]]')
+    crs = CRS.from_string(wkt)   # used to ZeroDivisionError
+    assert abs(crs.ellipsoid.a - 6370997) < 1.0
