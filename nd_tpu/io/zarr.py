@@ -74,6 +74,14 @@ def _parse_fill(fill, dtype):
         return None
 
 
+def _decompress_chunk(raw, comp):
+    if comp is None:
+        return raw
+    if comp.get('id') == 'numcodecs':
+        return bytes(comp['_codec'].decode(raw))
+    return zlib.decompress(raw)
+
+
 def _write_array(dirpath, name, dims, data, attrs, chunks=None,
                  compress=True):
     data = np.asarray(data)
@@ -85,17 +93,38 @@ def _write_array(dirpath, name, dims, data, attrs, chunks=None,
         attrs['_nd_tpu_datetime64'] = str(data.dtype)
         data = data.astype('datetime64[ns]').astype('int64')
     apath = os.path.join(dirpath, name)
-    if os.path.isdir(apath):
-        # drop stale chunks/metadata from a previous write (re-chunking
-        # would otherwise leave out-of-grid chunk files behind)
-        import shutil
-        shutil.rmtree(apath)
-    os.makedirs(apath, exist_ok=True)
+    # resolve + VALIDATE the chunk grid before touching any existing
+    # store: a bad chunk spec must fail without destroying data
     if chunks is None:
         chunks = data.shape if data.ndim else (1,)
-    chunks = tuple(int(min(c, s)) if s else 1
-                   for c, s in zip(chunks, data.shape)) \
-        if data.ndim else (1,)
+    if data.ndim:
+        chunks = tuple(
+            int(s) if (c is None or int(c) <= 0) else int(min(c, s))
+            if s else 1
+            for c, s in zip(chunks, data.shape))
+        if any(c <= 0 for c in chunks):
+            raise ValueError('invalid chunk grid %r for shape %r'
+                             % (chunks, data.shape))
+    else:
+        chunks = (1,)
+    # write into a temp sibling and swap in atomically: a mid-write
+    # failure leaves the previous array intact
+    import shutil
+    import tempfile
+    tmpdir = tempfile.mkdtemp(prefix='.%s.' % name, dir=dirpath)
+    final_apath = apath
+    apath = tmpdir
+    try:
+        _write_array_payload(apath, final_apath, name, dims, data,
+                             attrs, chunks, compress)
+    except BaseException:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
+
+
+def _write_array_payload(apath, final_apath, name, dims, data, attrs,
+                         chunks, compress):
+    import shutil
     shape = data.shape if data.ndim else ()
     meta = {
         'zarr_format': 2,
@@ -141,6 +170,12 @@ def _write_array(dirpath, name, dims, data, attrs, chunks=None,
         cname = _SEP.join(str(i) for i in (idx if data.ndim else (0,)))
         with open(os.path.join(apath, cname), 'wb') as fh:
             fh.write(raw)
+
+    # the array is complete: swap it into place (replacing any
+    # previous version only now)
+    if os.path.isdir(final_apath):
+        shutil.rmtree(final_apath)
+    os.replace(apath, final_apath)
 
 
 def to_zarr(ds, path, chunks=None, compress=True):
@@ -210,7 +245,27 @@ def _read_array(apath):
     comp = meta.get('compressor')
     sep = meta.get('dimension_separator', '.')
     if comp is not None and comp.get('id') != 'zlib':
-        raise IOError('unsupported zarr compressor %r' % comp.get('id'))
+        # blosc (zarr-python's default) needs the c-blosc library;
+        # use it via numcodecs when available, else fail with the
+        # remedies spelled out
+        cid = comp.get('id')
+        if cid == 'blosc':
+            try:
+                import numcodecs
+                comp = {'id': 'numcodecs', '_codec':
+                        numcodecs.get_codec(comp)}
+            except ImportError:
+                raise IOError(
+                    "zarr store is blosc-compressed (zarr-python's "
+                    "default); this reader decodes zlib natively — "
+                    "install numcodecs, or write the store with "
+                    "compressor=numcodecs.Zlib() / "
+                    "ds.to_zarr(..., compress=True) from this "
+                    "framework")
+        else:
+            raise IOError(
+                'unsupported zarr compressor %r (zlib is decoded '
+                'natively; install numcodecs for blosc)' % cid)
     if meta.get('order', 'C') != 'C':
         raise IOError('unsupported zarr chunk order %r' % meta['order'])
     if meta.get('filters'):
@@ -229,9 +284,7 @@ def _read_array(apath):
             data = (fill if fill is not None
                     else np.zeros((), dtype)[()])
             return dims or (), _finish(np.asarray(data)), attrs
-        raw = open(fpath, 'rb').read()
-        if comp is not None:
-            raw = zlib.decompress(raw)
+        raw = _decompress_chunk(open(fpath, 'rb').read(), comp)
         data = np.frombuffer(raw, dtype=dtype)[0]
         return dims or (), _finish(np.asarray(data)), attrs
 
@@ -247,16 +300,20 @@ def _read_array(apath):
             fpath = os.path.join(apath, '/'.join(str(i) for i in idx))
         if not os.path.exists(fpath):
             continue          # missing chunk -> fill
-        raw = open(fpath, 'rb').read()
-        if comp is not None:
-            raw = zlib.decompress(raw)
+        raw = _decompress_chunk(open(fpath, 'rb').read(), comp)
         block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
         key = tuple(slice(i * c, (i + 1) * c)
                     for i, c in zip(idx, chunks))
         data[key] = block
     data = _finish(data[tuple(slice(0, s) for s in shape)])
     if dims is None:
-        dims = tuple('dim_%d' % i for i in range(len(shape)))
+        # phantom dims are named by SIZE (dim_<n>), like the NetCDF
+        # reader's phony dims: naming them by position collided
+        # different-sized axes of different arrays onto one dim name
+        dims = tuple('dim_%d' % s for s in shape)
+        if len(set(dims)) != len(dims):      # equal sizes: suffix
+            dims = tuple('%s_%d' % (d, i)
+                         for i, d in enumerate(dims))
     return tuple(dims), data, attrs
 
 
@@ -271,6 +328,8 @@ def open_zarr(path):
             ds.attrs.update(json.load(fh))
     arrays = {}
     for name in sorted(os.listdir(path)):
+        if name.startswith('.'):
+            continue   # hidden entries incl. crashed-write temp dirs
         apath = os.path.join(path, name)
         if os.path.isdir(apath) and \
                 os.path.exists(os.path.join(apath, '.zarray')):
@@ -293,9 +352,14 @@ def open_zarr(path):
         coord_names.update(str(legacy).split())
         ds.attrs.pop('coordinates')
     for name, (dims, data, attrs) in arrays.items():
-        per_var = attrs.pop('coordinates', None)
-        if per_var:
+        per_var = attrs.get('coordinates')
+        # consume the attr only when every token names an array here
+        # (same guard as the group-level path: a user attribute that
+        # happens to be called 'coordinates' survives the round trip)
+        if per_var and all(tok in arrays
+                           for tok in str(per_var).split()):
             coord_names.update(str(per_var).split())
+            attrs.pop('coordinates')
     coord_names &= set(arrays)
     for name, (dims, data, attrs) in arrays.items():
         if name in coord_names:

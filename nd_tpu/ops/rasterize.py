@@ -75,6 +75,24 @@ def _line_mask(coords, xs, ys):
     return _point_mask(pts[:, 0], pts[:, 1], xs, ys)
 
 
+# blocking: edges are padded to _EDGE_BLOCK multiples (degenerate
+# horizontal edges contribute no crossings) and rows are chunked to a
+# fixed temporary budget — every geometry of a layer then reuses ONE
+# compiled executable per (row-block, edge-block) shape instead of a
+# fresh remote compile per distinct edge count (CLAUDE.md ragged-shape
+# rule), and the broadcast temporaries stay bounded (a 20k-edge
+# coastline over a 3600^2 grid wanted terabytes unblocked).
+_EDGE_BLOCK = 512
+_TEMP_BUDGET = 64 << 20      # bytes of (rows, nx, E_block) temporaries
+
+
+def _block_crossings(X, Y, x0, y0, x1, y1):
+    cond = (y0 <= Y) != (y1 <= Y)
+    denom = jnp.where(y1 == y0, 1.0, y1 - y0)
+    xint = x0 + (Y - y0) / denom * (x1 - x0)
+    return jnp.sum(cond & (X < xint), axis=-1).astype(jnp.int32)
+
+
 def polygon_mask(geom, xs, ys):
     """Boolean (len(ys), len(xs)) mask of the cells covered by
     ``geom``: pixel-center containment (even-odd rule, holes excluded)
@@ -87,32 +105,66 @@ def polygon_mask(geom, xs, ys):
     if isinstance(geom, LineString):
         return _line_mask(geom.coords, xs, ys)
     p0, p1 = _edges_of(geom)
-    X = jnp.asarray(xs)[None, :, None]           # (1, nx, 1)
-    Y = jnp.asarray(ys)[:, None, None]           # (ny, 1, 1)
-    x0 = jnp.asarray(p0[:, 0])[None, None, :]    # (1, 1, E)
-    y0 = jnp.asarray(p0[:, 1])[None, None, :]
-    x1 = jnp.asarray(p1[:, 0])[None, None, :]
-    y1 = jnp.asarray(p1[:, 1])[None, None, :]
+    ny, nx = len(ys), len(xs)
+    E = len(p0)
+    eb = min(_EDGE_BLOCK, max(64, E))
+    e_pad = -(-E // eb) * eb
+    # padded edges are horizontal at y=0 with x0==x1: cond is False
+    # everywhere, so they add no crossings
+    x0 = np.zeros(e_pad)
+    y0 = np.zeros(e_pad)
+    x1 = np.zeros(e_pad)
+    y1 = np.zeros(e_pad)
+    x0[:E], y0[:E] = p0[:, 0], p0[:, 1]
+    x1[:E], y1[:E] = p1[:, 0], p1[:, 1]
 
-    cond = (y0 <= Y) != (y1 <= Y)
-    denom = jnp.where(y1 == y0, 1.0, y1 - y0)
-    xint = x0 + (Y - y0) / denom * (x1 - x0)
-    crossings = jnp.sum(cond & (X < xint), axis=-1)
-    return (crossings % 2) == 1
+    rb = max(1, min(ny, _TEMP_BUDGET // (max(nx, 1) * eb * 8)))
+    ys_np = np.asarray(ys, np.float64)
+    X = jnp.asarray(np.asarray(xs, np.float64))[None, :, None]
+    crossings = np.zeros((ny, nx), np.int32)
+    for r0 in range(0, ny, rb):
+        # fixed row-block shape: the last block repeats its first row
+        # (results for the repeated rows are discarded on crop)
+        block = ys_np[r0:r0 + rb]
+        if len(block) < rb:
+            block = np.concatenate(
+                [block, np.full(rb - len(block), block[0])])
+        Y = jnp.asarray(block)[:, None, None]
+        acc = jnp.zeros((rb, nx), jnp.int32)
+        for k in range(0, e_pad, eb):
+            acc = acc + _block_crossings(
+                X, Y,
+                jnp.asarray(x0[k:k + eb])[None, None, :],
+                jnp.asarray(y0[k:k + eb])[None, None, :],
+                jnp.asarray(x1[k:k + eb])[None, None, :],
+                jnp.asarray(y1[k:k + eb])[None, None, :])
+        n = min(rb, ny - r0)
+        crossings[r0:r0 + n] = np.asarray(acc)[:n]
+    return jnp.asarray((crossings % 2) == 1)
 
 
 def rasterize_values(geom_value_pairs, xs, ys, fill=0, dtype=None):
     """Burn (geometry, value) pairs onto a grid, later pairs on top.
 
     Mirrors rasterio.features.rasterize semantics (last geometry wins).
+    Accepts any iterable of pairs (materialized once, so generators
+    work); with ``dtype=None`` the output dtype covers BOTH the burn
+    values and ``fill`` (``fill=np.nan`` over integer values promotes
+    to float instead of silently burning 0).
     """
-    values = [v for _, v in geom_value_pairs]
+    pairs = list(geom_value_pairs)
+    values = [v for _, v in pairs]
     if dtype is None:
         dtype = np.result_type(*(np.asarray(v).dtype
                                  for v in values)) \
             if values else np.float64
+        try:
+            fill_dt = np.min_scalar_type(fill)
+        except (TypeError, ValueError):
+            fill_dt = np.asarray(fill).dtype
+        dtype = np.promote_types(dtype, fill_dt)
     out = jnp.full((len(ys), len(xs)), fill, dtype=dtype)
-    for geom, value in geom_value_pairs:
+    for geom, value in pairs:
         mask = polygon_mask(geom, xs, ys)
         out = jnp.where(mask, jnp.asarray(value, dtype), out)
     return out

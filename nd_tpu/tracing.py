@@ -38,15 +38,24 @@ def span(name):
 
 
 def trace(name=None):
-    """Decorator form of :func:`span`."""
+    """Decorator form of :func:`span`.
+
+    Works both bare (``@trace``) and parameterized (``@trace('x')``) —
+    the bare form used to silently return a decorator factory, so the
+    "decorated" function never executed.
+    """
     def deco(fn):
-        label = name or fn.__qualname__
+        label = (name if isinstance(name, str) and name
+                 else fn.__qualname__)
 
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             with span(label):
                 return fn(*args, **kwargs)
         return wrapper
+
+    if callable(name):          # bare @trace
+        return deco(name)
     return deco
 
 

@@ -590,3 +590,109 @@ def test_spheroid_near_sphere_radius_no_crash():
            'UNIT["degree",0.0174532925199433]]')
     crs = CRS.from_string(wkt)   # used to ZeroDivisionError
     assert abs(crs.ellipsoid.a - 6370997) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# rasterize / zarr / tracing review fixes (round 2, fourth review pass)
+# ---------------------------------------------------------------------------
+
+def test_rasterize_generator_and_nan_fill():
+    from nd_tpu.ops.rasterize import rasterize_values
+    from nd_tpu.vector.geometry import Polygon
+
+    sq = Polygon([(1.0, 1.0), (4.0, 1.0), (4.0, 4.0), (1.0, 4.0),
+                  (1.0, 1.0)])
+    xs = np.arange(6) + 0.5
+    ys = np.arange(6) + 0.5
+    gen = ((g, v) for g, v in [(sq, 5)])
+    out = np.asarray(rasterize_values(gen, xs, ys))
+    assert (out == 5).sum() == 9             # generators burn too
+    out2 = np.asarray(rasterize_values([(sq, 5)], xs, ys,
+                                       fill=np.nan))
+    assert out2.dtype.kind == 'f'            # fill folded into dtype
+    assert np.isnan(out2).sum() == 36 - 9
+
+
+def test_polygon_mask_blocked_matches_unblocked():
+    """Edge/row blocking must not change results (and must bound the
+    broadcast temporaries for big polygons)."""
+    import math
+
+    from nd_tpu.ops.rasterize import polygon_mask
+    from nd_tpu.vector.geometry import Polygon
+
+    ang = np.linspace(0, 2 * np.pi, 1501)
+    poly = Polygon(list(zip(100 + 80 * np.cos(ang),
+                            100 + 80 * np.sin(ang))))
+    xs = np.arange(200) + 0.5
+    ys = np.arange(200) + 0.5
+    m = np.asarray(polygon_mask(poly, xs, ys))
+    assert abs(int(m.sum()) - math.pi * 80 * 80) < 120
+
+
+def test_zarr_failed_rewrite_preserves_store(tmp_path):
+    from nd_tpu.core.dataarray import Dataset
+    from nd_tpu.io import open_zarr, to_zarr
+
+    ds = Dataset({'v': (('y', 'x'), np.arange(12.0).reshape(3, 4))},
+                 coords={'y': np.arange(3.0), 'x': np.arange(4.0)})
+    p = str(tmp_path / 's.zarr')
+    to_zarr(ds, p)
+    # xarray's full-dim idiom must not be a destructive crash
+    to_zarr(ds, p, chunks={'y': -1, 'x': 2})
+    back = open_zarr(p)
+    np.testing.assert_array_equal(back['v'].values,
+                                  np.arange(12.0).reshape(3, 4))
+
+
+def test_zarr_phantom_dims_do_not_collide(tmp_path):
+    import json as _json
+    import zlib as _zlib
+
+    p = tmp_path / 'plain.zarr'
+    p.mkdir()
+    (p / '.zgroup').write_text(_json.dumps({'zarr_format': 2}))
+    for name, shape in (('a', (3, 4)), ('b', (5, 6))):
+        d = p / name
+        d.mkdir()
+        (d / '.zarray').write_text(_json.dumps({
+            'zarr_format': 2, 'shape': list(shape),
+            'chunks': list(shape), 'dtype': '<f8',
+            'compressor': {'id': 'zlib', 'level': 1},
+            'fill_value': 'NaN', 'order': 'C', 'filters': None}))
+        raw = np.zeros(shape).tobytes()
+        (d / '0.0').write_bytes(_zlib.compress(raw, 1))
+    from nd_tpu.io import open_zarr
+    ds = open_zarr(str(p))
+    da, db = ds['a'].dims, ds['b'].dims
+    assert set(da).isdisjoint(db)      # no shared phantom names
+    assert dict(ds.sizes)[da[0]] == 3 and dict(ds.sizes)[db[0]] == 5
+
+
+def test_zarr_user_coordinates_attr_survives(tmp_path):
+    from nd_tpu.core.dataarray import Dataset
+    from nd_tpu.io import open_zarr, to_zarr
+
+    ds = Dataset({'v': (('y',), np.arange(3.0))},
+                 coords={'y': np.arange(3.0)})
+    ds._variables['v'].attrs['coordinates'] = 'not actual arrays'
+    p = str(tmp_path / 'c.zarr')
+    to_zarr(ds, p)
+    back = open_zarr(p)
+    assert back['v'].attrs.get('coordinates') == 'not actual arrays'
+
+
+def test_trace_bare_decorator():
+    from nd_tpu.tracing import trace
+
+    @trace
+    def work(x):
+        return x * 2
+
+    assert work(21) == 42
+
+    @trace('named')
+    def work2(x):
+        return x + 1
+
+    assert work2(1) == 2
