@@ -70,12 +70,21 @@ class Checkpointer:
         self._mgr = ocp.CheckpointManager(self._dir, options=options)
 
     def save(self, step, state):
+        """Kick off an (async, per-host) save and return immediately —
+        the whole point of the orbax manager is overlapping the
+        serialization with the next training steps. Use :meth:`wait`
+        (or close()) for a durability barrier; restore() waits
+        automatically."""
         import orbax.checkpoint as ocp
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self):
+        """Block until every in-flight save is durable on disk."""
         self._mgr.wait_until_finished()
 
     def restore(self, step=None, like=None):
         import orbax.checkpoint as ocp
+        self._mgr.wait_until_finished()   # never read a torn save
         step = self.latest_step() if step is None else step
         if step is None:
             return None
@@ -85,7 +94,9 @@ class Checkpointer:
         return self._mgr.restore(step)
 
     def latest_step(self):
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

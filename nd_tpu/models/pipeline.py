@@ -111,15 +111,29 @@ class SARChangePipeline:
                 and jax.config.jax_enable_x64:
             from ..ops.change import (_change_detection_exact_core,
                                       _patch_capacity)
+            from ..ops.pallas_guard import run_with_fallback
             ny, nx = looked.shape[:2]
             cap = _patch_capacity(ny, nx)
-            flags, count = _change_detection_exact_core(
-                looked, float(self.alpha), int(n), 3e-4, cap)
-            return jax.lax.cond(
-                count > cap,
-                lambda: change_detection(looked, alpha=self.alpha,
-                                         n=n, unroll=True),
-                lambda: flags)
+
+            def _exact(lk):
+                flags, count = _change_detection_exact_core(
+                    lk, float(self.alpha), int(n), 3e-4, cap)
+                return jax.lax.cond(
+                    count > cap,
+                    lambda: change_detection(lk, alpha=self.alpha,
+                                             n=n, unroll=True),
+                    lambda: flags)
+
+            # every eager Pallas dispatch site routes through the
+            # shared guard: a transient launch failure retries, then
+            # degrades to the numerically-identical mixed XLA scan,
+            # and strikes feed the session circuit breaker (under
+            # tracing the guard dispatches the primary directly)
+            return run_with_fallback(
+                _exact,
+                lambda lk: change_detection(lk, alpha=self.alpha,
+                                            n=n, stat_dtype='mixed'),
+                looked)
         return change_detection(looked, alpha=self.alpha, n=n)
 
     # -- training ---------------------------------------------------------------
@@ -156,24 +170,43 @@ class SARChangePipeline:
     def _sharded_multilook(self, values, mesh):
         """Multilook with halos over ICI — delegates to the shared
         `parallel.halo.shard_apply` engine (which also handles pixel
-        grids that don't divide the mesh)."""
+        grids that don't divide the mesh). The shard kernel IS
+        :func:`multilook` — one definition for the single-device and
+        sharded paths, so they cannot silently diverge."""
         from ..parallel.halo import shard_apply
-        w = self.ml
-        halo = w // 2
-        kernel = jnp.ones((w, w), values.dtype) / (w * w)
+        halo = self.ml // 2
         return shard_apply(
-            lambda x: convolve(x, kernel, axes=(0, 1), mode='reflect'),
+            lambda x: multilook(x, self.ml),
             values, mesh, {'y': (0, halo), 'x': (1, halo)},
             mode='symmetric')
 
     # -- full sharded step, jitted over the mesh ---------------------------------
-    def make_sharded_step(self, mesh):
+    def make_sharded_step(self, mesh, shape=None):
         """A jitted training step with mesh-sharded inputs.
 
         Inputs: values P(y, x, None, None), labels P(y, x); parameters
         replicated. XLA partitions the feature/loss computation over the
         pixel grid and all-reduces the gradients over ICI.
+
+        ``shape`` (ny, nx), when given, shrinks each mesh axis to the
+        largest count that DIVIDES the pixel grid — jit in_shardings
+        require divisibility, so without the fit a 17x19 grid on a
+        2x4 mesh was rejected outright (the eager ``train_step(mesh=)``
+        path pads instead).
         """
+        if shape is not None:
+            def fit(n, size):
+                n = min(int(n), max(int(size), 1))
+                while n > 1 and size % n:
+                    n -= 1
+                return n
+            ny_n = fit(mesh.shape['y'], shape[0])
+            nx_n = fit(mesh.shape['x'], shape[1])
+            if (ny_n, nx_n) != (mesh.shape['y'], mesh.shape['x']):
+                devices = np.asarray(mesh.devices).reshape(-1)
+                mesh = jax.sharding.Mesh(
+                    devices[:ny_n * nx_n].reshape(ny_n, nx_n),
+                    ('y', 'x'))
         data_sharding = NamedSharding(mesh, P('y', 'x', None, None))
         label_sharding = NamedSharding(mesh, P('y', 'x'))
         replicated = NamedSharding(mesh, P())

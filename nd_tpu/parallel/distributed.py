@@ -36,6 +36,17 @@ def initialize(coordinator_address=None, num_processes=None,
         msg = str(e).lower()
         if 'already' not in msg and 'only be called once' not in msg:
             raise
+        if coordinator_address is not None or process_id is not None:
+            # a second call with explicit arguments cannot take
+            # effect — the first configuration stays live; silence
+            # here would let a caller believe it joined a different
+            # cluster
+            import warnings
+            warnings.warn(
+                'jax.distributed is already initialized; the '
+                'arguments of this initialize() call are IGNORED '
+                '(the first configuration stays in effect)',
+                RuntimeWarning, stacklevel=2)
 
 
 def process_info():
@@ -77,6 +88,23 @@ def host_local_slices(mesh, global_shape, dims=('y', 'x')):
     hi = [max(sl[d].stop if sl[d].stop is not None
               else global_shape[d] for sl in idx_map.values())
           for d in range(len(global_shape))]
+    # the bounding box is only the process's slice when its shards
+    # tile the box exactly — on meshes whose local devices wrap a
+    # row, the box over-covers rows owned by OTHER processes and the
+    # assembled cube would be silently wrong
+    box_cells = int(np.prod([hi[d] - lo[d]
+                             for d in range(len(global_shape))]))
+    shard_cells = sum(
+        int(np.prod([(sl[d].stop if sl[d].stop is not None
+                      else global_shape[d]) - (sl[d].start or 0)
+                     for d in range(len(global_shape))]))
+        for sl in set(tuple(s) for s in idx_map.values()))
+    if shard_cells != box_cells:
+        raise ValueError(
+            "this process's shards are not contiguous along the mesh "
+            'dims (local devices wrap a mesh row); lay the mesh out '
+            'with process-contiguous blocks (see global_mesh) or '
+            'load per-shard instead of per-process')
     return {dim: slice(lo[i], hi[i]) for i, dim in enumerate(dims)}
 
 

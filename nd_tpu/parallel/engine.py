@@ -91,6 +91,11 @@ def apply_sharded(algo, ds, mesh=None):
     shard_dims = [d for d in mesh.axis_names
                   if d in ds.sizes and d in algo.dims]
     mesh = _fit_mesh_to_dims(mesh, ds, shard_dims, halos)
+    # axes the fit shrank to a single shard need no halo exchange at
+    # all — keeping them in shard_dims sent them through halo_pad,
+    # whose halo<=shard-size guard then crashed for big-halo filters
+    # on small axes (where the serial apply works fine)
+    shard_dims = [d for d in shard_dims if mesh.shape[d] > 1]
     mode = _filter_pad_mode(algo)
     cval = float(getattr(algo, 'kwargs', {}).get('cval', 0.0))
     if mode == 'wrap':

@@ -109,8 +109,8 @@ def halo_trim(x, axis, halo):
     return lax.slice_in_dim(x, halo, x.shape[axis] - halo, axis=axis)
 
 
-def shard_apply(fn, arr, mesh, sharded_axes, mode='symmetric', cval=0.0,
-                extra_specs=None):
+def shard_apply(fn, arr, mesh, sharded_axes, mode='symmetric',
+                cval=0.0):
     """Run a windowed kernel sharded over a mesh with halo exchange.
 
     Parameters

@@ -696,3 +696,63 @@ def test_trace_bare_decorator():
         return x + 1
 
     assert work2(1) == 2
+
+
+# ---------------------------------------------------------------------------
+# parallel / models review fixes (round 2, fifth review pass)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def mesh8():
+    from nd_tpu.parallel import get_mesh
+    return get_mesh()
+
+
+def test_apply_sharded_big_halo_small_axis(mesh8):
+    """A filter whose halo exceeds an axis must work sharded exactly
+    like serial (the fitted 1-shard axis previously still went
+    through halo_pad and crashed)."""
+    from nd_tpu.filters import GaussianFilter
+    from nd_tpu.parallel.engine import apply_sharded
+    from nd_tpu.testing import (assert_equal_data,
+                                generate_test_dataset)
+
+    ds = generate_test_dataset(dims={'y': 10, 'x': 64, 'time': 2})
+    algo = GaussianFilter(sigma=3.0)      # halo 12 > y size 10
+    serial = algo.apply(ds)
+    sharded = apply_sharded(algo, ds, mesh=mesh8)
+    assert_equal_data(serial, sharded, rtol=1e-10, atol=1e-12)
+
+
+def test_make_sharded_step_non_divisible_grid(mesh8):
+    """make_sharded_step(shape=...) fits the mesh to divisor counts so
+    a 17x19 grid compiles instead of being rejected."""
+    import jax
+
+    from nd_tpu.models import SARChangePipeline
+
+    pipe = SARChangePipeline(ml=3, n=1, alpha=0.99)
+    rng = np.random.RandomState(0)
+    cube = np.abs(rng.rand(17, 19, 6, 4)).astype(np.float32) + 0.1
+    labels = rng.randint(0, 2, size=(17, 19))
+    params = pipe.init_params(seed=0)
+    step, ds_shard, lb_shard = pipe.make_sharded_step(
+        mesh8, shape=cube.shape[:2])
+    cube_d = jax.device_put(cube, ds_shard)
+    lab_d = jax.device_put(labels, lb_shard)
+    new_params, loss = step(params, cube_d, lab_d)
+    # matches the single-device step
+    ref_params, ref_loss = pipe.train_step(params, cube, labels)
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+
+
+def test_checkpointer_wait_semantics(tmp_path):
+    pytest.importorskip('orbax.checkpoint')
+    from nd_tpu.models.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / 'ck'))
+    state = {'w': np.arange(4.0)}
+    ck.save(0, state)                  # async kick-off
+    back = ck.restore(like=state)      # restore waits internally
+    np.testing.assert_array_equal(back['w'], state['w'])
+    ck.close()
