@@ -129,9 +129,12 @@ def _resilient(detail, name, fn, fallback=None):
     INTERNAL error voided round 1's headline; no single config may
     take the whole bench down again."""
     errs = detail.setdefault('errors', {})
+    _log('config %s ...' % name)
     for attempt in range(2):
         try:
-            return fn(), False
+            out = fn(), False
+            _log('config %s done' % name)
+            return out
         except Exception as e:  # noqa: BLE001 — bench must survive
             errs[name + ('_retry' if attempt else '')] = \
                 str(e).splitlines()[0][:300]
@@ -143,8 +146,81 @@ def _resilient(detail, name, fn, fallback=None):
     return None, False
 
 
+def _log(msg):
+    """Progress note. stdout must stay ONE JSON line; stderr is free."""
+    import sys
+    print('[bench] %s' % msg, file=sys.stderr, flush=True)
+
+
+def _wait_for_backend():
+    """Make sure the accelerator actually answers before committing to
+    it — or fall back to CPU, loudly.
+
+    The tunneled TPU service can hang a bare ``jax.devices()`` call
+    indefinitely when it is down (observed: >5 min with zero CPU); a
+    bench that hangs forever is worse than round 1's crash, because
+    the driver records nothing at all. Probe device initialization in
+    a SUBPROCESS (a hung in-process init can never be cancelled) with
+    a per-attempt timeout, retrying until ``ND_TPU_BENCH_DEVICE_WAIT``
+    seconds (default 1800) have elapsed. Only then degrade to CPU —
+    the numbers will be poor, but honest and diagnosable via the
+    ``backend_degraded`` detail flag.
+
+    Returns None (accelerator answered, or was never requested) or a
+    string explaining the degradation.
+    """
+    import subprocess
+    import sys
+
+    plat = os.environ.get('JAX_PLATFORMS', '').strip().lower()
+    if plat == 'cpu':
+        return None          # CPU init cannot hang
+    # (an empty JAX_PLATFORMS auto-selects — if an accelerator plugin
+    # is registered it carries the same hang risk, so probe it too)
+    deadline = float(os.environ.get('ND_TPU_BENCH_DEVICE_WAIT', 1800))
+    probe_timeout = float(
+        os.environ.get('ND_TPU_BENCH_DEVICE_PROBE_TIMEOUT', 150))
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; d = jax.devices(); '
+                 'print(d[0].platform)'],
+                capture_output=True, timeout=probe_timeout, text=True)
+            if out.returncode == 0 and out.stdout.strip():
+                if attempt > 1:
+                    _log('backend answered on attempt %d (%.0f s)'
+                         % (attempt, time.monotonic() - t0))
+                return None
+            reason = (out.stderr or out.stdout or '').strip() \
+                .splitlines()[-1:] or ['no output']
+            _log('device probe attempt %d failed: %s'
+                 % (attempt, reason[0][:200]))
+        except subprocess.TimeoutExpired:
+            _log('device probe attempt %d timed out after %.0f s'
+                 % (attempt, probe_timeout))
+        except Exception as e:  # pragma: no cover
+            _log('device probe attempt %d errored: %s'
+                 % (attempt, str(e)[:200]))
+        waited = time.monotonic() - t0
+        if waited >= deadline:
+            import jax
+            jax.config.update('jax_platforms', 'cpu')
+            msg = ('accelerator unreachable after %.0f s '
+                   '(%d probe attempts); running on CPU'
+                   % (waited, attempt))
+            _log(msg)
+            return msg
+        time.sleep(min(30, max(1, deadline - waited)))
+
+
 def main():
     import os
+
+    degraded = _wait_for_backend()
 
     import jax
     import jax.numpy as jnp
@@ -178,6 +254,8 @@ def main():
     cube_d = jnp.asarray(cube)
 
     detail = {'backend': backend, 'shape': [NY, NX, K]}
+    if degraded:
+        detail['backend_degraded'] = degraded
 
     # ---- NLMeans (r=1, f=1 spatial, joint over 4 channels) -------------
     r = (1, 1, 0)
@@ -451,6 +529,7 @@ def main():
         detail['coregister_mpix_s'] = round(res, 2)
 
     # ---- tiling config: tile -> filter each tile -> auto_merge ----------
+    _log('config tile_pipeline ...')
     # (BASELINE.json's "Reprojection + tiling.tile/merge" out-of-core
     # config; the filesystem round-trip dominates, mirroring how the
     # reference streams larger-than-memory cubes through NetCDF tiles)
@@ -512,6 +591,7 @@ def main():
         detail['tile_pipeline_error'] = str(e)
 
     # ---- flagship pipeline forward (multilook + omnibus, one jit) ------
+    _log('config pipeline_forward ...')
     try:
         from nd_tpu.models import SARChangePipeline
         pipe = SARChangePipeline(ml=3, n=1, alpha=0.99)
@@ -536,6 +616,7 @@ def main():
         combined_mpix_s = None
 
     # ---- single-core CPU baseline (native C++ kernels) -----------------
+    _log('config cpu_baseline ...')
     base_mpix_s = None
     parity = None
     try:
