@@ -70,11 +70,13 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
     values = jnp.asarray(da.data)
 
     from .ops.change import change_detection_hybrid
-    from .ops.change_pallas import supports_pallas
+    from .ops.change_pallas import supports_pallas_rescan
     sharding = getattr(values, 'sharding', None)
     multi_device = sharding is not None and \
         len(getattr(sharding, 'device_set', ())) > 1
-    if supports_pallas(values.shape[2]) and not multi_device:
+    # the hybrid rescans suspects exactly, so long series stay
+    # Pallas-eligible via the round-capped kernel (k <= 128)
+    if supports_pallas_rescan(values.shape[2]) and not multi_device:
         # fused Pallas kernel + exact float64 patching of the rare
         # near-margin pixels — exact decisions at fast-mode speed
         change = change_detection_hybrid(values, alpha=float(alpha),

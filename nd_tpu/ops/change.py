@@ -422,14 +422,20 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
     non-suspect pixel with its exact decision is a no-op, so the
     capacity fill entries need no masking.
     """
-    from .change_pallas import change_detection_pallas
+    from .change_pallas import (_K_MAX, _ROUNDS_LONG,
+                                change_detection_pallas)
 
     values = jnp.asarray(values)
     ny, nx, k, _ = values.shape
     capacity = -(-capacity // 128) * 128        # lane-friendly rescan
+    # long series cap the kernel's unrolled rounds; pixels that were
+    # still scanning at the cap come back with margin = -inf and are
+    # recomputed exactly below like any other suspect
     packed, margin = change_detection_pallas(
         values, alpha, n=n, return_margin=True, return_packed=True,
-        interpret=interpret)                    # (P, ny, nx) int32
+        interpret=interpret,
+        max_rounds=None if k <= _K_MAX else _ROUNDS_LONG)
+    #                                           # (P, ny, nx) int32
     nplanes = packed.shape[0]
     suspect = ~(margin > jnp.float32(margin_eps))   # NaN-inclusive
     idx, count = _compact_indices(suspect, capacity)
@@ -497,9 +503,9 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
     :func:`change_detection_hybrid`, which host-patches in that
     configuration.
     """
-    from .change_pallas import supports_pallas
+    from .change_pallas import supports_pallas_rescan
 
-    if not (supports_pallas(np.shape(values)[2]) or interpret):
+    if not (supports_pallas_rescan(np.shape(values)[2]) or interpret):
         return change_detection(values, alpha=alpha, n=n,
                                 stat_dtype='mixed')
     if not jax.config.jax_enable_x64:
@@ -594,9 +600,11 @@ def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
     return_device : bool, optional
         Return the (patched) device array instead of numpy.
     """
-    from .change_pallas import change_detection_pallas, supports_pallas
+    from .change_pallas import (_K_MAX, _ROUNDS_LONG,
+                                change_detection_pallas,
+                                supports_pallas_rescan)
 
-    if not supports_pallas(np.shape(values)[2]):
+    if not supports_pallas_rescan(np.shape(values)[2]):
         out = change_detection(values, alpha=alpha, n=n)
         return out if return_device else np.asarray(out)
 
@@ -609,8 +617,10 @@ def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
             values_host = values if isinstance(values, np.ndarray) \
                 else np.asarray(values)
         values_dev = jnp.asarray(values, jnp.float32)
-        flags, margin = change_detection_pallas(values_dev, alpha, n=n,
-                                                return_margin=True)
+        k_host = values_dev.shape[2]
+        flags, margin = change_detection_pallas(
+            values_dev, alpha, n=n, return_margin=True,
+            max_rounds=None if k_host <= _K_MAX else _ROUNDS_LONG)
         result = np.array(flags)        # writable copy (asarray views
                                         # of device buffers are RO)
         suspect = ~(np.asarray(margin) > margin_eps)

@@ -2,10 +2,11 @@
 
 One grid step loads a (k, 4, TY, TX) covariance tile into VMEM and runs
 the ENTIRE iterative change-point scan on-chip: the restart loop is
-fully unrolled (k-1 rounds with per-pixel masking — cheap on VMEM-
-resident data), interval statistics use the t-space cumulative
-formulation of ``nd_tpu.ops.change`` and the chi-square decisions are
-host-precomputed z-threshold immediates. HBM traffic is one tile read +
+statically unrolled (k-1 rounds with per-pixel masking — cheap on VMEM-
+resident data; long series cap the rounds and escape through the
+suspect margins, see ``max_rounds``), interval statistics use the
+t-space cumulative formulation of ``nd_tpu.ops.change`` and the
+chi-square decisions are host-precomputed z-threshold immediates. HBM traffic is one tile read +
 one boolean tile write, versus one full set of (y, x, k) temporaries
 per round for the XLA path.
 
@@ -31,7 +32,7 @@ except ImportError:  # pragma: no cover
 from .change import omnibus_thresholds
 
 __all__ = ['change_detection_pallas', 'unpack_flags',
-           'supports_pallas']
+           'supports_pallas', 'supports_pallas_rescan']
 
 _TY = 16
 _TX = 128
@@ -44,6 +45,19 @@ _P = 2.0
 # while_loop 'mixed' XLA path stays O(k) and remains the better choice.
 _K_MAX = 48
 
+# Longer series remain Pallas-eligible for the margin-tracking callers
+# (exact / hybrid modes): they cap the unrolled restart rounds at
+# ``_ROUNDS_LONG`` — a pixel's rounds are one per detected change, so
+# the graph is O(rounds * k), not O(k^2) — and any pixel still active
+# after the capped rounds is forced into the suspect set (margin
+# = -inf), where the caller's f64/native rescan recomputes its full
+# series exactly. The cap below bounds VMEM: the (k, 4, ty, tx) input
+# tile plus six (k, ty, tx) cumulative temps must fit in 16 MB (the
+# long-k path shrinks ty to 8: ~2.1 MB input + ~3.1 MB temps at
+# k = 128).
+_K_RESCAN_MAX = 128
+_ROUNDS_LONG = 16
+
 
 def supports_pallas(k=None):
     """True when the fused TPU kernel applies (optionally: to a series
@@ -54,6 +68,18 @@ def supports_pallas(k=None):
             or pallas_disabled():
         return False
     return k is None or k <= _K_MAX
+
+
+def supports_pallas_rescan(k=None):
+    """True when the fused kernel applies for a caller that rescans
+    suspect pixels (exact / hybrid modes): those paths stay eligible up
+    to ``_K_RESCAN_MAX`` time steps by capping the unrolled rounds and
+    folding round-overflow pixels into the suspect rescan."""
+    from .pallas_guard import pallas_disabled
+    if jax.default_backend() != 'tpu' or pltpu is None \
+            or pallas_disabled():
+        return False
+    return k is None or k <= _K_RESCAN_MAX
 
 
 def _mlog(x):
@@ -97,7 +123,7 @@ def _mlog(x):
 
 
 def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
-            thresholds, with_margin):
+            thresholds, with_margin, rounds=None):
     """in_ref (k, 4, TY, TX) f32 -> out_ref (P, TY, TX) int32
     BIT-PACKED change flags (bit t%31 of plane t//31 = flag at time t;
     P = ceil(k/31)) and margin_ref (TY, TX): the smallest relative
@@ -172,7 +198,14 @@ def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
             c_tab.append(np.float32(-np.inf))   # never hits
             s_tab.append(np.float32(0.0))
 
-    for _round in range(k - 1):
+    # A pixel consumes one round per detected change point (a round
+    # whose global test fails to reject deactivates it), so most pixels
+    # finish in a handful of rounds; ``rounds < k - 1`` bounds the
+    # unrolled graph for long series, with still-active pixels forced
+    # into the suspect set below for the caller's exact rescan.
+    if rounds is None:
+        rounds = k - 1
+    for _round in range(rounds):
         l = l_ref[:]
         active = active_ref[:] > 0
         ge_l = tt >= l[None]                       # (k, ty, tx)
@@ -285,6 +318,15 @@ def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
         active_ref[:] = jnp.where(active, jnp.float32(1.0),
                                   jnp.float32(0.0))
 
+    if with_margin and rounds < k - 1:
+        # Round-capped run: a pixel still active after ``rounds``
+        # restarts may have undetected change points, so its packed
+        # flags are incomplete — force it into the suspect set (margin
+        # below any finite eps); the caller's rescan REPLACES suspect
+        # pixels' full rows with exact decisions.
+        margin_ref[:] = jnp.where(active_ref[:] > 0,
+                                  jnp.float32(-np.inf), margin_ref[:])
+
 
 def unpack_flags(packed, k):
     """(P, ..., ny, nx) int32 bit-packed planes -> (..., ny, nx, k)
@@ -302,7 +344,8 @@ def unpack_flags(packed, k):
 
 
 def change_detection_pallas(values, alpha, n=1, interpret=False,
-                            return_margin=False, return_packed=False):
+                            return_margin=False, return_packed=False,
+                            max_rounds=None):
     """Fast (f32) omnibus change detection as a fused Pallas kernel.
 
     Same decision rule as :func:`nd_tpu.ops.change.change_detection`
@@ -311,14 +354,30 @@ def change_detection_pallas(values, alpha, n=1, interpret=False,
     bit-packed planes the kernel produces (P = ceil(k/31); see
     :func:`unpack_flags`). Margin tracking costs ~20% kernel time and
     is only compiled in when ``return_margin`` is set.
+
+    ``max_rounds`` caps the unrolled restart rounds (long series:
+    graph is O(rounds * k) instead of O(k^2)). A pixel still active
+    after the cap has incomplete flags and is folded into the suspect
+    margins (margin = -inf), so a rescan-capable caller is REQUIRED:
+    ``max_rounds`` below ``k - 1`` demands ``return_margin``.
     """
     values = jnp.asarray(values, jnp.float32)
     ny, nx, k, _ = values.shape
+    rounds = k - 1 if max_rounds is None else int(min(k - 1,
+                                                      max_rounds))
+    if rounds < k - 1 and not return_margin:
+        raise ValueError(
+            'max_rounds < k-1 caps the scan before every pixel can '
+            'finish; the overflow escape rides the suspect margins, '
+            'so return_margin=True is required')
     nplanes = (k + 30) // 31
     thresholds = omnibus_thresholds(k, n, float(alpha))
 
     data = jnp.transpose(values, (2, 3, 0, 1))     # (k, 4, y, x)
-    ty = min(_TY, max(8, int(np.ceil(ny / 8)) * 8))
+    # long series halve the row tile: the (k, 4, ty, tx) input tile
+    # plus six (k, ty, tx) cumulative temps must stay within VMEM
+    ty_cap = _TY if k <= _K_MAX else 8
+    ty = min(ty_cap, max(8, int(np.ceil(ny / 8)) * 8))
     tx = _TX
     ny_pad = int(np.ceil(ny / ty)) * ty
     nx_pad = int(np.ceil(nx / tx)) * tx
@@ -328,7 +387,8 @@ def change_detection_pallas(values, alpha, n=1, interpret=False,
 
     kernel = functools.partial(_kernel, k=k, nf=float(n),
                                thresholds=thresholds,
-                               with_margin=bool(return_margin))
+                               with_margin=bool(return_margin),
+                               rounds=rounds)
 
     # Without return_margin the margin plane lives as VMEM SCRATCH —
     # the kernel body is identical (it still initializes margin_ref;

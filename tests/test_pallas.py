@@ -122,7 +122,8 @@ def test_exact_device_multiplane_k_over_31():
 
 def test_pallas_k_cap(monkeypatch):
     """Long time series (O(k^2) unrolled kernel graph) fall back to
-    the XLA scan: supports_pallas(k) gates on _K_MAX."""
+    the XLA scan: supports_pallas(k) gates on _K_MAX; rescan-capable
+    callers stay eligible up to _K_RESCAN_MAX (round-capped kernel)."""
     import nd_tpu.ops.change_pallas as cp
     if cp.pltpu is None:
         pytest.skip('pallas tpu module unavailable')
@@ -130,6 +131,62 @@ def test_pallas_k_cap(monkeypatch):
     assert cp.supports_pallas()
     assert cp.supports_pallas(cp._K_MAX)
     assert not cp.supports_pallas(cp._K_MAX + 1)
+    assert cp.supports_pallas_rescan(cp._K_MAX + 1)
+    assert cp.supports_pallas_rescan(cp._K_RESCAN_MAX)
+    assert not cp.supports_pallas_rescan(cp._K_RESCAN_MAX + 1)
+
+
+def _many_change_cube(ny, nx, k, period=3, seed=11):
+    """Cube whose FIRST column of pixels alternates strongly every
+    ``period`` steps (more change points than the round cap) while the
+    rest carries a single mid-series step."""
+    cube = _change_cube(ny, nx, k, seed=seed)
+    t = np.arange(k)
+    burst = np.where((t // period) % 2 == 0, 1.0, 6.0) \
+        .astype(np.float32)
+    cube[:, 0, :, 0] = burst
+    cube[:, 0, :, 3] = burst
+    cube[:, 0, :, 1] = 0.05
+    cube[:, 0, :, 2] = 0.03
+    return cube
+
+
+def test_round_capped_kernel_forces_overflow_suspects():
+    """max_rounds < k-1: pixels still scanning at the cap come back
+    with margin = -inf (forced suspects); finished pixels keep finite
+    margins; max_rounds without margin tracking is rejected."""
+    from nd_tpu.ops.change_pallas import change_detection_pallas
+    cube = _many_change_cube(8, 128, 20, period=2)
+    with pytest.raises(ValueError, match='return_margin'):
+        change_detection_pallas(cube, alpha=0.99, n=9, max_rounds=3,
+                                interpret=True)
+    _, margin = change_detection_pallas(
+        cube, alpha=0.99, n=9, max_rounds=3, return_margin=True,
+        interpret=True)
+    margin = np.asarray(margin)
+    # the alternating column restarts ~k/2 times: capped at 3 rounds
+    # it MUST be forced suspect
+    assert np.all(np.isneginf(margin[:, 0]))
+    # most of the remaining field finishes within 3 rounds
+    assert np.isfinite(margin[:, 1:]).mean() > 0.5
+
+
+def test_long_series_exact_matches_mixed():
+    """k > _K_MAX routes through the round-capped kernel + rescan and
+    still reproduces the full 'mixed' scan bit-exactly — including the
+    pixels with more change points than the cap."""
+    import nd_tpu.ops.change_pallas as cp
+    from nd_tpu.ops.change import (change_detection,
+                                   change_detection_exact)
+    k = cp._K_MAX + 8
+    cube = _many_change_cube(8, 128, k, period=3)
+    ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
+                                      stat_dtype='mixed'))
+    got = np.asarray(change_detection_exact(
+        cube, alpha=0.99, n=9, capacity=1024, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    # sanity: the alternating column really has many change points
+    assert ref[:, 0].sum() >= 8 * 6
 
 
 def test_hybrid_x64_off_host_patches(monkeypatch):
@@ -146,6 +203,8 @@ def test_hybrid_x64_off_host_patches(monkeypatch):
     from nd_tpu.ops.change import change_detection
 
     monkeypatch.setattr(cp, 'supports_pallas', lambda k=None: True)
+    monkeypatch.setattr(cp, 'supports_pallas_rescan',
+                        lambda k=None: True)
     monkeypatch.setattr(
         cp, 'change_detection_pallas',
         functools.partial(cp.change_detection_pallas, interpret=True))

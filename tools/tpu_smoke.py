@@ -10,7 +10,9 @@ Checks (all small shapes, executables cached across runs):
   2. change detection: exact device path (Pallas scan + f64 patch) ==
      XLA 'mixed' scan == native C++ reference
   3. fast f32 Pallas change kernel: decision agreement with 'mixed'
-     away from the decision margin
+     away from the decision margin; 3b. long series (k > 48): the
+     round-capped kernel + rescan reproduces 'mixed' exactly, incl. a
+     burst column with more change points than the round cap
   4. warp: separable matmul resample == gather sampler
   5. Pallas runtime guard: a simulated launch failure degrades to XLA
      with identical output on-device
@@ -147,6 +149,42 @@ def main(out_path=None):
                 'near_margin_pixels': int((~safe).sum())}
 
     record('change_fast_margin', check_change_fast)
+
+    # -- 3b. long series: round-capped kernel + rescan == mixed ---------
+    def check_change_long_series():
+        from nd_tpu.ops.change import (change_detection,
+                                       change_detection_exact)
+        from nd_tpu.ops.change_pallas import (_K_MAX,
+                                              supports_pallas_rescan)
+        k = _K_MAX + 8
+        if not supports_pallas_rescan(k):
+            return {'skipped': 'no pallas'}
+        vals = np.abs(rng.normal(1, 0.25, (8, 128, k, 4))) \
+            .astype(np.float32)
+        vals[..., 1] *= 0.2
+        vals[..., 2] *= 0.2
+        vals[:, :, k // 2:, 0] *= 3.0
+        # one column with more change points than the round cap: must
+        # come back as a forced suspect and still match exactly
+        t = np.arange(k)
+        burst = np.where((t // 3) % 2 == 0, 1.0, 6.0) \
+            .astype(np.float32)
+        vals[:, 0, :, 0] = burst
+        vals[:, 0, :, 3] = burst
+        vals[:, 0, :, 1] = 0.05
+        vals[:, 0, :, 2] = 0.03
+        mixed = np.asarray(change_detection(jnp.asarray(vals),
+                                            alpha=0.99, n=9,
+                                            stat_dtype='mixed'))
+        exact = np.asarray(change_detection_exact(jnp.asarray(vals),
+                                                  alpha=0.99, n=9))
+        mism = float((exact != mixed).mean())
+        assert mism == 0.0, mism
+        assert int(mixed[:, 0].sum()) >= 8 * 6   # the burst column
+        return {'k': k, 'long_exact_vs_mixed_mismatch': mism,
+                'burst_changes': int(mixed[:, 0].sum())}
+
+    record('change_long_series', check_change_long_series)
 
     # -- 4. warp: matmul path == gather path ----------------------------
     def check_warp():
