@@ -421,6 +421,32 @@ def main():
                     if res:
                         change_map = _sync(res[1])
 
+    # ---- long series (k > 48): round-capped kernel + exact rescan ------
+    # (the unrolled Pallas graph is O(k^2); past 48 steps the exact
+    # mode caps the rounds and folds overflow pixels into the suspect
+    # rescan — this config records that the long-k path holds device
+    # speed instead of dropping to the O(k) XLA scan)
+    if on_accel:
+        from nd_tpu.ops.change import change_detection_exact
+        from nd_tpu.ops.change_pallas import supports_pallas_rescan
+        KL = 56
+        if supports_pallas_rescan(KL):
+            cube_long = jnp.asarray(_make_cube(256, 512, KL, seed=2))
+            mpix_long = 256 * 512 * KL / 1e6
+
+            def long_series():
+                change_detection_exact(cube_long, alpha, n=looks)
+                t0 = time.perf_counter()
+                out = change_detection_exact(cube_long, alpha,
+                                             n=looks)
+                _sync(out)
+                return time.perf_counter() - t0
+            res, _ = _resilient(detail, 'omnibus_long', long_series)
+            if res:
+                detail['omnibus_long_k'] = KL
+                detail['omnibus_long_mpix_s'] = round(mpix_long / res,
+                                                      2)
+
     # ---- secondary configs ---------------------------------------------
     k3 = jnp.ones((3, 3), jnp.float32) / 9
 
