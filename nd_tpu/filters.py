@@ -422,9 +422,11 @@ class NLMeansFilter(Filter):
         return self._finalize(result, output)
 
     def _nlmeans_4d(self, values, r, f):
-        """Dispatch the 4-D kernel: fused Pallas tile kernel on TPU for
-        the spatial (2-D) pattern, XLA scan otherwise."""
-        from .ops.nlmeans_pallas import (nlmeans_spatial_pallas,
+        """Dispatch the 4-D kernel: fused Pallas tile kernel on TPU
+        (any radius pattern — spatial, temporal, or full 3-D), XLA
+        scan otherwise."""
+        from .ops.nlmeans_pallas import (nlmeans_pallas,
+                                         nlmeans_spatial_pallas,
                                          supports_pallas)
         from .ops.pallas_guard import run_with_fallback
 
@@ -433,28 +435,29 @@ class NLMeansFilter(Filter):
                                 self.n_eff)
 
         active = [i for i in range(3) if r[i] > 0]
-        if supports_pallas() and values.dtype == jnp.float32:
-            if active and set(active) <= {0, 1} and r[2] == 0 \
-                    and f[2] == 0:
+        if supports_pallas() and values.dtype == jnp.float32 \
+                and active:
+            if set(active) <= {1, 2} and r[0] == 0 and f[0] == 0:
+                # rotate the batched axis to the back so the filtered
+                # axes ride sublanes/lanes (d0 is often a broadcast
+                # singleton from the 4-D padding)
                 def pallas_path(v):
-                    return nlmeans_spatial_pallas(
-                        v, (int(r[0]), int(r[1])),
-                        (int(f[0]), int(f[1])), self.sigma, self.h,
-                        self.n_eff)
-                return run_with_fallback(pallas_path, xla_path,
-                                         values, name='nlmeans')
-            if active and set(active) <= {1, 2} and r[0] == 0 \
-                    and f[0] == 0:
-                def pallas_path(v):
-                    # rotate the batched axis to the back
                     rotated = jnp.transpose(v, (1, 2, 0, 3))
                     out = nlmeans_spatial_pallas(
                         rotated, (int(r[1]), int(r[2])),
                         (int(f[1]), int(f[2])), self.sigma, self.h,
                         self.n_eff)
                     return jnp.transpose(out, (2, 0, 1, 3))
-                return run_with_fallback(pallas_path, xla_path,
-                                         values, name='nlmeans')
+            else:
+                # native (d0, d1, d2) window — covers spatial,
+                # temporal-radius and full 3-D filtering
+                def pallas_path(v):
+                    return nlmeans_pallas(
+                        v, (int(r[0]), int(r[1]), int(r[2])),
+                        (int(f[0]), int(f[1]), int(f[2])),
+                        self.sigma, self.h, self.n_eff)
+            return run_with_fallback(pallas_path, xla_path,
+                                     values, name='nlmeans')
         return xla_path(values)
 
 

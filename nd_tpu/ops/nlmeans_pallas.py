@@ -1,12 +1,16 @@
-"""Fused Pallas TPU kernel for 2-D (spatial) non-local means.
+"""Fused Pallas TPU kernels for non-local means (2-D and 3-D windows).
 
 The XLA formulation (nd_tpu/ops/nlmeans.py) re-reads and re-writes the
-weight/output accumulators from HBM once per neighborhood offset; for
-the common spatial case (r, f over y/x only, time/variable batched) this
-kernel keeps the entire accumulation in VMEM: each grid step DMAs one
-(t, v, TY+2p, TX+2p) halo tile, unrolls the offset loop on-chip and
-writes the finished (t, v, TY, TX) output tile once — HBM traffic drops
-from O(offsets x cube) to ~2 x cube.
+weight/output accumulators from HBM once per neighborhood offset; these
+kernels keep the entire accumulation in VMEM: each grid step DMAs one
+(t + 2pt, v, TY + 2py, TX + 2px) halo tile, unrolls the offset loop
+on-chip and writes the finished (t, v, TY, TX) output tile once — HBM
+traffic drops from O(offsets x cube) to ~2 x cube.
+
+The temporal axis rides the tile's LEADING (untiled) axis and is fully
+VMEM-resident, so a temporal radius (the reference's 3-D filtering,
+_filters.pyx up to 3 dims) is just more static offset slices — the
+spatial kernel is the rt = ft = 0 special case of the same body.
 
 Numerics are identical to the XLA/oracle path: reflect (edge-excluding)
 boundary, weight exp(-max(dsq - 2 sigma^2, 0)/h^2), self-weight = max
@@ -33,7 +37,8 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
-__all__ = ['nlmeans_spatial_pallas', 'supports_pallas']
+__all__ = ['nlmeans_pallas', 'nlmeans_spatial_pallas',
+           'supports_pallas']
 
 _TY = 16
 _TX = 512
@@ -46,18 +51,21 @@ def supports_pallas():
         and not pallas_disabled()
 
 
-def _kernel(refs, out_ref, *, ry, rx, fy, fx, sigma, h, n_eff,
+def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
             nvars, dsq_norm, halo=None):
-    """One (t, v, TY+2hp, TX+2hp) tile -> (t, v, TY, TX) output tile.
+    """One (t+2pt, v, TY+2hp, TX+2hp) tile -> (t, v, TY, TX) output.
 
     ``refs`` = (tile, wsum, wsq, wmax) VMEM refs; ``halo`` is the
-    (possibly alignment-rounded) tile halo — the kernel only reads
-    within r+f of the output region.
+    (possibly alignment-rounded) y/x tile halo — the kernel only reads
+    within r+f of the output region. The temporal halo ``pt = rt+ft``
+    is exact (the leading axis has no tiling constraint).
     """
     p_y, p_x = halo if halo is not None else (ry + fy, rx + fx)
+    p_t = rt + ft
     in_ref, wsum_ref, wsq_ref, wmax_ref = refs
-    shape = in_ref.shape                   # (t, v, TY+2py, TX+2px)
+    shape = in_ref.shape                  # (t+2pt, v, TY+2py, TX+2px)
     dtype = in_ref.dtype
+    tt = shape[0] - 2 * p_t
     ty = shape[2] - 2 * p_y
     tx = shape[3] - 2 * p_x
 
@@ -76,42 +84,53 @@ def _kernel(refs, out_ref, *, ry, rx, fy, fx, sigma, h, n_eff,
     # dsq(p, p+D) == dsq(q, q-D) at q = p+D — so each unordered offset
     # pair is computed once over a D-extended window and reused for
     # both directions, halving the dominant sq/patch work.
-    half = [(dy, dx) for dy, dx in
-            itertools.product(range(-ry, ry + 1), range(-rx, rx + 1))
-            if (dy, dx) > (0, 0)]
-    for dy, dx in half:
+    half = [(dt, dy, dx) for dt, dy, dx in
+            itertools.product(range(-rt, rt + 1), range(-ry, ry + 1),
+                              range(-rx, rx + 1))
+            if (dt, dy, dx) > (0, 0, 0)]
+    for dt, dy, dx in half:
         # the "left" pixel q of each evaluated pair (q, q+D) ranges
-        # over o (forward) and o-D (backward): rows [-dy, ty),
-        # cols [-max(dx,0), tx - min(dx,0))
+        # over o (forward) and o-D (backward): per axis
+        # [-max(d,0), extent - min(d,0))
+        et0 = -max(dt, 0)
+        et1 = -min(dt, 0)
         ey0 = -max(dy, 0)
         ey1 = -min(dy, 0)
         ex0 = -max(dx, 0)
         ex1 = -min(dx, 0)
-        a1 = in_ref[:, :,
+        a1 = in_ref[p_t + et0 - ft:p_t + tt + et1 + ft, :,
                     p_y + ey0 - fy:p_y + ty + ey1 + fy,
                     p_x + ex0 - fx:p_x + tx + ex1 + fx]
-        a2 = in_ref[:, :,
+        a2 = in_ref[p_t + et0 + dt - ft:p_t + tt + et1 + dt + ft, :,
                     p_y + ey0 + dy - fy:p_y + ty + ey1 + dy + fy,
                     p_x + ex0 + dx - fx:p_x + tx + ex1 + dx + fx]
         sq = jnp.sum((a1 - a2) ** 2, axis=1)
-        # patch sum over the (2f+1) window: separable static shifts
+        # patch sum over the (2f+1) window per axis: separable static
+        # shifts
+        ht = tt + et1 - et0
+        acc_t = sq[0:ht]
+        for u in range(1, 2 * ft + 1):
+            acc_t = acc_t + sq[u:u + ht]
         hy = ty + ey1 - ey0
-        acc_y = sq[:, 0:hy, :]
+        acc_y = acc_t[:, 0:hy, :]
         for u in range(1, 2 * fy + 1):
-            acc_y = acc_y + sq[:, u:u + hy, :]
+            acc_y = acc_y + acc_t[:, u:u + hy, :]
         hx = tx + ex1 - ex0
         patch = acc_y[:, :, 0:hx]
         for v in range(1, 2 * fx + 1):
             patch = patch + acc_y[:, :, v:v + hx]
-        # patch[r, c] = dsq between pixels (ey0+r, ex0+c) and
-        # (ey0+r+dy, ex0+c+dx) in tile-output coordinates
-        dsq_fwd = patch[:, -ey0:ty - ey0, -ex0:tx - ex0] * inv_norm
-        dsq_bwd = patch[:, -ey0 - dy:ty - ey0 - dy,
+        # patch[s, r, c] = dsq between pixels (et0+s, ey0+r, ex0+c)
+        # and the (dt, dy, dx)-shifted pixel, in tile-output coords
+        dsq_fwd = patch[-et0:tt - et0,
+                        -ey0:ty - ey0, -ex0:tx - ex0] * inv_norm
+        dsq_bwd = patch[-et0 - dt:tt - et0 - dt,
+                        -ey0 - dy:ty - ey0 - dy,
                         -ex0 - dx:tx - ex0 - dx] * inv_norm
-        for ddy, ddx, dsq in ((dy, dx, dsq_fwd),
-                              (-dy, -dx, dsq_bwd)):
+        for ddt, ddy, ddx, dsq in ((dt, dy, dx, dsq_fwd),
+                                   (-dt, -dy, -dx, dsq_bwd)):
             w = jnp.exp(-jnp.maximum(dsq - two_sigma2, 0) * inv_h2)
-            vals = in_ref[:, :, p_y + ddy:p_y + ddy + ty,
+            vals = in_ref[p_t + ddt:p_t + ddt + tt, :,
+                          p_y + ddy:p_y + ddy + ty,
                           p_x + ddx:p_x + ddx + tx]
             wsum_ref[:] = wsum_ref[:] + w
             wsq_ref[:] = wsq_ref[:] + w * w
@@ -129,66 +148,71 @@ def _kernel(refs, out_ref, *, ry, rx, fy, fx, sigma, h, n_eff,
                                         xp=jnp)
 
     total = wsum + w_self
-    center = in_ref[:, :, p_y:p_y + ty, p_x:p_x + tx]
+    center = in_ref[p_t:p_t + tt, :, p_y:p_y + ty, p_x:p_x + tx]
     out_ref[:] = (out_ref[:] + w_self[:, None] * center) \
         / total[:, None]
 
 
-def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
-                           interpret=False):
-    """Spatial NLMeans of a (d0, d1, d2, var) array where the filter
-    runs over (d0, d1) and d2/var are batched — the layout produced by
-    NLMeansFilter with dims=('y', 'x').
+def nlmeans_pallas(arr, r, f, sigma, h, n_eff=-1.0, interpret=False):
+    """NLMeans of a (d0, d1, d2, var) array with a full 3-D window.
 
-    Parameters match :func:`nd_tpu.ops.nlmeans.nlmeans` with
-    ``r = (ry, rx, 0)`` and ``f = (fy, fx, 0)``; like that kernel,
-    ``r + f`` must be smaller than the filtered extent, and an empty
-    neighborhood (``r == (0, 0)``) is the identity. Computation is
+    Parameters match :func:`nd_tpu.ops.nlmeans.nlmeans`: ``r`` and
+    ``f`` are per-axis (d0, d1, d2) radii/patch half-widths; axes with
+    ``r == 0`` and ``f == 0`` are batched. Like that kernel, ``r + f``
+    must be smaller than each filtered extent, and an empty
+    neighborhood (``r == (0, 0, 0)``) is the identity. Computation is
     float32 (the TPU fast path); other input dtypes are cast.
+
+    Layout: d0 rides sublanes, d1 rides the 128-wide lanes, d2 is the
+    tile's leading axis (fully VMEM-resident, exact ``r2+f2`` halo).
     """
-    ry, rx = int(r[0]), int(r[1])
-    fy, fx = int(f[0]), int(f[1])
+    ry, rx, rt = int(r[0]), int(r[1]), int(r[2])
+    fy, fx, ft = int(f[0]), int(f[1]), int(f[2])
     p_y = ry + fy
     p_x = rx + fx
+    p_t = rt + ft
 
     arr = jnp.asarray(arr)
     if arr.dtype != jnp.float32:
         arr = arr.astype(jnp.float32)
     ny, nx, nt, nv = arr.shape
-    for name, ext, pad in (('dim 0', ny, p_y), ('dim 1', nx, p_x)):
+    for name, ext, pad in (('dim 0', ny, p_y), ('dim 1', nx, p_x),
+                           ('dim 2', nt, p_t)):
         if pad >= ext:
             raise ValueError(
                 'r + f (%d) must be smaller than %s size (%d)'
                 % (pad, name, ext))
-    if ry == 0 and rx == 0:
+    if ry == 0 and rx == 0 and rt == 0:
         return arr                      # no neighbors: identity
 
     # Mosaic DMA slices must respect the (8, 128) tiling: round the
     # halo up so the window extents stay aligned; the extra ring is
-    # dead data the kernel never reads.
+    # dead data the kernel never reads. The leading (t) axis is
+    # untiled, so its halo is exact.
     hp_y = int(np.ceil(p_y / 4)) * 4
     hp_x = int(np.ceil(p_x / 64)) * 64
     dtype = arr.dtype
-    dsq_norm = float(nv * (2 * fy + 1) * (2 * fx + 1))
+    dsq_norm = float(nv * (2 * ft + 1) * (2 * fy + 1) * (2 * fx + 1))
 
     # (y, x, t, v) -> (t, v, y, x): x on lanes, y on sublanes
     data = jnp.transpose(arr, (2, 3, 0, 1))
 
     # reflect halo (the kernel's true boundary condition) ...
-    data = jnp.pad(data, ((0, 0), (0, 0), (p_y, p_y), (p_x, p_x)),
-                   mode='reflect')
+    data = jnp.pad(data, ((p_t, p_t), (0, 0), (p_y, p_y),
+                          (p_x, p_x)), mode='reflect')
     # ... alignment ring + trailing grid padding (outputs dropped).
     # Wider tiles amortize the 64-column alignment halo; shrink the
     # tile to stay inside the VMEM budget — Mosaic's stack usage grows
     # with the unrolled offset count, so large neighborhoods get a
     # proportionally smaller budget.
-    n_offsets = max((2 * ry + 1) * (2 * rx + 1) - 1, 1)
+    n_offsets = max((2 * rt + 1) * (2 * ry + 1) * (2 * rx + 1) - 1, 1)
     budget = max(_TILE_BYTES * 8 // n_offsets, 256 << 10)
     tx = min(_TX, max(128, int(np.ceil(nx / 128)) * 128))
     ty = min(_TY, max(8, int(np.ceil(ny / 8)) * 8))
 
     def tile_bytes():
-        return nt * nv * (ty + 2 * hp_y) * (tx + 2 * hp_x) * 4
+        return (nt + 2 * p_t) * nv * (ty + 2 * hp_y) \
+            * (tx + 2 * hp_x) * 4
 
     while tx > 128 and tile_bytes() > budget:
         tx -= 128
@@ -204,9 +228,9 @@ def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
     grid = (ny_pad // ty, nx_pad // tx)
 
     kernel = functools.partial(
-        _kernel, ry=ry, rx=rx, fy=fy, fx=fx, sigma=float(sigma),
-        h=float(h), n_eff=float(n_eff), nvars=nv, dsq_norm=dsq_norm,
-        halo=(hp_y, hp_x))
+        _kernel, rt=rt, ry=ry, rx=rx, ft=ft, fy=fy, fx=fx,
+        sigma=float(sigma), h=float(h), n_eff=float(n_eff), nvars=nv,
+        dsq_norm=dsq_norm, halo=(hp_y, hp_x))
 
     # Overlapping halo windows can't be expressed with a blocked
     # BlockSpec, so the padded array stays in ANY/HBM and each grid step
@@ -233,7 +257,8 @@ def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
                                lambda i, j: (i * 0, j * 0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nt, nv, ty + 2 * hp_y, tx + 2 * hp_x), dtype),
+            pltpu.VMEM((nt + 2 * p_t, nv, ty + 2 * hp_y,
+                        tx + 2 * hp_x), dtype),
             pltpu.VMEM((nt, ty, tx), dtype),
             pltpu.VMEM((nt, ty, tx), dtype),
             pltpu.VMEM((nt, ty, tx), dtype),
@@ -244,3 +269,15 @@ def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
 
     out = out[:, :, :ny, :nx]
     return jnp.transpose(out, (2, 3, 0, 1))
+
+
+def nlmeans_spatial_pallas(arr, r, f, sigma, h, n_eff=-1.0,
+                           interpret=False):
+    """Spatial NLMeans of a (d0, d1, d2, var) array where the filter
+    runs over (d0, d1) and d2/var are batched — the layout produced by
+    NLMeansFilter with dims=('y', 'x'). The ``r2 = f2 = 0`` case of
+    :func:`nlmeans_pallas`.
+    """
+    return nlmeans_pallas(arr, (int(r[0]), int(r[1]), 0),
+                          (int(f[0]), int(f[1]), 0), sigma, h,
+                          n_eff=n_eff, interpret=interpret)

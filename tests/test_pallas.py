@@ -21,6 +21,62 @@ def test_pallas_nlmeans_matches_xla(shape, rf):
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize('shape,r,f', [
+    ((20, 17, 5, 4), (1, 1, 1), (1, 1, 1)),   # full 3-D window
+    ((12, 16, 7, 3), (0, 0, 2), (1, 1, 0)),   # temporal-only radius
+    ((10, 14, 5, 1), (1, 0, 1), (0, 1, 1)),   # active axes {0, 2}
+    ((18, 15, 4, 4), (2, 1, 0), (1, 1, 1)),   # spatial r, temporal f
+])
+def test_pallas_nlmeans_3d_matches_xla(shape, r, f):
+    """The generalized kernel (temporal radius / full 3-D window —
+    the reference's _filters.pyx 3-dim case) matches the XLA scan."""
+    from nd_tpu.ops.nlmeans_pallas import nlmeans_pallas
+    rng = np.random.RandomState(5)
+    arr = rng.rand(*shape).astype(np.float32)
+    ref = np.asarray(nlmeans(arr, r, f, 0.6, 0.9, -1.0))
+    got = np.asarray(nlmeans_pallas(arr, r, f, 0.6, 0.9, -1.0,
+                                    interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_filter_dispatches_3d_window_to_pallas(monkeypatch):
+    """NLMeansFilter(dims=('y','x','time')) routes through the fused
+    3-D kernel when Pallas is available and matches the XLA oracle."""
+    import functools
+
+    import nd_tpu.filters as flt_mod
+    import nd_tpu.ops.nlmeans_pallas as npall
+    from nd_tpu.filters import NLMeansFilter
+    from nd_tpu.testing import generate_test_dataset
+
+    calls = []
+    orig = npall.nlmeans_pallas
+
+    def spy(v, r, f, *a, **kw):
+        calls.append(r)
+        return orig(v, r, f, *a, interpret=True,
+                    **{k: w for k, w in kw.items()
+                       if k != 'interpret'})
+
+    monkeypatch.setattr(npall, 'supports_pallas', lambda: True)
+    monkeypatch.setattr(npall, 'nlmeans_pallas', spy)
+
+    ds = generate_test_dataset(dims={'y': 14, 'x': 12, 'time': 6})
+    for v in list(ds.data_vars):
+        ds[v] = (ds[v].dims,
+                 np.asarray(ds[v].values).astype(np.float32))
+    flt = NLMeansFilter(dims=('y', 'x', 'time'), r=1, f=1,
+                        sigma=1.0, h=1.5)
+    got = flt.apply(ds)
+    assert calls and calls[0] == (1, 1, 1)
+    monkeypatch.setattr(npall, 'supports_pallas', lambda: False)
+    ref = flt.apply(ds)
+    for name in ref.data_vars:
+        np.testing.assert_allclose(
+            np.asarray(got[name].values),
+            np.asarray(ref[name].values), rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_nlmeans_n_eff():
     rng = np.random.RandomState(1)
     arr = rng.rand(16, 16, 2, 4).astype(np.float32)

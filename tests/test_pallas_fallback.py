@@ -125,6 +125,8 @@ def test_nlmeans_filter_degrades_to_xla_identically(monkeypatch):
     monkeypatch.setattr(nlmeans_pallas, 'supports_pallas', lambda: True)
     monkeypatch.setattr(nlmeans_pallas, 'nlmeans_spatial_pallas',
                         raising_pallas)
+    monkeypatch.setattr(nlmeans_pallas, 'nlmeans_pallas',
+                        raising_pallas)
     with warnings.catch_warnings():
         warnings.simplefilter('ignore')
         out = flt.apply(ds)

@@ -89,6 +89,17 @@ def main(out_path=None):
             err_pal = float(np.abs(pal - oracle).max())
             detail['pallas_vs_oracle_max_err'] = err_pal
             assert err_pal < 2e-5, err_pal
+            # full 3-D window (temporal radius): generalized kernel
+            from nd_tpu.ops.nlmeans_pallas import nlmeans_pallas
+            arr3 = rng.rand(24, 40, 5, 3).astype(np.float32)
+            r3, f3 = (1, 1, 1), (1, 1, 1)
+            xla3 = np.asarray(nlmeans(jnp.asarray(arr3), r3, f3,
+                                      sigma, h, -1.0))
+            pal3 = np.asarray(nlmeans_pallas(jnp.asarray(arr3), r3,
+                                             f3, sigma, h, -1.0))
+            err_3d = float(np.abs(pal3 - xla3).max())
+            detail['pallas3d_vs_xla_max_err'] = err_3d
+            assert err_3d < 2e-5, err_3d
         return detail
 
     record('nlmeans_parity', check_nlmeans)
