@@ -106,22 +106,27 @@ class SARChangePipeline:
         exist) it falls back to the XLA 'mixed' path."""
         looked = multilook(values, self.ml)
         n = self.n * self.ml ** 2
-        from ..ops.change_pallas import supports_pallas
-        if supports_pallas(looked.shape[2]) \
+        from ..ops.change_pallas import _K_MAX, supports_pallas_rescan
+        if supports_pallas_rescan(looked.shape[2]) \
                 and jax.config.jax_enable_x64:
             from ..ops.change import (_change_detection_exact_core,
                                       _patch_capacity)
             from ..ops.pallas_guard import run_with_fallback
             ny, nx = looked.shape[:2]
+            k = looked.shape[2]
             cap = _patch_capacity(ny, nx)
 
             def _exact(lk):
                 flags, count = _change_detection_exact_core(
                     lk, float(self.alpha), int(n), 3e-4, cap)
+                # the overflow branch compiles at trace time, so the
+                # unrolled (O(k^2)-graph) variant is reserved for
+                # short series; long ones fall back to the while_loop
                 return jax.lax.cond(
                     count > cap,
                     lambda: change_detection(lk, alpha=self.alpha,
-                                             n=n, unroll=True),
+                                             n=n,
+                                             unroll=(k <= _K_MAX)),
                     lambda: flags)
 
             # every eager Pallas dispatch site routes through the

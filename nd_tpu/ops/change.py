@@ -431,11 +431,10 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
     # long series cap the kernel's unrolled rounds; pixels that were
     # still scanning at the cap come back with margin = -inf and are
     # recomputed exactly below like any other suspect
-    packed, margin = change_detection_pallas(
+    packed, margin = change_detection_pallas(   # (P, ny, nx) int32
         values, alpha, n=n, return_margin=True, return_packed=True,
         interpret=interpret,
         max_rounds=None if k <= _K_MAX else _ROUNDS_LONG)
-    #                                           # (P, ny, nx) int32
     nplanes = packed.shape[0]
     suspect = ~(margin > jnp.float32(margin_eps))   # NaN-inclusive
     idx, count = _compact_indices(suspect, capacity)
@@ -453,8 +452,13 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
     # (cap,) rows rescanned as a (cap/128, 128) grid: a (cap, 1) grid
     # would put the 128-lane axis on a size-1 dimension and waste >10x
     series = series.reshape(capacity // 128, 128, k, 4)
+    # unroll only at short k: the straight-line graph beats the
+    # while_loop's per-iteration launch overhead on the small rescan
+    # grid, but its node count is O(k^2) — at the long-series ceiling
+    # (k = 128) that one-time remote compile costs minutes, the very
+    # blowup the round cap exists to avoid
     patched = change_detection(series, alpha, n=n, stat_dtype='mixed',
-                               unroll=True)
+                               unroll=(k <= _K_MAX))
     patched = patched.reshape(capacity, k)
     out_planes = []
     for pp in range(nplanes):

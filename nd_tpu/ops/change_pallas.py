@@ -75,11 +75,7 @@ def supports_pallas_rescan(k=None):
     suspect pixels (exact / hybrid modes): those paths stay eligible up
     to ``_K_RESCAN_MAX`` time steps by capping the unrolled rounds and
     folding round-overflow pixels into the suspect rescan."""
-    from .pallas_guard import pallas_disabled
-    if jax.default_backend() != 'tpu' or pltpu is None \
-            or pallas_disabled():
-        return False
-    return k is None or k <= _K_RESCAN_MAX
+    return supports_pallas() and (k is None or k <= _K_RESCAN_MAX)
 
 
 def _mlog(x):
