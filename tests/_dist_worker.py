@@ -63,6 +63,29 @@ def main():
     want = float((2.0 * full + 1.0).sum())
     assert abs(got - want) <= 1e-3 * abs(want), (got, want)
 
+    # halo exchange across the process boundary: a 3x3 mean stencil
+    # sharded over the (process, local-device) mesh — the y-halo
+    # ppermute crosses DCN — must equal the unsharded stencil
+    import jax.numpy as jnp
+
+    from nd_tpu.ops.conv import convolve
+    from nd_tpu.parallel.halo import shard_apply
+
+    kernel = jnp.ones((3, 3), jnp.float32) / 9
+
+    def stencil(x):
+        return convolve(x, kernel, axes=(0, 1), mode='reflect')
+
+    plane = full[..., 0]
+    ref = np.asarray(stencil(jnp.asarray(plane)))
+    g = dist.cube_from_process_tiles(local_tile[..., 0], mesh,
+                                     plane.shape)
+    out = shard_apply(stencil, g, mesh, {'y': (0, 1), 'x': (1, 1)},
+                      mode='symmetric')
+    for shard in out.addressable_shards:
+        np.testing.assert_allclose(np.asarray(shard.data),
+                                   ref[shard.index], atol=1e-5)
+
     print('WORKER_OK %d %.1f' % (proc, got), flush=True)
 
 
