@@ -445,6 +445,29 @@ def convolve(arr, kernel, axes=None, mode='reflect', cval=0.0):
             a_np.nbytes)
         return out
 
+    # Fused Pallas path (TPU, f32, separable taps over the leading
+    # two axes): pad copy + ONE read + ONE write instead of one HBM
+    # round trip per filtered axis — the small-tap filters are
+    # bandwidth-bound, so the composition's extra passes were the
+    # dominant cost. Falls through to the XLA shift-add below
+    # whenever the kernel does not apply. Factorizes the PRE-flip
+    # kernel (a concrete jax.Array converts even inside jit, where
+    # kflip is already staged as a tracer) and flips host-side.
+    if arr.dtype == jnp.float32:
+        try:
+            k_host = np.flip(np.asarray(kernel),
+                             axis=tuple(range(np.ndim(kernel))))
+        except Exception:       # genuinely traced kernel
+            k_host = None
+        factors = _separable_factors(k_host) if k_host is not None \
+            else None
+        if factors is not None:
+            from .conv_pallas import try_fused_separable
+            fused = try_fused_separable(
+                arr, list(zip(axes, factors)), mode, cval)
+            if fused is not None:
+                return fused
+
     kernel = kflip
 
     padded = pad_reflect(arr, pad_width, mode, cval)
@@ -484,6 +507,17 @@ def separable_convolve(arr, kernels, axes, mode='reflect', cval=0.0):
         return np.asarray(arr) if host_input else jnp.asarray(arr)
     if not host_input or np.iscomplexobj(arr):
         out = jnp.asarray(arr)
+        # fused one-pass kernel for the plain float case; constant
+        # mode with cval != 0 keeps the sequential passes (each stage
+        # re-pads with cval — a single N-d pad differs, same gate as
+        # the host factor path)
+        if not np.iscomplexobj(arr) and out.dtype == jnp.float32 \
+                and (mode != 'constant' or cval == 0.0):
+            from .conv_pallas import try_fused_separable
+            pairs = [(ax, np.flip(k)) for ax, k in active]
+            fused = try_fused_separable(out, pairs, mode, cval)
+            if fused is not None:
+                return fused
         for ax, k in active:
             out = convolve(out, k, axes=(ax,), mode=mode, cval=cval)
         return out

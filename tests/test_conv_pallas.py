@@ -1,0 +1,199 @@
+"""Fused separable-convolution Pallas kernel (interpret mode on CPU;
+the same code path runs compiled on TPU — tools/tpu_smoke.py gates it
+on hardware)."""
+
+import functools
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from nd_tpu.ops.conv_pallas import (separable_convolve_pallas,
+                                    try_fused_separable)
+
+
+@pytest.mark.parametrize('shape', [(33, 47), (16, 130, 3),
+                                   (20, 24, 5, 4)])
+@pytest.mark.parametrize('mode', ['reflect', 'mirror', 'nearest',
+                                  'constant', 'wrap'])
+def test_fused_separable_matches_scipy(shape, mode):
+    rng = np.random.RandomState(hash((shape, mode)) % 2 ** 31)
+    a = rng.rand(*shape).astype(np.float32)
+    k0 = rng.rand(5)
+    k1 = rng.rand(4)               # even tap count: asymmetric halo
+    cval = 0.7 if mode == 'constant' else 0.0
+    kk = np.multiply.outer(k0, k1)
+    ref = ndimage.convolve(
+        a.astype(np.float64),
+        kk.reshape(kk.shape + (1,) * (a.ndim - 2)), mode=mode,
+        cval=cval)
+    got = np.asarray(separable_convolve_pallas(
+        a, [(0, np.flip(k0)), (1, np.flip(k1))], mode=mode,
+        cval=cval, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_single_axis_and_uniform():
+    rng = np.random.RandomState(3)
+    a = rng.rand(14, 40, 2).astype(np.float32)
+    k = rng.rand(5)
+    ref = ndimage.convolve1d(a.astype(np.float64), k, axis=1,
+                             mode='reflect')
+    got = np.asarray(separable_convolve_pallas(
+        a, [(1, np.flip(k))], mode='reflect', interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+    k3 = np.ones(3) / 3            # uniform: sum-then-scale path
+    ref = ndimage.convolve1d(ndimage.convolve1d(
+        a.astype(np.float64), k3, axis=0, mode='reflect'), k3,
+        axis=1, mode='reflect')
+    got = np.asarray(separable_convolve_pallas(
+        a, [(0, k3), (1, k3)], mode='reflect', interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_try_fused_folds_length1_factor_scale():
+    """A (1, 3) kernel factorizes to [scale], [taps]; the scale must
+    survive (length-1 factors are not simply droppable)."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(4)
+    a = rng.rand(12, 30).astype(np.float32)
+    taps = np.array([0.2, 0.5, 0.3])
+    ref = ndimage.convolve1d(a.astype(np.float64), 2.0 * taps[::-1],
+                             axis=1, mode='reflect')
+    got = try_fused_separable(
+        jnp.asarray(a), [(0, np.array([2.0])), (1, taps)],
+        'reflect', 0.0, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_convolve_dispatch_uses_fused_kernel(monkeypatch):
+    """convolve() on a device f32 array with a separable kernel
+    routes through the fused kernel and matches the XLA result."""
+    import jax.numpy as jnp
+
+    import nd_tpu.ops.conv_pallas as cpal
+    from nd_tpu.ops.conv import convolve
+
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.rand(32, 40, 3, 2).astype(np.float32))
+    k = np.ones((3, 3), np.float64) / 9
+
+    ref = np.asarray(convolve(a, k, axes=(0, 1), mode='reflect'))
+
+    calls = []
+    orig = cpal.separable_convolve_pallas
+
+    def spy(arr, taps, **kw):
+        calls.append([ax for ax, _ in taps])
+        kw['interpret'] = True
+        return orig(arr, taps, **kw)
+
+    monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
+    monkeypatch.setattr(cpal, 'separable_convolve_pallas', spy)
+    got = np.asarray(convolve(a, k, axes=(0, 1), mode='reflect'))
+    assert calls == [[0, 1]]
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_separable_convolve_dispatch_uses_fused_kernel(monkeypatch):
+    import jax.numpy as jnp
+
+    import nd_tpu.ops.conv_pallas as cpal
+    from nd_tpu.ops.conv import (gaussian_kernel1d,
+                                 separable_convolve)
+
+    rng = np.random.RandomState(6)
+    a = jnp.asarray(rng.rand(24, 36, 4).astype(np.float32))
+    g = gaussian_kernel1d(1.2)
+
+    ref = np.asarray(separable_convolve(a, [g, g], axes=(0, 1)))
+
+    calls = []
+    orig = cpal.separable_convolve_pallas
+
+    def spy(arr, taps, **kw):
+        calls.append([ax for ax, _ in taps])
+        kw['interpret'] = True
+        return orig(arr, taps, **kw)
+
+    monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
+    monkeypatch.setattr(cpal, 'separable_convolve_pallas', spy)
+    got = np.asarray(separable_convolve(a, [g, g], axes=(0, 1)))
+    assert calls == [[0, 1]]
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_dispatch_inside_jit_with_jnp_kernel(monkeypatch):
+    """The bench path: convolve/separable_convolve called INSIDE jit
+    with a concrete jnp kernel must still take the fused path (the
+    flipped kernel is a tracer there; factorization reads the
+    pre-flip concrete values)."""
+    import jax
+    import jax.numpy as jnp
+
+    import nd_tpu.ops.conv_pallas as cpal
+    from nd_tpu.ops.conv import (convolve, gaussian_kernel1d,
+                                 separable_convolve)
+
+    rng = np.random.RandomState(8)
+    a = jnp.asarray(rng.rand(40, 48, 3, 2).astype(np.float32))
+    k3 = jnp.ones((3, 3), jnp.float32) / 9
+    g1 = jnp.asarray(gaussian_kernel1d(1.1), jnp.float32)
+
+    ref = np.asarray(jax.jit(
+        lambda x: convolve(x, k3, axes=(0, 1), mode='reflect'))(a))
+    ref_g = np.asarray(jax.jit(
+        lambda x: separable_convolve(x, [g1, g1], axes=(0, 1)))(a))
+
+    calls = []
+    orig = cpal.separable_convolve_pallas
+
+    def spy(arr, taps, **kw):
+        calls.append([ax for ax, _ in taps])
+        kw['interpret'] = True
+        return orig(arr, taps, **kw)
+
+    monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
+    monkeypatch.setattr(cpal, 'separable_convolve_pallas', spy)
+    got = np.asarray(jax.jit(
+        lambda x: convolve(x, k3, axes=(0, 1), mode='reflect'))(a))
+    got_g = np.asarray(jax.jit(
+        lambda x: separable_convolve(x, [g1, g1], axes=(0, 1)))(a))
+    assert calls == [[0, 1], [0, 1]], calls
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got_g, ref_g, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_kernel_failure_degrades_to_xla(monkeypatch):
+    """A raising Pallas launch falls back to the identical XLA
+    shift-add path through the shared guard."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    import nd_tpu.ops.conv_pallas as cpal
+    from nd_tpu.ops.conv import convolve
+    from nd_tpu.ops.pallas_guard import reset_pallas_strikes
+
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.rand(16, 24).astype(np.float32))
+    k = np.ones((3, 3), np.float64) / 9
+    ref = np.asarray(convolve(a, k, axes=(0, 1)))
+
+    import jax as _jax
+
+    def boom(*args, **kw):
+        raise _jax.errors.JaxRuntimeError('INTERNAL: TPU backend '
+                                          'error (simulated)')
+
+    monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
+    monkeypatch.setattr(cpal, 'separable_convolve_pallas', boom)
+    reset_pallas_strikes()
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        got = np.asarray(convolve(a, k, axes=(0, 1)))
+    reset_pallas_strikes()
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)

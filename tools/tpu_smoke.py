@@ -197,6 +197,46 @@ def main(out_path=None):
 
     record('change_long_series', check_change_long_series)
 
+    # -- 3c. fused separable conv == XLA shift-add ----------------------
+    def check_fused_sepconv():
+        from nd_tpu.ops.conv import convolve
+        from nd_tpu.ops.conv_pallas import (supports_pallas,
+                                            try_fused_separable)
+        if not supports_pallas():
+            return {'skipped': 'no pallas'}
+        a = jnp.asarray(rng.rand(96, 200, 3, 2).astype(np.float32))
+        k = np.ones((3, 3), np.float64) / 9
+        fused = try_fused_separable(
+            a, [(0, np.ones(3) / 3), (1, np.ones(3) / 3)],
+            'reflect', 0.0)
+        assert fused is not None
+        # reference: the pure XLA composition (pad + shift-add)
+        import nd_tpu.ops.conv_pallas as cpal
+        orig = cpal.supports_pallas
+        cpal.supports_pallas = lambda: False
+        try:
+            ref = convolve(a, k, axes=(0, 1), mode='reflect')
+        finally:
+            cpal.supports_pallas = orig
+        err = float(jnp.max(jnp.abs(fused - ref)))
+        assert err < 2e-6, err
+        # gaussian (asymmetric-length taps exercise the halo ring)
+        from nd_tpu.ops.conv import gaussian_kernel1d
+        g = gaussian_kernel1d(1.5)
+        fused_g = try_fused_separable(
+            a, [(0, np.flip(g)), (1, np.flip(g))], 'reflect', 0.0)
+        cpal.supports_pallas = lambda: False
+        try:
+            from nd_tpu.ops.conv import separable_convolve
+            ref_g = separable_convolve(a, [g, g], axes=(0, 1))
+        finally:
+            cpal.supports_pallas = orig
+        err_g = float(jnp.max(jnp.abs(fused_g - ref_g)))
+        assert err_g < 2e-6, err_g
+        return {'boxcar_max_err': err, 'gaussian_max_err': err_g}
+
+    record('fused_sepconv_parity', check_fused_sepconv)
+
     # -- 4. warp: matmul path == gather path ----------------------------
     def check_warp():
         from nd_tpu.ops.interp import (axis_weights, map_coordinates,
