@@ -38,7 +38,27 @@ __all__ = ['separable_convolve_pallas', 'supports_pallas']
 
 _TX = 512
 _TILE_BYTES = 4 << 20      # soft VMEM budget for the input tile
-_MAX_TAPS = 32
+# Taps per axis the fused kernel admits. The accumulation chain is
+# unrolled values (shared with ops.conv._shift_add_valid), and Mosaic
+# stack-allocates unrolled temps — keep the count conservative and
+# route longer kernels to the XLA path.
+_MAX_TAPS = 16
+
+
+def _halo(lo, hi, align):
+    return int(np.ceil(max(lo, hi) / align)) * align if (lo or hi) \
+        else 0
+
+
+def _min_tile_bytes(b, pads):
+    """VMEM floor estimate for the fused kernel at the smallest tile
+    (ty=8, tx=128): input scratch + output block + ~2 live unrolled
+    temps of output size."""
+    h0 = _halo(*pads[0], 4)
+    h1 = _halo(*pads[1], 64)
+    scratch = b * (8 + 2 * h0) * (128 + 2 * h1) * 4
+    out = b * 8 * 128 * 4
+    return scratch + 3 * out
 
 
 def supports_pallas():
@@ -51,22 +71,14 @@ def _apply_taps(x, taps, axis, lo, halo, out_len):
     """VALID shift-add of ``taps`` along ``axis`` of the VMEM array
     ``x`` whose filtered extent carries an aligned halo of ``halo``
     on each side (output pixel o reads window starting at
-    ``halo - lo + o``)."""
+    ``halo - lo + o``). The numerics ARE ops.conv._shift_add_valid —
+    the fused/XLA bit-parity contract hangs on them staying one
+    function."""
+    from .conv import _shift_add_valid
     start = halo - lo
-    uniform = np.allclose(taps, taps[0])
-
-    def sl(i):
-        key = [slice(None)] * x.ndim
-        key[axis] = slice(start + i, start + i + out_len)
-        return x[tuple(key)]
-
-    out = None
-    for i, w in enumerate(taps.tolist()):
-        term = sl(i) if uniform else sl(i) * jnp.asarray(w, x.dtype)
-        out = term if out is None else out + term
-    if uniform and taps[0] != 1.0:
-        out = out * jnp.asarray(float(taps[0]), x.dtype)
-    return out
+    key = [slice(None)] * x.ndim
+    key[axis] = slice(start, start + out_len + len(taps) - 1)
+    return _shift_add_valid(x[tuple(key)], taps, axis)
 
 
 def _kernel(scratch, out_ref, *, taps0, lo0, taps1, lo1, h0, h1,
@@ -107,6 +119,8 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
     arr = jnp.asarray(arr)
     if arr.dtype != jnp.float32:
         raise ValueError('float32 only')
+    if arr.ndim < 2:
+        raise ValueError('need at least 2 dims')
     taps = {int(ax): np.asarray(t, np.float64)
             for ax, t in taps_by_axis if np.shape(t)[0] > 1}
     if not taps or any(ax not in (0, 1) for ax in taps):
@@ -115,9 +129,7 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
         raise ValueError('too many taps')
 
     shape = arr.shape
-    n0, n1 = shape[0], shape[1] if arr.ndim > 1 else 1
-    if arr.ndim < 2:
-        raise ValueError('need at least 2 dims')
+    n0, n1 = shape[0], shape[1]
 
     # collapse batch axes into one leading axis: (d0, d1, *batch) ->
     # (B, d0, d1)
@@ -138,30 +150,33 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
     lo1, hi1 = pads[1]
 
     # aligned halos (Mosaic DMA slices respect the (8, 128) tiling)
-    h0 = int(np.ceil(max(lo0, hi0) / 4)) * 4 if 0 in taps else 0
-    h1 = int(np.ceil(max(lo1, hi1) / 64)) * 64 if 1 in taps else 0
+    h0 = _halo(lo0, hi0, 4)
+    h1 = _halo(lo1, hi1, 64)
 
-    # boundary pad (the true edge condition), scipy mode names like
-    # ops.conv.convolve
-    from .conv import _SCIPY_TO_NP_PAD
-    np_mode = _SCIPY_TO_NP_PAD.get(mode, mode)
-    kwargs = {'constant_values': cval} if np_mode == 'constant' else {}
-    data = jnp.pad(data, ((0, 0), (lo0, hi0), (lo1, hi1)),
-                   mode=np_mode, **kwargs)
+    # boundary pad (the true edge condition) — THE boundary-fill
+    # helper, never a re-derivation (parallel/engine.py:32 explains
+    # why the mapping must not diverge from convolve's own)
+    from .conv import pad_reflect
+    data = pad_reflect(data, ((0, 0), (lo0, hi0), (lo1, hi1)), mode,
+                       cval)
 
     # ... tile geometry within the VMEM budget, then the alignment
-    # ring + trailing grid padding (dead data, outputs dropped)
+    # ring + trailing grid padding (dead data, outputs dropped).
+    # Grid extents are rounded to 64 (rows) / 128 (lanes) so ragged
+    # eager shapes bucket into shared executables like the XLA
+    # path's _SHAPE_BUCKET; ty is a divisor of 64 so the tile grid
+    # fits the bucketed extent exactly.
     tx = min(_TX, max(128, int(np.ceil(n1 / 128)) * 128))
-    ty = max(8, int(np.ceil(n0 / 8)) * 8)
 
     def tile_bytes(t_y, t_x):
         return b * (t_y + 2 * h0) * (t_x + 2 * h1) * 4
 
     while tx > 128 and tile_bytes(8, tx) > _TILE_BYTES:
         tx -= 128
+    ty = 64
     while ty > 8 and tile_bytes(ty, tx) > _TILE_BYTES:
-        ty = max(8, ty // 2 // 8 * 8)
-    ny_pad = int(np.ceil(n0 / ty)) * ty
+        ty //= 2
+    ny_pad = int(np.ceil(n0 / 64)) * 64
     nx_pad = int(np.ceil(n1 / tx)) * tx
     data = jnp.pad(
         data, ((0, 0),
@@ -218,6 +233,8 @@ def try_fused_separable(arr, taps_by_axis, mode, cval,
         return None
     if jnp.asarray(arr).dtype != jnp.float32 or np.ndim(arr) < 2:
         return None
+    if any(s == 0 for s in np.shape(arr)):
+        return None            # empty arrays: XLA returns them as-is
     active = []
     scale = 1.0   # length-1 factors carry the kernel's scale (see
     #               _separable_factors: facs[0] holds k.flat[0] for
@@ -247,6 +264,19 @@ def try_fused_separable(arr, taps_by_axis, mode, cval,
         if max((k - 1) // 2, k // 2) > np.shape(arr)[ax]:
             return None
 
+    # VMEM floor: the collapsed batch axis rides every tile whole, so
+    # a deep stack can exceed the ~16 MB Mosaic limit at the smallest
+    # tile already — a hard compile failure under jit (the guard is
+    # inert while tracing) and strike-then-session-disable eagerly.
+    # Bail to the XLA path before that can happen.
+    pads = {0: (0, 0), 1: (0, 0)}
+    for ax, t in active:
+        k = len(t)
+        pads[ax] = ((k - 1) // 2, k // 2)
+    b = int(np.prod(np.shape(arr)[2:])) if np.ndim(arr) > 2 else 1
+    if _min_tile_bytes(b, pads) > 12 << 20:
+        return None
+
     def pallas_path(a):
         return separable_convolve_pallas(a, active, mode=mode,
                                          cval=cval,
@@ -255,15 +285,11 @@ def try_fused_separable(arr, taps_by_axis, mode, cval,
     from .pallas_guard import run_with_fallback
 
     def xla_path(a):
-        from .conv import _SCIPY_TO_NP_PAD, _conv_core
+        from .conv import _shift_add_valid, pad_reflect
         pad_width = [(0, 0)] * np.ndim(a)
         for ax, t in active:
-            k = len(t)
-            pad_width[ax] = ((k - 1) // 2, k // 2)
-        np_mode = _SCIPY_TO_NP_PAD[mode]
-        kw = {'constant_values': cval} if np_mode == 'constant' else {}
-        out = jnp.pad(jnp.asarray(a), pad_width, mode=np_mode, **kw)
-        from .conv import _shift_add_valid
+            pad_width[ax] = pads[ax]
+        out = pad_reflect(jnp.asarray(a), pad_width, mode, cval)
         for ax, t in active:
             out = _shift_add_valid(out, t, ax)
         return out

@@ -17,7 +17,9 @@ from nd_tpu.ops.conv_pallas import (separable_convolve_pallas,
 @pytest.mark.parametrize('mode', ['reflect', 'mirror', 'nearest',
                                   'constant', 'wrap'])
 def test_fused_separable_matches_scipy(shape, mode):
-    rng = np.random.RandomState(hash((shape, mode)) % 2 ** 31)
+    modes = ['reflect', 'mirror', 'nearest', 'constant', 'wrap']
+    rng = np.random.RandomState(1000 * sum(shape)
+                                + modes.index(mode))
     a = rng.rand(*shape).astype(np.float32)
     k0 = rng.rand(5)
     k1 = rng.rand(4)               # even tap count: asymmetric halo
@@ -124,6 +126,27 @@ def test_separable_convolve_dispatch_uses_fused_kernel(monkeypatch):
     got = np.asarray(separable_convolve(a, [g, g], axes=(0, 1)))
     assert calls == [[0, 1]]
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_gate_rejects_empty_and_oversized_batch(monkeypatch):
+    """Empty arrays and batch stacks whose minimum tile already
+    exceeds VMEM must fall through to the XLA path (returning None),
+    never reach pallas_call."""
+    import jax.numpy as jnp
+
+    import nd_tpu.ops.conv_pallas as cpal
+    from nd_tpu.ops.conv import convolve
+
+    monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
+    taps = [(0, np.ones(3) / 3), (1, np.ones(3) / 3)]
+    # zero-size batch axis: the fused path used to ZeroDivisionError
+    empty = jnp.zeros((8, 130, 0), jnp.float32)
+    assert try_fused_separable(empty, taps, 'reflect', 0.0) is None
+    out = convolve(empty, np.ones((3, 3)) / 9, axes=(0, 1))
+    assert out.shape == (8, 130, 0)
+    # collapsed batch too deep for the smallest tile
+    deep = jnp.zeros((8, 128, 256, 4), jnp.float32)
+    assert try_fused_separable(deep, taps, 'reflect', 0.0) is None
 
 
 def test_fused_dispatch_inside_jit_with_jnp_kernel(monkeypatch):
