@@ -50,14 +50,15 @@ def _halo(lo, hi, align):
         else 0
 
 
-def _min_tile_bytes(b, pads):
+def _min_tile_bytes(b, pads, n2=1, k2=1):
     """VMEM floor estimate for the fused kernel at the smallest tile
     (ty=8, tx=128): input scratch + output block + ~2 live unrolled
-    temps of output size."""
+    temps of output size. ``n2``/``k2``: extent and tap count of the
+    leading (temporal) filtered axis, fully tile-resident."""
     h0 = _halo(*pads[0], 4)
     h1 = _halo(*pads[1], 64)
-    scratch = b * (8 + 2 * h0) * (128 + 2 * h1) * 4
-    out = b * 8 * 128 * 4
+    scratch = (n2 + k2 - 1) * b * (8 + 2 * h0) * (128 + 2 * h1) * 4
+    out = n2 * b * 8 * 128 * 4
     return scratch + 3 * out
 
 
@@ -81,18 +82,22 @@ def _apply_taps(x, taps, axis, lo, halo, out_len):
     return _shift_add_valid(x[tuple(key)], taps, axis)
 
 
-def _kernel(scratch, out_ref, *, taps0, lo0, taps1, lo1, h0, h1,
-            ty, tx):
-    """One (B, ty+2h0, tx+2h1) VMEM tile -> (B, ty, tx) output."""
+def _kernel(scratch, out_ref, *, taps2, lo2, taps0, lo0, taps1, lo1,
+            h0, h1, nt, ty, tx):
+    """One (nt+k2-1, B, ty+2h0, tx+2h1) VMEM tile ->
+    (nt, B, ty, tx) output. The leading (temporal) axis carries an
+    exact halo (no tiling constraint); y/x carry aligned rings."""
     x = scratch[:]
+    if taps2 is not None:
+        x = _apply_taps(x, taps2, 0, lo2, lo2, nt)
     if taps0 is not None:
-        x = _apply_taps(x, taps0, 1, lo0, h0, ty)
+        x = _apply_taps(x, taps0, 2, lo0, h0, ty)
     else:
-        x = x[:, h0:h0 + ty, :]
+        x = x[:, :, h0:h0 + ty, :]
     if taps1 is not None:
-        x = _apply_taps(x, taps1, 2, lo1, h1, tx)
+        x = _apply_taps(x, taps1, 3, lo1, h1, tx)
     else:
-        x = x[:, :, h1:h1 + tx]
+        x = x[:, :, :, h1:h1 + tx]
     out_ref[:] = x
 
 
@@ -103,14 +108,14 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
     Parameters
     ----------
     arr : jax array, ndim >= 2, float32
-        The filtered axes must be 0 and/or 1; all other axes are
-        batched.
+        The filtered axes must be within {0, 1, 2} (axis 2 needs
+        ndim >= 3); all other axes are batched.
     taps_by_axis : list of (axis, taps)
-        ``axis`` in {0, 1}; ``taps`` are the already-FLIPPED 1-d
-        weights (the caller implements true convolution by flipping,
-        exactly like ``ops.conv.convolve``). Output pixel ``o`` reads
-        the window ``[o - (k-1)//2, o + k//2]`` of the input, i.e. the
-        input is padded ``((k-1)//2, k//2)``.
+        ``taps`` are the already-FLIPPED 1-d weights (the caller
+        implements true convolution by flipping, exactly like
+        ``ops.conv.convolve``). Output pixel ``o`` reads the window
+        ``[o - (k-1)//2, o + k//2]`` of the input, i.e. the input is
+        padded ``((k-1)//2, k//2)``.
     mode, cval :
         numpy.pad boundary mode for the global edges.
 
@@ -123,24 +128,29 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
         raise ValueError('need at least 2 dims')
     taps = {int(ax): np.asarray(t, np.float64)
             for ax, t in taps_by_axis if np.shape(t)[0] > 1}
-    if not taps or any(ax not in (0, 1) for ax in taps):
-        raise ValueError('filtered axes must be within {0, 1}')
+    if not taps or any(ax not in (0, 1, 2) for ax in taps):
+        raise ValueError('filtered axes must be within {0, 1, 2}')
+    if 2 in taps and arr.ndim < 3:
+        raise ValueError('axis 2 taps need ndim >= 3')
     if any(len(t) > _MAX_TAPS for t in taps.values()):
         raise ValueError('too many taps')
 
     shape = arr.shape
     n0, n1 = shape[0], shape[1]
+    nt = shape[2] if arr.ndim > 2 else 1
 
-    # collapse batch axes into one leading axis: (d0, d1, *batch) ->
-    # (B, d0, d1)
-    batch_shape = shape[2:]
+    # layout (d0, d1, d2, *batch) -> (T, B, d0, d1): the (possibly
+    # filtered) d2 axis leads the tile untiled with an exact halo,
+    # the remaining batch collapses next to it, d0 rides sublanes and
+    # d1 the 128-wide lanes
+    batch_shape = shape[3:] if arr.ndim > 2 else ()
     b = int(np.prod(batch_shape)) if batch_shape else 1
-    data = arr.reshape(n0, n1, b)
-    data = jnp.transpose(data, (2, 0, 1))
+    data = arr.reshape(n0, n1, nt, b)
+    data = jnp.transpose(data, (2, 3, 0, 1))
 
     # scipy origin padding per filtered axis (flipped taps)
     pads = {}
-    for ax in (0, 1):
+    for ax in (0, 1, 2):
         if ax in taps:
             k = len(taps[ax])
             pads[ax] = ((k - 1) // 2, k // 2)
@@ -148,8 +158,10 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
             pads[ax] = (0, 0)
     lo0, hi0 = pads[0]
     lo1, hi1 = pads[1]
+    lo2, hi2 = pads[2]
 
-    # aligned halos (Mosaic DMA slices respect the (8, 128) tiling)
+    # aligned halos (Mosaic DMA slices respect the (8, 128) tiling;
+    # the leading axes are untiled, so the temporal halo is exact)
     h0 = _halo(lo0, hi0, 4)
     h1 = _halo(lo1, hi1, 64)
 
@@ -157,8 +169,8 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
     # helper, never a re-derivation (parallel/engine.py:32 explains
     # why the mapping must not diverge from convolve's own)
     from .conv import pad_reflect
-    data = pad_reflect(data, ((0, 0), (lo0, hi0), (lo1, hi1)), mode,
-                       cval)
+    data = pad_reflect(data, ((lo2, hi2), (0, 0), (lo0, hi0),
+                              (lo1, hi1)), mode, cval)
 
     # ... tile geometry within the VMEM budget, then the alignment
     # ring + trailing grid padding (dead data, outputs dropped).
@@ -167,9 +179,10 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
     # path's _SHAPE_BUCKET; ty is a divisor of 64 so the tile grid
     # fits the bucketed extent exactly.
     tx = min(_TX, max(128, int(np.ceil(n1 / 128)) * 128))
+    tb = (nt + lo2 + hi2) * b
 
     def tile_bytes(t_y, t_x):
-        return b * (t_y + 2 * h0) * (t_x + 2 * h1) * 4
+        return tb * (t_y + 2 * h0) * (t_x + 2 * h1) * 4
 
     while tx > 128 and tile_bytes(8, tx) > _TILE_BYTES:
         tx -= 128
@@ -179,22 +192,23 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
     ny_pad = int(np.ceil(n0 / 64)) * 64
     nx_pad = int(np.ceil(n1 / tx)) * tx
     data = jnp.pad(
-        data, ((0, 0),
+        data, ((0, 0), (0, 0),
                (h0 - lo0, h0 - hi0 + ny_pad - n0),
                (h1 - lo1, h1 - hi1 + nx_pad - n1)), mode='edge')
 
     grid = (ny_pad // ty, nx_pad // tx)
     kernel = functools.partial(
         _kernel,
+        taps2=taps.get(2), lo2=lo2,
         taps0=taps.get(0), lo0=lo0,
         taps1=taps.get(1), lo1=lo1,
-        h0=h0, h1=h1, ty=ty, tx=tx)
+        h0=h0, h1=h1, nt=nt, ty=ty, tx=tx)
 
     def dma_kernel(hbm_ref, out_ref, scratch, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         cp = pltpu.make_async_copy(
-            hbm_ref.at[:,
+            hbm_ref.at[:, :,
                        pl.ds(i * ty, ty + 2 * h0),
                        pl.ds(j * tx, tx + 2 * h1)],
             scratch, sem)
@@ -204,22 +218,23 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
 
     out = pl.pallas_call(
         dma_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, ny_pad, nx_pad),
+        out_shape=jax.ShapeDtypeStruct((nt, b, ny_pad, nx_pad),
                                        jnp.float32),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((b, ty, tx),
-                               lambda i, j: (i * 0, i, j),
+        out_specs=pl.BlockSpec((nt, b, ty, tx),
+                               lambda i, j: (i * 0, j * 0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((b, ty + 2 * h0, tx + 2 * h1), jnp.float32),
+            pltpu.VMEM((nt + lo2 + hi2, b, ty + 2 * h0,
+                        tx + 2 * h1), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(data)
 
-    out = out[:, :n0, :n1]
-    out = jnp.transpose(out, (1, 2, 0))
+    out = out[:, :, :n0, :n1]
+    out = jnp.transpose(out, (2, 3, 0, 1))
     return out.reshape(shape)
 
 
@@ -250,8 +265,10 @@ def try_fused_separable(arr, taps_by_axis, mode, cval,
     if scale != 1.0:
         ax0, t0 = active[0]
         active[0] = (ax0, t0 * scale)
-    if any(ax not in (0, 1) for ax, _ in active) \
+    if any(ax not in (0, 1, 2) for ax, _ in active) \
             or any(len(t) > _MAX_TAPS for _, t in active):
+        return None
+    if any(ax == 2 for ax, _ in active) and np.ndim(arr) < 3:
         return None
     if len({ax for ax, _ in active}) != len(active):
         return None            # repeated axis: keep sequential passes
@@ -269,12 +286,15 @@ def try_fused_separable(arr, taps_by_axis, mode, cval,
     # tile already — a hard compile failure under jit (the guard is
     # inert while tracing) and strike-then-session-disable eagerly.
     # Bail to the XLA path before that can happen.
-    pads = {0: (0, 0), 1: (0, 0)}
+    pads = {0: (0, 0), 1: (0, 0), 2: (0, 0)}
     for ax, t in active:
         k = len(t)
         pads[ax] = ((k - 1) // 2, k // 2)
-    b = int(np.prod(np.shape(arr)[2:])) if np.ndim(arr) > 2 else 1
-    if _min_tile_bytes(b, pads) > 12 << 20:
+    shp = np.shape(arr)
+    n2 = shp[2] if len(shp) > 2 else 1
+    b = int(np.prod(shp[3:])) if len(shp) > 3 else 1
+    k2 = pads[2][0] + pads[2][1] + 1
+    if _min_tile_bytes(b, pads, n2=n2, k2=k2) > 12 << 20:
         return None
 
     def pallas_path(a):

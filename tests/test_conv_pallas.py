@@ -54,6 +54,64 @@ def test_fused_single_axis_and_uniform():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize('shape,ks,mode', [
+    ((20, 24, 6), (3, 3, 3), 'reflect'),      # full 3-D window
+    ((16, 130, 5, 2), (5, 4, 3), 'nearest'),  # batch + even taps
+    ((10, 14, 8, 3), (3, 1, 7), 'wrap'),      # no axis-1 taps
+    ((12, 16, 7), (1, 3, 5), 'constant'),     # no axis-0 taps
+])
+def test_fused_three_axis_matches_scipy(shape, ks, mode):
+    """Spatio-temporal separable kernels (BASELINE's SST configs) run
+    the temporal taps on the tile's leading axis in the same pass."""
+    rng = np.random.RandomState(sum(shape) + sum(ks))
+    a = rng.rand(*shape).astype(np.float32)
+    k0, k1, k2 = [rng.rand(n) for n in ks]
+    cval = 0.4 if mode == 'constant' else 0.0
+    kk = np.multiply.outer(np.multiply.outer(k0, k1), k2)
+    ref = ndimage.convolve(
+        a.astype(np.float64),
+        kk.reshape(kk.shape + (1,) * (a.ndim - 3)), mode=mode,
+        cval=cval)
+    taps = [(i, np.flip(k)) for i, k in [(0, k0), (1, k1), (2, k2)]
+            if len(k) > 1]
+    scale = np.prod([k[0] for k in (k0, k1, k2) if len(k) == 1])
+    taps[0] = (taps[0][0], taps[0][1] * scale)
+    got = np.asarray(separable_convolve_pallas(
+        a, taps, mode=mode, cval=cval, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_separable_three_axis_dispatch(monkeypatch):
+    """GaussianFilter-style separable_convolve over (y, x, time)
+    routes all three axes through ONE fused call."""
+    import jax.numpy as jnp
+
+    import nd_tpu.ops.conv_pallas as cpal
+    from nd_tpu.ops.conv import gaussian_kernel1d, separable_convolve
+
+    rng = np.random.RandomState(9)
+    a = jnp.asarray(rng.rand(24, 30, 8, 2).astype(np.float32))
+    g = gaussian_kernel1d(1.0)
+    gt = gaussian_kernel1d(0.8)
+    ref = np.asarray(separable_convolve(a, [g, g, gt],
+                                        axes=(0, 1, 2)))
+
+    calls = []
+    orig = cpal.separable_convolve_pallas
+
+    def spy(arr, taps, **kw):
+        calls.append(sorted(ax for ax, _ in taps))
+        kw['interpret'] = True
+        return orig(arr, taps, **kw)
+
+    monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
+    monkeypatch.setattr(cpal, 'separable_convolve_pallas', spy)
+    got = np.asarray(separable_convolve(a, [g, g, gt],
+                                        axes=(0, 1, 2)))
+    assert calls == [[0, 1, 2]]
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
 def test_try_fused_folds_length1_factor_scale():
     """A (1, 3) kernel factorizes to [scale], [taps]; the scale must
     survive (length-1 factors are not simply droppable)."""

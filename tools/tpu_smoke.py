@@ -233,7 +233,21 @@ def main(out_path=None):
             cpal.supports_pallas = orig
         err_g = float(jnp.max(jnp.abs(fused_g - ref_g)))
         assert err_g < 2e-6, err_g
-        return {'boxcar_max_err': err, 'gaussian_max_err': err_g}
+        # spatio-temporal (3-axis) window: temporal taps ride the
+        # tile's leading axis in the same pass
+        gt = gaussian_kernel1d(0.8)
+        fused_3 = try_fused_separable(
+            a, [(0, np.flip(g)), (1, np.flip(g)), (2, np.flip(gt))],
+            'reflect', 0.0)
+        cpal.supports_pallas = lambda: False
+        try:
+            ref_3 = separable_convolve(a, [g, g, gt], axes=(0, 1, 2))
+        finally:
+            cpal.supports_pallas = orig
+        err_3 = float(jnp.max(jnp.abs(fused_3 - ref_3)))
+        assert err_3 < 1e-5, err_3
+        return {'boxcar_max_err': err, 'gaussian_max_err': err_g,
+                'spatiotemporal_max_err': err_3}
 
     record('fused_sepconv_parity', check_fused_sepconv)
 
