@@ -434,10 +434,23 @@ class NLMeansFilter(Filter):
             return _xla_nlmeans(v, r, f, self.sigma, self.h,
                                 self.n_eff)
 
+        from .ops.nlmeans_pallas import fits_vmem
         active = [i for i in range(3) if r[i] > 0]
         if supports_pallas() and values.dtype == jnp.float32 \
                 and active:
-            if set(active) <= {1, 2} and r[0] == 0 and f[0] == 0:
+            rotated_2d = set(active) <= {1, 2} and r[0] == 0 \
+                and f[0] == 0
+            # VMEM admission uses the KERNEL's layout: the rotated
+            # branch tiles (d1, d2) spatially with (d0, v) batched
+            if rotated_2d:
+                s = values.shape
+                ok = fits_vmem((s[1], s[2], s[0], s[3]),
+                               (r[1], r[2], 0), (f[1], f[2], 0))
+            else:
+                ok = fits_vmem(values.shape, r, f)
+            if not ok:
+                return xla_path(values)
+            if rotated_2d:
                 # rotate the batched axis to the back so the filtered
                 # axes ride sublanes/lanes (d0 is often a broadcast
                 # singleton from the 4-D padding)

@@ -51,6 +51,24 @@ def supports_pallas():
         and not pallas_disabled()
 
 
+def fits_vmem(shape, r, f):
+    """Whether the fused kernel's VMEM floor fits at the smallest
+    tile (ty=8, tx=128). The (t + 2pt, v, ...) input tile and the
+    per-t accumulators ride every tile whole — a deep stack can
+    exceed the ~16 MB Mosaic limit no matter how the spatial tile
+    shrinks, which would be a hard compile failure under jit (the
+    runtime guard is inert while tracing). Callers route to the XLA
+    scan when this returns False."""
+    ny, nx, nt, nv = shape
+    p_t = int(r[2]) + int(f[2])
+    hp_y = int(np.ceil((int(r[0]) + int(f[0])) / 4)) * 4
+    hp_x = int(np.ceil((int(r[1]) + int(f[1])) / 64)) * 64
+    tile = (nt + 2 * p_t) * nv * (8 + 2 * hp_y) * (128 + 2 * hp_x) * 4
+    accum = 3 * nt * 8 * 128 * 4
+    out = nt * nv * 8 * 128 * 4
+    return tile + accum + 3 * out <= 12 << 20
+
+
 def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
             nvars, dsq_norm, halo=None):
     """One (t+2pt, v, TY+2hp, TX+2hp) tile -> (t, v, TY, TX) output.

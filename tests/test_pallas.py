@@ -77,6 +77,32 @@ def test_filter_dispatches_3d_window_to_pallas(monkeypatch):
             np.asarray(ref[name].values), rtol=1e-5, atol=1e-6)
 
 
+def test_nlmeans_vmem_gate_routes_deep_stacks_to_xla(monkeypatch):
+    """A time/variable stack whose minimum tile exceeds the VMEM
+    floor must route to the XLA scan without touching pallas (a hard
+    Mosaic compile failure under jit has no runtime fallback)."""
+    import nd_tpu.ops.nlmeans_pallas as npall
+    from nd_tpu.filters import NLMeansFilter
+    from nd_tpu.ops.nlmeans_pallas import fits_vmem
+
+    assert fits_vmem((1024, 1024, 12, 4), (1, 1, 0), (1, 1, 0))
+    assert not fits_vmem((512, 512, 400, 4), (1, 1, 1), (1, 1, 1))
+
+    calls = []
+    monkeypatch.setattr(npall, 'supports_pallas', lambda: True)
+    monkeypatch.setattr(npall, 'nlmeans_pallas',
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.setattr(npall, 'nlmeans_spatial_pallas',
+                        lambda *a, **k: calls.append(1))
+    flt = NLMeansFilter(dims=('y', 'x', 'time'), r=1, f=1, sigma=1,
+                        h=1)
+    arr = np.random.RandomState(0).rand(8, 10, 130, 4) \
+        .astype(np.float32)
+    out = flt._filter(arr, axes=(0, 1, 2))
+    assert not calls
+    assert np.asarray(out).shape == arr.shape
+
+
 def test_pallas_nlmeans_n_eff():
     rng = np.random.RandomState(1)
     arr = rng.rand(16, 16, 2, 4).astype(np.float32)
