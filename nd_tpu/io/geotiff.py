@@ -97,6 +97,124 @@ def _packbits_decode(data):
     return bytes(out)
 
 
+def _lzw_encode(data):
+    """TIFF-variant LZW encoder (MSB-first, early code-width change).
+
+    Inverse of :func:`_lzw_decode`; the width-change timing (grow when
+    the writer's next free code reaches ``1 << code_size``, which is one
+    entry ahead of the reader's table) is verified against Pillow's
+    libtiff decoder in the test suite.
+    """
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code, size):
+        nonlocal buf, nbits
+        buf = (buf << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    emit(CLEAR, code_size)
+    w = b''
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << code_size):
+            if code_size < 12:
+                code_size += 1
+            elif next_code >= 4095:
+                # table full: flush and restart the dictionary
+                emit(CLEAR, code_size)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                code_size = 9
+        w = c
+    if w:
+        emit(table[w], code_size)
+    emit(EOI, code_size)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data, row_bytes):
+    """PackBits (RLE) encoder, packing each scanline separately as the
+    TIFF spec requires (decoders that track row boundaries depend on
+    it; ours and libtiff's both accept the stream)."""
+    out = bytearray()
+    for start in range(0, len(data), row_bytes):
+        row = data[start:start + row_bytes]
+        i = 0
+        n = len(row)
+        while i < n:
+            run = 1
+            while i + run < n and row[i + run] == row[i] and run < 128:
+                run += 1
+            if run >= 2:
+                out.append(257 - run)
+                out.append(row[i])
+                i += run
+                continue
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += row[i:j]
+            i = j
+    return bytes(out)
+
+
+def _normalize_codec(compress):
+    """Resolve a user ``compress=`` value to ``(tiff_tag_value, encoder)``.
+
+    Accepts ``True`` (Deflate, the historical default), ``False``/``None``
+    (uncompressed) or a codec name: ``'deflate'``/``'zlib'``, ``'lzw'``,
+    ``'packbits'``, ``'zstd'``, ``'none'``. The encoder takes
+    ``(raw_bytes, row_bytes)``.
+    """
+    if compress is True:
+        name = 'deflate'
+    elif compress is False or compress is None:
+        name = 'none'
+    else:
+        name = str(compress).lower()
+    if name in ('none', 'raw'):
+        return 1, None
+    if name in ('deflate', 'zlib', 'adobe_deflate'):
+        return 8, lambda raw, rb: zlib.compress(raw, 6)
+    if name == 'lzw':
+        return 5, lambda raw, rb: _lzw_encode(raw)
+    if name == 'packbits':
+        return 32773, lambda raw, rb: _packbits_encode(raw, rb)
+    if name == 'zstd':
+        try:
+            import zstandard
+        except ImportError:
+            raise IOError(
+                'writing ZSTD-compressed TIFF needs the zstandard '
+                'module (not installed); use compress="deflate"')
+        comp = zstandard.ZstdCompressor(level=3)
+        return 50000, lambda raw, rb: comp.compress(raw)
+    raise ValueError(
+        'unsupported TIFF compression %r (choose deflate/lzw/packbits/'
+        'zstd/none)' % (compress,))
+
+
 def _decompress(data, compression):
     if compression == 1:
         return data
@@ -668,14 +786,16 @@ class _IFDWriter:
         return bytes(blob), next_field_abs
 
 
-def _encode_blocks(data, compress, tiled, ts):
+def _encode_blocks(data, codec, tiled, ts):
     """Planar band-sequential pixel blocks for one IFD level."""
     nbands, height, width = data.shape
     dt = data.dtype
+    _, encode = codec
     blocks = []
     if tiled:
         tiles_x = (width + ts - 1) // ts
         tiles_y = (height + ts - 1) // ts
+        row_bytes = ts * dt.itemsize
         for b in range(nbands):
             band = np.ascontiguousarray(data[b]).astype(
                 dt.newbyteorder('<'))
@@ -686,17 +806,18 @@ def _encode_blocks(data, compress, tiled, ts):
                                tx * ts:(tx + 1) * ts]
                     block[:sub.shape[0], :sub.shape[1]] = sub
                     raw = block.tobytes()
-                    blocks.append(zlib.compress(raw, 6)
-                                  if compress else raw)
+                    blocks.append(encode(raw, row_bytes)
+                                  if encode else raw)
     else:
+        row_bytes = width * dt.itemsize
         for b in range(nbands):
             raw = np.ascontiguousarray(data[b]).astype(
                 dt.newbyteorder('<')).tobytes()
-            blocks.append(zlib.compress(raw, 6) if compress else raw)
+            blocks.append(encode(raw, row_bytes) if encode else raw)
     return blocks
 
 
-def _build_level_ifd(data, compress, tiled, ts, reduced=False):
+def _build_level_ifd(data, codec, tiled, ts, reduced=False):
     """Assemble the raster-structure tags + blocks of one IFD level."""
     nbands, height, width = data.shape
     dt = data.dtype
@@ -711,11 +832,11 @@ def _build_level_ifd(data, compress, tiled, ts, reduced=False):
     w.add(256, 4, width, 'I')
     w.add(257, 4, height, 'I')
     w.add(258, 3, [bits] * nbands, 'H')
-    w.add(259, 3, 8 if compress else 1, 'H')
+    w.add(259, 3, codec[0], 'H')
     w.add(262, 3, 1, 'H')
     w.add(277, 3, nbands, 'H')
     w.add(284, 3, 2, 'H')                   # planar
-    blocks = _encode_blocks(data, compress, tiled, ts)
+    blocks = _encode_blocks(data, codec, tiled, ts)
     if tiled:
         w.add(322, 4, ts, 'I')
         w.add(323, 4, ts, 'I')
@@ -731,7 +852,13 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
                   compress=True, tiled=False, tile_size=256,
                   overviews=None):
     """Write a (bands, height, width) or (height, width) array as a
-    GeoTIFF (little-endian, band-sequential, optional Deflate).
+    GeoTIFF (little-endian, band-sequential).
+
+    ``compress`` selects the codec: ``True`` (Deflate, the default),
+    ``False`` (uncompressed), or ``'deflate'``/``'lzw'``/``'packbits'``/
+    ``'zstd'``/``'none'`` — all written in the standard TIFF encodings
+    (LZW/PackBits verified against Pillow's libtiff decoder; ZSTD needs
+    the ``zstandard`` module).
 
     ``tiled=True`` writes a tiled layout (``tile_size`` square tiles,
     the cloud-optimized access pattern) instead of one strip per band.
@@ -744,6 +871,7 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
     A writing capability the reference lacks (it only reads rasters via
     GDAL); enables raster export without any GDAL dependency.
     """
+    codec = _normalize_codec(compress)
     data = np.asarray(data)
     if data.ndim == 2:
         data = data[None]
@@ -767,7 +895,7 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
     if any(f < 2 for f in factors):
         raise ValueError('overview factors must be >= 2')
 
-    main = _build_level_ifd(data, compress, tiled, ts)
+    main = _build_level_ifd(data, codec, tiled, ts)
 
     if transform is not None:
         t = transform if isinstance(transform, Affine) \
@@ -816,7 +944,7 @@ def write_geotiff(path, data, transform=None, crs=None, nodata=None,
     for f in factors:
         ov = _decimate(data, f, nodata=nodata)
         # overviews of a strip raster stay stripped; tiled stays tiled
-        writers.append(_build_level_ifd(ov, compress, tiled, ts,
+        writers.append(_build_level_ifd(ov, codec, tiled, ts,
                                         reduced=True))
 
     # serialize the chain: header, then each IFD block back-to-back
