@@ -15,9 +15,11 @@ copy, arithmetic with dimension broadcasting, reductions and
 accumulators, where/fillna/clip/round, diff/shift/roll/pad,
 sortby/reindex/dropna, equals/identical/broadcast_equals,
 assign_coords/assign_attrs, ``Dataset.to_array`` / ``expand_variables``
-(the inverse), stack/unstack of dimensions, groupby/resample/rolling
-(see ``grouped.py``), the pandas bridge (to_series/to_dataframe),
-complex values, datetime coordinates, attribute propagation.
+(the inverse), stack/unstack of dimensions, groupby/resample/rolling/
+coarsen/weighted (see ``grouped.py``), gap filling and regridding
+(ffill/bfill/interpolate_na/interp/interp_like — pandas-oracle tested),
+the pandas bridge (to_series/to_dataframe), complex values, datetime
+coordinates, attribute propagation.
 """
 
 from __future__ import annotations
@@ -180,6 +182,28 @@ def _fill_for(fill_value, dtype):
         except (TypeError, ValueError):
             pass
     return fill_value
+
+
+def _accumulate_max(xp, a, axis):
+    """Running maximum along an axis (numpy ufunc accumulate or the
+    XLA cummax — jax.numpy ufuncs have no ``.accumulate``)."""
+    if xp is np:
+        return np.maximum.accumulate(a, axis=axis)
+    from jax import lax
+    return lax.cummax(a, axis=axis)
+
+
+def _as_float_index(values):
+    """A coordinate as float64 positions: datetimes become ns-since-
+    epoch so gap arithmetic works uniformly."""
+    values = np.asarray(values)
+    if values.dtype.kind == 'M':
+        return values.astype('datetime64[ns]').astype('int64') \
+            .astype('float64')
+    if values.dtype.kind == 'm':
+        return values.astype('timedelta64[ns]').astype('int64') \
+            .astype('float64')
+    return values.astype('float64')
 
 
 def _validate_swap(mapping, coords):
@@ -1107,6 +1131,284 @@ class DataArray(_NDOpsMixin):
         (d, w), = spec.items()
         return Rolling(self, d, w, min_periods=min_periods, center=center)
 
+    def coarsen(self, dim=None, boundary='exact', side='left',
+                coord_func='mean', **window_kwargs):
+        from .grouped import Coarsen
+        windows = _normalize_indexers(dim if isinstance(dim, dict)
+                                      else None, window_kwargs)
+        return Coarsen(self, windows, boundary=boundary, side=side,
+                       coord_func=coord_func)
+
+    def weighted(self, weights):
+        from .grouped import Weighted
+        return Weighted(self, weights)
+
+    # -- gap filling / interpolation --------------------------------------------
+    def ffill(self, dim, limit=None):
+        """Propagate the last valid value forward along ``dim``
+        (optionally at most ``limit`` steps past it)."""
+        return self._fill_directional(dim, limit, forward=True)
+
+    def bfill(self, dim, limit=None):
+        """Propagate the next valid value backward along ``dim``."""
+        return self._fill_directional(dim, limit, forward=False)
+
+    def _fill_directional(self, dim, limit, forward):
+        kind = np.dtype(str(self.dtype)).kind
+        if kind in 'iub':          # no NaN representable: nothing to fill
+            return self.copy(deep=False)
+        if limit is not None and int(limit) < 1:
+            raise ValueError('limit must be >= 1')
+        axis = self.dims.index(dim)
+        n = self.shape[axis]
+        if kind in 'mM':           # NaT fills run on the host
+            data = self.values
+            xp = np
+            nanmask = np.isnat(data)
+        else:
+            data = self.data
+            xp = get_xp(data)
+            nanmask = xp.isnan(data)
+        if not forward:
+            data = xp.flip(data, axis=axis)
+            nanmask = xp.flip(nanmask, axis=axis)
+        shape = [1] * self.ndim
+        shape[axis] = n
+        ar = xp.arange(n).reshape(shape)
+        idx = _accumulate_max(xp, xp.where(nanmask, -1, ar), axis)
+        take = xp.take_along_axis(
+            data, xp.broadcast_to(xp.clip(idx, 0, max(n - 1, 0)),
+                                  data.shape), axis=axis)
+        filled = xp.where(idx >= 0, take, data)
+        if limit is not None:
+            filled = xp.where(ar - idx <= int(limit), filled, data)
+        if not forward:
+            filled = xp.flip(filled, axis=axis)
+        return self._replace(filled)
+
+    def interpolate_na(self, dim=None, method='linear', limit=None,
+                       use_coordinate=True, max_gap=None):
+        """Fill interior NaN runs along ``dim`` from the nearest valid
+        neighbors — ``'linear'`` in the dim's coordinate (or position,
+        ``use_coordinate=False``) or ``'nearest'``. Leading/trailing
+        NaNs are preserved (no extrapolation, the xarray behavior);
+        ``limit`` caps the fill distance (steps past the previous
+        valid point), ``max_gap`` skips gaps wider than that many
+        coordinate units (a timedelta for datetime coordinates)."""
+        if method not in ('linear', 'nearest'):
+            raise ValueError("method must be 'linear' or 'nearest'")
+        if dim is None:
+            raise ValueError('interpolate_na requires a dim')
+        kind = np.dtype(str(self.dtype)).kind
+        if kind in 'iub':
+            return self.copy(deep=False)
+        axis = self.dims.index(dim)
+        n = self.shape[axis]
+        if use_coordinate and dim in self._coords \
+                and self._coords[dim].ndim == 1:
+            x = _as_float_index(self._coords[dim].values)
+        else:
+            x = np.arange(n, dtype=np.float64)
+        if kind in 'mM':
+            base = self.values
+            data = np.where(np.isnat(base), np.nan,
+                            base.astype('int64').astype('float64'))
+            xp = np
+        else:
+            data = self.data
+            xp = get_xp(data)
+        valid = ~xp.isnan(data)
+        shape = [1] * self.ndim
+        shape[axis] = n
+        ar = xp.arange(n).reshape(shape)
+        prev = _accumulate_max(xp, xp.where(valid, ar, -1), axis)
+        nxt_rev = _accumulate_max(
+            xp, xp.where(xp.flip(valid, axis=axis), ar, -1), axis)
+        nxt = (n - 1) - xp.flip(nxt_rev, axis=axis)
+        pc = xp.clip(prev, 0, n - 1)
+        nc = xp.clip(nxt, 0, n - 1)
+        vp = xp.take_along_axis(data, xp.broadcast_to(pc, data.shape),
+                                axis=axis)
+        vn = xp.take_along_axis(data, xp.broadcast_to(nc, data.shape),
+                                axis=axis)
+        xarr = xp.asarray(x)
+        x_p = xp.take(xarr, pc)
+        x_n = xp.take(xarr, nc)
+        denom = x_n - x_p
+        w = (xarr.reshape(shape) - x_p) / xp.where(denom == 0, 1, denom)
+        if method == 'nearest':
+            fill = xp.where(w <= 0.5, vp, vn)
+        else:
+            fill = vp + (vn - vp) * w
+        can = (~valid) & (prev >= 0) & (nxt <= n - 1)
+        if limit is not None:
+            if int(limit) < 1:
+                raise ValueError('limit must be >= 1')
+            can = can & (ar - prev <= int(limit))
+        if max_gap is not None:
+            gap_limit = max_gap
+            if isinstance(gap_limit, (np.timedelta64,)) or (
+                    hasattr(gap_limit, 'dtype')
+                    and np.asarray(gap_limit).dtype.kind == 'm'):
+                gap_limit = float(np.asarray(gap_limit)
+                                  .astype('timedelta64[ns]')
+                                  .astype('int64'))
+            can = can & (xp.abs(denom) <= float(gap_limit))
+        out = xp.where(can, fill, data)
+        if kind in 'mM':
+            base = self.values
+            out = np.where(np.isnan(out),
+                           np.full(1, 'NaT', dtype=base.dtype),
+                           np.round(out).astype('int64')
+                           .astype(base.dtype))
+        return self._replace(out)
+
+    def interp(self, coords=None, method='linear', assume_sorted=False,
+               **coords_kwargs):
+        """Interpolate onto new coordinate values, dim by dim
+        (orthogonal 1-d interpolation like xarray's default engine).
+        ``method`` is ``'linear'`` or ``'nearest'``; targets outside
+        the source range come back NaN. Descending source coordinates
+        (the usual ``y`` axis) are handled via an index sort on the
+        host."""
+        del assume_sorted  # sortedness is detected, not assumed
+        indexers = _normalize_indexers(coords, coords_kwargs)
+        out = self
+        for d, t in indexers.items():
+            out = out._interp_dim(d, t, method)
+        return out
+
+    def interp_like(self, other, method='linear'):
+        """Interpolate onto ``other``'s 1-d coordinates (shared dims
+        only)."""
+        indexers = {d: other._coords[d].values for d in self.dims
+                    if d in other._coords and other._coords[d].ndim == 1
+                    and d in self._coords}
+        return self.interp(indexers, method=method)
+
+    def _interp_dim(self, dim, target, method):
+        if method not in ('linear', 'nearest'):
+            raise ValueError("method must be 'linear' or 'nearest'")
+        if dim not in self.dims:
+            raise ValueError('dim %r not in %r' % (dim, self.dims))
+        if dim not in self._coords or self._coords[dim].ndim != 1:
+            raise ValueError('interp needs a 1-d coordinate on %r' % dim)
+        raw_c = self._coords[dim].values
+        c = _as_float_index(raw_c)
+        if isinstance(target, DataArray):
+            tv_raw = np.asarray(target.values)
+        else:
+            tv_raw = np.asarray(target)
+        scalar = tv_raw.ndim == 0
+        if raw_c.dtype.kind == 'M':
+            tv_raw = np.asarray(tv_raw, dtype='datetime64[ns]')
+        tv = np.atleast_1d(tv_raw)
+        t = _as_float_index(tv)
+        n = len(c)
+        axis = self.dims.index(dim)
+
+        order = np.arange(n)
+        cs = c
+        if n > 1 and not np.all(np.diff(c) >= 0):
+            order = np.argsort(c, kind='stable')
+            cs = c[order]
+        j = np.searchsorted(cs, t, side='left')
+        lo_s = np.clip(j - 1, 0, n - 1)
+        hi_s = np.clip(j, 0, n - 1)
+        denom = cs[hi_s] - cs[lo_s]
+        w = np.where(denom == 0, 0.0, (t - cs[lo_s])
+                     / np.where(denom == 0, 1, denom))
+        exact = cs[hi_s] == t
+        w = np.where(exact, 1.0, w)
+        lo = order[np.where(exact, hi_s, lo_s)]
+        hi = order[hi_s]
+        oob = (t < cs[0]) | (t > cs[-1]) | np.isnan(t)
+
+        kind = np.dtype(str(self.dtype)).kind
+        is_dt = kind in 'mM'
+        if is_dt:
+            base = self.values
+            data = np.where(np.isnat(base), np.nan,
+                            base.astype('int64').astype('float64'))
+            xp = np
+        else:
+            data = self.data
+            xp = get_xp(data)
+
+        if method == 'nearest':
+            idx = np.where(w <= 0.5, lo, hi)
+            out = xp.take(data, xp.asarray(idx), axis=axis)
+            if oob.any():
+                if np.dtype(str(out.dtype)).kind in 'iub':
+                    out = out.astype(np.float64)
+                shape = [1] * out.ndim
+                shape[axis] = len(tv)
+                out = xp.where(xp.asarray(oob).reshape(shape),
+                               xp.asarray(np.nan, dtype=out.dtype), out)
+        else:
+            if np.dtype(str(data.dtype)).kind in 'iub':
+                data = data.astype(np.float64)
+            vlo = xp.take(data, xp.asarray(lo), axis=axis)
+            vhi = xp.take(data, xp.asarray(hi), axis=axis)
+            shape = [1] * vlo.ndim
+            shape[axis] = len(tv)
+            wv = xp.asarray(np.where(oob, np.nan, w)).reshape(shape)
+            wv = wv.astype(vlo.dtype) if np.dtype(
+                str(vlo.dtype)).kind == 'c' else wv
+            out = vlo + (vhi - vlo) * wv
+        if is_dt:
+            base = self.values
+            out = np.where(np.isnan(out),
+                           np.full(1, 'NaT', dtype=base.dtype),
+                           np.round(out).astype('int64')
+                           .astype(base.dtype))
+
+        # rebuild coordinates: the index coord takes the target values;
+        # other coords along ``dim`` interpolate on the host, non-
+        # numeric ones are dropped (xarray drops them too)
+        coords = {}
+        for ck, cv in self._coords.items():
+            if dim not in cv.dims:
+                coords[ck] = cv
+                continue
+            if ck == dim:
+                continue
+            ckind = cv.values.dtype.kind
+            if ckind not in 'fiuMm':
+                continue
+            cax = cv.dims.index(dim)
+            cfl = _as_float_index(cv.values) if ckind in 'Mm' \
+                else cv.values.astype(np.float64)
+            clo = np.take(cfl, lo, axis=cax)
+            chi = np.take(cfl, hi, axis=cax)
+            cshape = [1] * clo.ndim
+            cshape[cax] = len(tv)
+            cw = np.where(oob, np.nan, w).reshape(cshape)
+            cval = clo + (chi - clo) * cw
+            if ckind in 'Mm':
+                cval = np.where(np.isnan(cval),
+                                np.full(1, 'NaT', dtype=cv.values.dtype),
+                                np.round(cval).astype('int64')
+                                .astype(cv.values.dtype))
+            if scalar:
+                cval = np.take(cval, 0, axis=cax)
+                cdims = tuple(d2 for d2 in cv.dims if d2 != dim)
+            else:
+                cdims = cv.dims
+            coords[ck] = Variable(cdims, cval, cv.attrs)
+        if scalar:
+            out = xp.take(out, 0, axis=axis) if not is_dt \
+                else np.take(out, 0, axis=axis)
+            dims = tuple(d2 for d2 in self.dims if d2 != dim)
+            coords[dim] = Variable((), tv_raw,
+                                   self._coords[dim].attrs)
+        else:
+            dims = self.dims
+            coords[dim] = Variable((dim,), tv,
+                                   self._coords[dim].attrs)
+        return DataArray._from_parts(Variable(dims, out), coords,
+                                     self.attrs, self.name)
+
     # -- comparison ------------------------------------------------------------------
     def equals(self, other):
         """True if dims, coordinates and values (NaN-aware) match."""
@@ -1953,6 +2255,64 @@ class Dataset(_NDOpsMixin):
                                    window_kwargs)
         (d, w), = spec.items()
         return Rolling(self, d, w, min_periods=min_periods, center=center)
+
+    def coarsen(self, dim=None, boundary='exact', side='left',
+                coord_func='mean', **window_kwargs):
+        from .grouped import Coarsen
+        windows = _normalize_indexers(dim if isinstance(dim, dict)
+                                      else None, window_kwargs)
+        return Coarsen(self, windows, boundary=boundary, side=side,
+                       coord_func=coord_func)
+
+    def weighted(self, weights):
+        from .grouped import Weighted
+        return Weighted(self, weights)
+
+    def _map_gapfill(self, name, dim, **kw):
+        out = self.copy(deep=False)
+        for k in list(out._variables):
+            if dim in out._variables[k].dims:
+                out._variables[k] = getattr(self[k], name)(
+                    dim, **kw).variable
+        return out
+
+    def ffill(self, dim, limit=None):
+        return self._map_gapfill('ffill', dim, limit=limit)
+
+    def bfill(self, dim, limit=None):
+        return self._map_gapfill('bfill', dim, limit=limit)
+
+    def interpolate_na(self, dim=None, method='linear', limit=None,
+                       use_coordinate=True, max_gap=None):
+        return self._map_gapfill(
+            'interpolate_na', dim, method=method, limit=limit,
+            use_coordinate=use_coordinate, max_gap=max_gap)
+
+    def interp(self, coords=None, method='linear', assume_sorted=False,
+               **coords_kwargs):
+        """Per-variable orthogonal interpolation onto new coordinate
+        values; variables without an interpolated dim pass through."""
+        del assume_sorted
+        indexers = _normalize_indexers(coords, coords_kwargs)
+        out = Dataset({}, attrs=dict(self.attrs))
+        for k in self._variables:
+            da = self[k]
+            sub = {d: t for d, t in indexers.items() if d in da.dims}
+            out[k] = da.interp(sub, method=method) if sub else da
+        for ck, cv in self._coords.items():
+            if ck not in out._coords \
+                    and not any(d in indexers for d in cv.dims):
+                out._coords[ck] = cv
+        return out
+
+    def interp_like(self, other, method='linear'):
+        dims = set()
+        for v in self._variables.values():
+            dims.update(v.dims)
+        indexers = {d: other._coords[d].values for d in dims
+                    if d in other._coords and other._coords[d].ndim == 1
+                    and d in self._coords}
+        return self.interp(indexers, method=method)
 
     # -- comparison -------------------------------------------------------------------------
     def equals(self, other):

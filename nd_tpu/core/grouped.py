@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ['GroupBy', 'Resample', 'Rolling']
+__all__ = ['GroupBy', 'Resample', 'Rolling', 'Coarsen', 'Weighted']
 
 
 def _nan_pad_value(dtype):
@@ -348,3 +348,284 @@ class Rolling:
 
     def count(self, **kw):
         return self._reduce('count', **kw)
+
+
+class Coarsen:
+    """Block-window aggregation along one or more dimensions (the
+    xarray ``coarsen`` API): each output element reduces one
+    ``windows[dim]``-long block per coarsened dim.
+
+    ``boundary`` handles non-divisible axes: ``'exact'`` (default)
+    raises, ``'trim'`` drops the remainder from the ``side`` end,
+    ``'pad'`` NaN-pads to a whole block (promoting ints to float like
+    rolling). Coordinates along coarsened dims reduce with
+    ``coord_func`` (``'mean'`` default; datetimes average in int64).
+    """
+
+    _REDUCERS = ('mean', 'sum', 'std', 'var', 'min', 'max', 'median',
+                 'count')
+
+    def __init__(self, obj, windows, boundary='exact', side='left',
+                 coord_func='mean'):
+        from .dataarray import Dataset
+        if boundary not in ('exact', 'trim', 'pad'):
+            raise ValueError("boundary must be 'exact', 'trim' or 'pad'")
+        if side not in ('left', 'right'):
+            raise ValueError("side must be 'left' or 'right'")
+        windows = {d: int(w) for d, w in windows.items()}
+        if any(w < 1 for w in windows.values()):
+            raise ValueError('window sizes must be >= 1')
+        sizes = obj.sizes if not isinstance(obj, Dataset) else obj.sizes
+        for d in windows:
+            if d not in sizes:
+                raise ValueError('coarsen dimension %r not in object '
+                                 'dims %r' % (d, tuple(sizes)))
+            if boundary == 'exact' and sizes[d] % windows[d]:
+                raise ValueError(
+                    'size %d of dim %r is not divisible by window %d '
+                    "(use boundary='trim' or 'pad')"
+                    % (sizes[d], d, windows[d]))
+        self._obj = obj
+        self._windows = windows
+        self._boundary = boundary
+        self._side = side
+        self._coord_func = coord_func
+
+    # -- blocking ----------------------------------------------------------
+    def _block_values(self, values, dims, xp=np):
+        """Reshape ``values`` so every coarsened axis becomes an
+        (nblocks, window) pair; returns (blocked, window_axes)."""
+        arr = values
+        out_dims = []
+        window_axes = []
+        axis = 0
+        for d in dims:
+            if d not in self._windows:
+                out_dims.append(d)
+                axis += 1
+                continue
+            w = self._windows[d]
+            n = arr.shape[axis]
+            rem = n % w
+            if rem and self._boundary == 'trim':
+                key = [slice(None)] * arr.ndim
+                key[axis] = (slice(None, n - rem) if self._side == 'left'
+                             else slice(rem, None))
+                arr = arr[tuple(key)]
+                n -= rem
+            elif rem:  # pad
+                fill, dtype = _nan_pad_value(arr.dtype)
+                if np.issubdtype(np.dtype(str(arr.dtype)), np.datetime64):
+                    fill = np.datetime64('NaT')
+                    dtype = arr.dtype
+                pad = [(0, 0)] * arr.ndim
+                pad[axis] = ((0, w - rem) if self._side == 'left'
+                             else (w - rem, 0))
+                if str(dtype) != str(arr.dtype):
+                    arr = arr.astype(dtype)
+                if np.issubdtype(np.dtype(str(arr.dtype)), np.datetime64):
+                    lo = np.full([p if i == axis else s for i, (s, p) in
+                                  enumerate(zip(arr.shape,
+                                                [p[0] for p in pad]))],
+                                 fill, arr.dtype)
+                    hi = np.full([p if i == axis else s for i, (s, p) in
+                                  enumerate(zip(arr.shape,
+                                                [p[1] for p in pad]))],
+                                 fill, arr.dtype)
+                    arr = np.concatenate([lo, arr, hi], axis=axis)
+                else:
+                    arr = xp.pad(arr, pad, mode='constant',
+                                 constant_values=fill)
+                n += w - rem
+            new_shape = arr.shape[:axis] + (n // w, w) \
+                + arr.shape[axis + 1:]
+            arr = arr.reshape(new_shape)
+            out_dims.append(d)
+            window_axes.append(axis + 1)
+            axis += 2
+        return arr, window_axes
+
+    # -- reductions --------------------------------------------------------
+    def _reduce_da(self, da, name):
+        from .variable import Variable, get_xp
+        from .dataarray import DataArray
+        if not any(d in da.dims for d in self._windows):
+            return da
+        xp = get_xp(da.data)
+        kind = np.dtype(str(da.dtype)).kind
+        data = da.values if kind in 'mM' else da.data
+        blocked, window_axes = self._block_values(
+            data, da.dims, np if kind in 'mM' else xp)
+        axes = tuple(window_axes)
+        if kind in 'mM':
+            red = self._reduce_datetime(blocked, axes, name)
+            bxp = np
+        else:
+            bxp = get_xp(blocked)
+            if name == 'count':
+                red = (~bxp.isnan(blocked)).sum(axis=axes) \
+                    if np.dtype(str(blocked.dtype)).kind in 'fc' else \
+                    np.prod([blocked.shape[a] for a in axes]) \
+                    * bxp.ones([s for i, s in enumerate(blocked.shape)
+                                if i not in axes], np.int64)
+            else:
+                fn = getattr(bxp, 'nan' + name)
+                red = fn(blocked, axis=axes)
+        coords = {}
+        for ck, cv in da._coords.items():
+            if not any(d in self._windows for d in cv.dims):
+                coords[ck] = cv
+                continue
+            coords[ck] = Variable(
+                cv.dims, self._coarsen_coord(cv.values, cv.dims), cv.attrs)
+        return DataArray._from_parts(Variable(da.dims, red), coords,
+                                     da.attrs, da.name)
+
+    def _reduce_datetime(self, blocked, axes, name):
+        if name in ('min', 'max'):
+            return getattr(np, name)(blocked, axis=axes)
+        if name == 'count':
+            return (~np.isnat(blocked)).sum(axis=axes)
+        if name in ('mean', 'median'):
+            base = blocked.astype('int64')
+            red = getattr(np, 'nan' + name)(
+                np.where(np.isnat(blocked), np.nan, base), axis=axes)
+            return red.astype('int64').astype(blocked.dtype)
+        raise TypeError('%s() is not defined for datetime blocks' % name)
+
+    def _coarsen_coord(self, values, dims):
+        blocked, axes = self._block_values(values, dims, np)
+        fn = self._coord_func
+        if np.issubdtype(values.dtype, np.datetime64):
+            return self._reduce_datetime(
+                blocked, tuple(axes),
+                'mean' if fn in ('mean', 'median') else fn)
+        if fn == 'first':
+            key = [slice(None)] * blocked.ndim
+            for a in axes:
+                key[a] = 0
+            return blocked[tuple(key)]
+        if fn == 'last':
+            key = [slice(None)] * blocked.ndim
+            for a in axes:
+                key[a] = -1
+            return blocked[tuple(key)]
+        return getattr(np, 'nan' + fn)(blocked, axis=tuple(axes))
+
+    def _reduce(self, name):
+        from .dataarray import Dataset
+        if isinstance(self._obj, Dataset):
+            ds = self._obj
+            out = ds.copy(deep=False)
+            done_coords = {}
+            for k in list(out._variables):
+                da = ds[k]
+                sub = Coarsen(da, {d: w for d, w in self._windows.items()
+                                   if d in da.dims},
+                              self._boundary, self._side, self._coord_func)
+                red = sub._reduce_da(da, name)
+                out._variables[k] = red.variable
+                for ck, cv in red._coords.items():
+                    done_coords.setdefault(ck, cv)
+            for ck in list(out._coords):
+                if any(d in self._windows for d in out._coords[ck].dims):
+                    if ck in done_coords:
+                        out._coords[ck] = done_coords[ck]
+                    else:
+                        from .variable import Variable
+                        cv = out._coords[ck]
+                        out._coords[ck] = Variable(
+                            cv.dims,
+                            self._coarsen_coord(cv.values, cv.dims),
+                            cv.attrs)
+            return out
+        return self._reduce_da(self._obj, name)
+
+    def __getattr__(self, name):
+        if name in self._REDUCERS:
+            return lambda **kw: self._reduce(name)
+        raise AttributeError(name)
+
+
+class Weighted:
+    """Weighted reductions (the xarray ``.weighted(weights)`` API).
+
+    ``weights`` must be a DataArray free of NaNs (xarray contract);
+    reductions broadcast it against the object and, with the default
+    ``skipna=True``, ignore NaN data points (their weight drops out of
+    the normalization)."""
+
+    def __init__(self, obj, weights):
+        from .dataarray import DataArray
+        if not isinstance(weights, DataArray):
+            raise TypeError('weights must be a DataArray')
+        kind = np.dtype(str(weights.dtype)).kind
+        if kind in 'fc':
+            wv = weights.values
+            if np.isnan(wv).any():
+                raise ValueError('weights cannot contain NaN (mask or '
+                                 'fill them first)')
+        self._obj = obj
+        self._weights = weights
+
+    def _per_da(self, da, fn, dim, skipna):
+        from .dataarray import broadcast
+        x, w = broadcast(da, self._weights)
+        return fn(x, w, dim, skipna)
+
+    def _apply(self, fn, dim, skipna):
+        from .dataarray import Dataset
+        if isinstance(self._obj, Dataset):
+            ds = self._obj
+            out = {k: self._per_da(ds[k], fn, dim, skipna)
+                   for k in ds.data_vars}
+            return Dataset(out, attrs=dict(ds.attrs))
+        return self._per_da(self._obj, fn, dim, skipna)
+
+    @staticmethod
+    def _masked(x, w, skipna):
+        valid = x.notnull() if skipna else None
+        if valid is not None:
+            xw = (x.fillna(0) * w)
+            sw = w.where(valid, 0)
+        else:
+            xw = x * w
+            sw = w
+        return xw, sw, valid
+
+    def sum_of_weights(self, dim=None):
+        def fn(x, w, dim, skipna):
+            _, sw, _ = self._masked(x, w, True)
+            s = sw.sum(dim)
+            return s.where(s != 0)
+        return self._apply(fn, dim, True)
+
+    def sum(self, dim=None, skipna=True):
+        def fn(x, w, dim, skipna):
+            xw, _, _ = self._masked(x, w, skipna)
+            return xw.sum(dim) if skipna else (x * w).sum(dim)
+        return self._apply(fn, dim, skipna)
+
+    def mean(self, dim=None, skipna=True):
+        def fn(x, w, dim, skipna):
+            xw, sw, _ = self._masked(x, w, skipna)
+            denom = sw.sum(dim)
+            denom = denom.where(denom != 0)
+            return xw.sum(dim) / denom
+        return self._apply(fn, dim, skipna)
+
+    def var(self, dim=None, skipna=True):
+        def fn(x, w, dim, skipna):
+            xw, sw, valid = self._masked(x, w, skipna)
+            denom = sw.sum(dim)
+            denom = denom.where(denom != 0)
+            m = xw.sum(dim) / denom
+            d2 = (x - m) ** 2
+            if skipna:
+                d2 = d2.fillna(0)
+            return (d2 * sw).sum(dim) / denom
+        return self._apply(fn, dim, skipna)
+
+    def std(self, dim=None, skipna=True):
+        out = self.var(dim, skipna)
+        return out ** 0.5
