@@ -95,6 +95,34 @@ _EPSG = {
     54032: {'proj': 'aeqd', 'lat_0': 0, 'lon_0': 0, 'x_0': 0,
             'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
             'units': 'm'},
+    # S-JTSK / Krovak East North (Czechia + Slovakia national grid)
+    5514: {'proj': 'krovak', 'lat_0': 49.5,
+           'lon_0': 24.833333333333332, 'alpha': 30.288139722222223,
+           'k': 0.9999, 'x_0': 0, 'y_0': 0, 'ellps': 'bessel',
+           'towgs84': (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0),
+           'units': 'm'},
+    # WGS 84 / Equal Earth Greenwich
+    8857: {'proj': 'eqearth', 'lon_0': 0, 'x_0': 0, 'y_0': 0,
+           'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    # Timbalai 1948 / RSO Borneo (m) — Hotine oblique Mercator
+    # variant B (the EPSG Guidance Note worked example)
+    29873: {'proj': 'omerc', 'lat_0': 4.0, 'lonc': 115.0,
+            'alpha': 53.31582047222222, 'gamma': 53.13010236111111,
+            'k': 0.99984, 'x_0': 590476.87, 'y_0': 442857.65,
+            'ellps': 'evrstSS',
+            'towgs84': (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0),
+            'units': 'm'},
+    # NAD83 / Alaska zone 1 (Hotine oblique Mercator variant B)
+    26931: {'proj': 'omerc', 'lat_0': 57.0,
+            'lonc': -133.66666666666666, 'alpha': 323.1301023611111,
+            'gamma': 323.1301023611111, 'k': 0.9999, 'x_0': 5000000,
+            'y_0': -5000000, 'ellps': 'GRS80', 'datum': 'NAD83',
+            'units': 'm'},
+    # GDM2000 / Peninsular RSO (variant A: no_uoff)
+    3375: {'proj': 'omerc', 'lat_0': 4.0, 'lonc': 102.25,
+           'alpha': 323.0257964666666, 'gamma': 323.1301023611111,
+           'k': 0.99984, 'x_0': 804671.0, 'y_0': 0.0,
+           'ellps': 'GRS80', 'no_uoff': True, 'units': 'm'},
     # ETRS89 geographic + UTM zones (the standard European grids used
     # by Sentinel-2 tiles and national mapping)
     4258: {'proj': 'longlat', 'ellps': 'GRS80', 'datum': 'ETRS89'},
@@ -125,6 +153,9 @@ _PROJECTION_WKT_NAMES = {
     'somerc': 'Hotine_Oblique_Mercator_Azimuth_Center',
     'ortho': 'Orthographic',
     'aeqd': 'Azimuthal_Equidistant',
+    'omerc': 'Hotine_Oblique_Mercator',
+    'krovak': 'Krovak',
+    'eqearth': 'Equal_Earth',
 }
 
 _WKT_NAME_TO_PROJ = {
@@ -170,6 +201,16 @@ _WKT_NAME_TO_PROJ = {
     'orthographic': 'ortho',
     'azimuthal_equidistant': 'aeqd',
     'modified_azimuthal_equidistant': 'aeqd',
+    # Hotine oblique Mercator: plain name = EPSG variant A (false
+    # grid at the natural origin, +no_uoff); the azimuth-center name
+    # is variant B — resolved to somerc only in the Swiss azimuth-90
+    # convention (see from_wkt)
+    'hotine_oblique_mercator': 'omerc',
+    'oblique_mercator': 'omerc',
+    'rectified_skew_orthomorphic': 'omerc',
+    'krovak': 'krovak',
+    'krovak_(north_orientated)': 'krovak',
+    'equal_earth': 'eqearth',
 }
 
 # projections whose WKT standard_parallel_1/2 mean the conic
@@ -177,7 +218,8 @@ _WKT_NAME_TO_PROJ = {
 _CONIC_PROJS = ('lcc', 'aea')
 
 _NUMERIC_KEYS = ('lat_0', 'lon_0', 'lat_1', 'lat_2', 'lat_ts', 'k', 'k_0',
-                 'x_0', 'y_0', 'zone', 'a', 'b', 'rf', 'h', 'to_meter')
+                 'x_0', 'y_0', 'zone', 'a', 'b', 'rf', 'h', 'to_meter',
+                 'alpha', 'gamma', 'lonc')
 
 # proj4 +units= names -> meters per unit
 _UNIT_TO_METER = {
@@ -444,6 +486,16 @@ class CRS:
                     'satellite_height': 'h',
                     'azimuth': 'alpha',
                     'azimuth_of_initial_line': 'alpha',
+                    'azimuth_at_projection_centre': 'alpha',
+                    'co-latitude_of_cone_axis': 'alpha',
+                    'rectified_grid_angle': 'gamma',
+                    'angle_from_rectified_to_skew_grid': 'gamma',
+                    'latitude_of_projection_centre': 'lat_0',
+                    'longitude_of_projection_centre': 'lonc',
+                    'scale_factor_on_initial_line': 'k',
+                    'pseudo_standard_parallel_1': 'lat_1',
+                    'latitude_of_pseudo_standard_parallel': 'lat_1',
+                    'scale_factor_on_pseudo_standard_parallel': 'k',
                 }.get(pk)
                 if key:
                     params[key] = pv
@@ -453,15 +505,30 @@ class CRS:
                 elif 'sweep' not in params:
                     params['sweep'] = 'y'
             if proj == 'somerc':
-                # only the azimuth-90 (Swiss) case is the somerc
-                # formulation; a general Hotine initial line is a
-                # different projection and must not be silently wrong
-                alpha = params.pop('alpha', 90.0)
+                # the azimuth-90 (Swiss) case is the somerc
+                # formulation (the GDAL convention for +proj=somerc);
+                # a general initial line is the Hotine oblique
+                # Mercator variant B
+                alpha = params.get('alpha', 90.0)
                 if abs(abs(alpha) - 90.0) > 1e-9:
-                    raise NotImplementedError(
-                        'Hotine oblique Mercator with azimuth %g is '
-                        'not supported (only the azimuth-90 Swiss '
-                        'somerc case)' % alpha)
+                    proj = params['proj'] = 'omerc'
+                else:
+                    params.pop('alpha', None)
+                    params.pop('gamma', None)
+            if proj == 'omerc':
+                # the projection centre longitude is +lonc, not +lon_0
+                # (generic WKT mapping lands *_of_center on lon_0)
+                if 'lonc' not in params and 'lon_0' in params:
+                    params['lonc'] = params.pop('lon_0')
+                raw = proj_m[0].strip().lower().replace(' ', '_')
+                # EPSG variant A (natural-origin false grid) vs B
+                # (projection-centre false grid): the plain WKT1 name
+                # and ESRI's Natural_Origin flavor are variant A;
+                # 'variant_b' / '*_center' names are variant B
+                if ('variant_b' not in raw
+                        and 'center' not in raw
+                        and 'centre' not in raw):
+                    params['no_uoff'] = True
             if pname.startswith('polar_stereographic') \
                     and 'lat_ts' not in params \
                     and abs(params.get('lat_0', 0.0)) != 90.0:
@@ -614,6 +681,29 @@ class CRS:
                   ('scale_factor', 'k'),
                   ('false_easting', 'x_0'),
                   ('false_northing', 'y_0')]
+        if self.proj == 'omerc':
+            if not self._params.get('no_uoff'):
+                pname = 'Hotine_Oblique_Mercator_Azimuth_Center'
+            alpha = float(self._params.get('alpha', 90.0))
+            par.append('PARAMETER["azimuth",%.12g]' % alpha)
+            par.append('PARAMETER["rectified_grid_angle",%.12g]'
+                       % float(self._params.get('gamma', alpha)))
+            fields = [('latitude_of_center', 'lat_0'),
+                      ('longitude_of_center', 'lonc'),
+                      ('scale_factor', 'k'),
+                      ('false_easting', 'x_0'),
+                      ('false_northing', 'y_0')]
+        if self.proj == 'krovak':
+            par.append('PARAMETER["azimuth",%.12g]'
+                       % float(self._params.get(
+                           'alpha', 30.288139722222223)))
+            par.append('PARAMETER["pseudo_standard_parallel_1",%.12g]'
+                       % float(self._params.get('lat_1', 78.5)))
+            fields = [('latitude_of_center', 'lat_0'),
+                      ('longitude_of_center', 'lon_0'),
+                      ('scale_factor', 'k'),
+                      ('false_easting', 'x_0'),
+                      ('false_northing', 'y_0')]
         if conic:
             # GDAL WKT1 order for conics: SP1, SP2, then the origin
             fields = [('standard_parallel_1', 'lat_1'),
@@ -703,6 +793,19 @@ class CRS:
                 # transform_coords hand back inputs unchanged
                 out['h'] = round(float(p.get('h', 0.0)), 3)
                 out['sweep'] = str(p.get('sweep', 'y')).lower()
+            if proj == 'omerc':
+                alpha = float(p.get('alpha', 90.0))
+                out['alpha'] = round(alpha, 9)
+                out['gamma'] = round(float(p.get('gamma', alpha)), 9)
+                out['lonc'] = round(float(p.get(
+                    'lonc', p.get('lon_0', 0.0))), 9)
+                out['no_uoff'] = bool(p.get('no_uoff'))
+            if proj == 'krovak':
+                out['alpha'] = round(float(p.get(
+                    'alpha', 30.288139722222223)), 9)
+                out['lat_1'] = round(float(p.get('lat_1', 78.5)), 9)
+                out['lat_2'] = out['lat_1']
+                out['czech'] = bool(p.get('czech'))
             if 'to_meter' in p:
                 out['to_meter'] = round(float(p['to_meter']), 12)
         ell = _lookup_ellps(p['ellps']) if 'ellps' in p else (

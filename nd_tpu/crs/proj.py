@@ -81,6 +81,7 @@ ELLIPSOIDS = {
     'clrk80': Ellipsoid('clrk80', 6378249.145, rf=293.4663),
     'clrk80ign': Ellipsoid('clrk80ign', 6378249.2, rf=293.4660212936),
     'evrst30': Ellipsoid('evrst30', 6377276.345, rf=300.8017),
+    'evrstSS': Ellipsoid('evrstSS', 6377298.556, rf=300.8017),
     'WGS72': Ellipsoid('WGS72', 6378135.0, rf=298.26),
     'helmert': Ellipsoid('helmert', 6378200.0, rf=298.3),
 }
@@ -942,6 +943,230 @@ def _ortho_inverse(x, y, ell, lon0, k0, xp=np, params=None):
     return lon * mask, lat * mask
 
 
+# ---------------------------------------------------------------------------
+# Hotine oblique Mercator (omerc) — EPSG methods 9812 (variant A) and
+# 9815 (variant B): the RSO grids of Borneo/Malaysia (EPSG:29873,
+# 3375-3390) and the US Alaska zone 1 (EPSG:26731/26931). EPSG
+# Guidance Note 7-2 formulation; variant B (false origin at the
+# projection centre) is the default, +no_uoff selects variant A.
+# ---------------------------------------------------------------------------
+
+def _phi_from_t(t, e, xp):
+    """Invert Snyder's conformal t(phi) by fixed point (Snyder 7-9)."""
+    phi = math.pi / 2 - 2 * xp.arctan(t)
+    for _ in range(8):
+        s = e * xp.sin(phi)
+        phi = math.pi / 2 - 2 * xp.arctan(
+            t * ((1 - s) / (1 + s)) ** (e / 2))
+    return phi
+
+
+def _omerc_setup(ell, params):
+    e = ell.e
+    e2 = ell.e2
+    latc = math.radians(float(params.get('lat_0', 0.0)))
+    lonc = math.radians(float(params.get('lonc',
+                                         params.get('lon_0', 0.0))))
+    alpha = math.radians(float(params.get('alpha', 90.0)))
+    gamma = math.radians(float(params['gamma'])) \
+        if params.get('gamma') is not None else alpha
+    kc = float(params.get('k', params.get('k_0', 1.0)))
+    if abs(latc) < 1e-12 or abs(abs(latc) - math.pi / 2) < 1e-12:
+        raise ValueError('omerc needs 0 < |lat_0| < 90')
+    sc, cc = math.sin(latc), math.cos(latc)
+    B = math.sqrt(1.0 + e2 * cc ** 4 / (1.0 - e2))
+    A = ell.a * B * kc * math.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+    t0 = math.tan(math.pi / 4 - latc / 2) \
+        / ((1.0 - e * sc) / (1.0 + e * sc)) ** (e / 2)
+    D = B * math.sqrt(1.0 - e2) / (cc * math.sqrt(1.0 - e2 * sc * sc))
+    D2 = max(D * D, 1.0)
+    sgn = 1.0 if latc >= 0 else -1.0
+    F = D + math.sqrt(D2 - 1.0) * sgn
+    H = F * t0 ** B
+    G = (F - 1.0 / F) / 2.0
+    gamma0 = math.asin(math.sin(alpha) / D)
+    lon0 = lonc - math.asin(G * math.tan(gamma0)) / B
+    if params.get('no_uoff'):
+        uc = 0.0
+    elif abs(abs(alpha) - math.pi / 2) < 1e-12:
+        uc = A * (lonc - lon0)
+    else:
+        uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0),
+                                  math.cos(alpha)) * sgn
+    return A, B, H, gamma0, lon0, gamma, uc, sgn
+
+
+def _omerc_forward(lon, lat, ell, lon0_unused, k0, xp=np, params=None):
+    e = ell.e
+    A, B, H, gamma0, lon0, gammac, uc, sgn = _omerc_setup(ell, params)
+    s = e * xp.sin(lat)
+    t = xp.tan(math.pi / 4 - lat / 2) / ((1.0 - s) / (1.0 + s)) ** (e / 2)
+    Q = H / t ** B
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dl = B * (lon - lon0)
+    V = xp.sin(dl)
+    U = (-V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+    v = A * xp.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = A * xp.arctan2(S * math.cos(gamma0) + V * math.sin(gamma0),
+                       xp.cos(dl)) / B
+    u = u - abs(uc) * sgn
+    E = v * math.cos(gammac) + u * math.sin(gammac)
+    N = u * math.cos(gammac) - v * math.sin(gammac)
+    return E, N
+
+
+def _omerc_inverse(x, y, ell, lon0_unused, k0, xp=np, params=None):
+    e = ell.e
+    A, B, H, gamma0, lon0, gammac, uc, sgn = _omerc_setup(ell, params)
+    v = x * math.cos(gammac) - y * math.sin(gammac)
+    u = y * math.cos(gammac) + x * math.sin(gammac) + abs(uc) * sgn
+    Q = xp.exp(-(B * v / A))
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = xp.sin(B * u / A)
+    U = (V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+    t = (H / xp.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
+    phi = _phi_from_t(t, e, xp)
+    lam = lon0 - xp.arctan2(S * math.cos(gamma0) - V * math.sin(gamma0),
+                            xp.cos(B * u / A)) / B
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# Krovak (EPSG method 9819) — the S-JTSK national grid of Czechia and
+# Slovakia (EPSG:5514 Krovak East North, EPSG:2065 positive-southing).
+# Double projection: ellipsoid -> conformal (Gaussian) sphere ->
+# oblique cone through the pseudo standard parallel. Coordinates come
+# out GIS-friendly (east, north) = (-westing, -southing) like PROJ's
+# +proj=krovak; the +czech flag flips to positive southing/westing.
+# ---------------------------------------------------------------------------
+
+def _krovak_setup(ell, params):
+    e = ell.e
+    e2 = ell.e2
+    latc = math.radians(float(params.get('lat_0', 49.5)))
+    alphac = math.radians(float(params.get(
+        'alpha', 30.288139722222223)))        # cone-axis azimuth
+    latp = math.radians(float(params.get('lat_1', 78.5)))
+    k = float(params.get('k', params.get('k_0', 0.9999)))
+    sc, cc = math.sin(latc), math.cos(latc)
+    B = math.sqrt(1.0 + e2 * cc ** 4 / (1.0 - e2))
+    A = ell.a * math.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+    gamma0 = math.asin(sc / B)
+    t0 = math.tan(math.pi / 4 + gamma0 / 2) \
+        * ((1.0 + e * sc) / (1.0 - e * sc)) ** (e * B / 2) \
+        / math.tan(math.pi / 4 + latc / 2) ** B
+    n = math.sin(latp)
+    r0 = k * A / math.tan(latp)
+    return B, A, gamma0, t0, n, r0, alphac, latp
+
+
+def _krovak_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    e = ell.e
+    B, A, gamma0, t0, n, r0, alphac, latp = _krovak_setup(ell, params)
+    s = e * xp.sin(lat)
+    # geodetic -> conformal-sphere latitude U
+    U = 2.0 * (xp.arctan(
+        t0 * xp.tan(lat / 2 + math.pi / 4) ** B
+        / ((1.0 + s) / (1.0 - s)) ** (e * B / 2)) - math.pi / 4)
+    V = B * (-(lon - lon0))              # positive west of the origin
+    cosU = xp.cos(U)
+    sinT = xp.cos(alphac) * xp.sin(U) + math.sin(alphac) * cosU * xp.cos(V)
+    T = xp.arcsin(xp.clip(sinT, -1.0, 1.0))
+    D = xp.arcsin(xp.clip(cosU * xp.sin(V) / xp.cos(T), -1.0, 1.0))
+    theta = n * D
+    r = r0 * math.tan(math.pi / 4 + latp / 2) ** n \
+        / xp.tan(T / 2 + math.pi / 4) ** n
+    x_south = r * xp.cos(theta)
+    y_west = r * xp.sin(theta)
+    if params and params.get('czech'):
+        return y_west, x_south
+    return -y_west, -x_south
+
+
+def _krovak_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    e = ell.e
+    B, A, gamma0, t0, n, r0, alphac, latp = _krovak_setup(ell, params)
+    if params and params.get('czech'):
+        y_west, x_south = x, y
+    else:
+        y_west, x_south = -x, -y
+    r = xp.hypot(x_south, y_west)
+    theta = xp.arctan2(y_west, x_south)
+    D = theta / n
+    T = 2.0 * (xp.arctan(
+        (r0 / r) ** (1.0 / n) * math.tan(math.pi / 4 + latp / 2))
+        - math.pi / 4)
+    U = xp.arcsin(xp.clip(
+        xp.cos(alphac) * xp.sin(T) - math.sin(alphac) * xp.cos(T)
+        * xp.cos(D), -1.0, 1.0))
+    V = xp.arcsin(xp.clip(xp.cos(T) * xp.sin(D) / xp.cos(U), -1.0, 1.0))
+    lon = lon0 - V / B
+    # conformal sphere -> geodetic by fixed point
+    phi = U
+    for _ in range(8):
+        s = e * xp.sin(phi)
+        phi = 2.0 * (xp.arctan(
+            t0 ** (-1.0 / B) * xp.tan(U / 2 + math.pi / 4) ** (1.0 / B)
+            * ((1.0 + s) / (1.0 - s)) ** (e / 2)) - math.pi / 4)
+    return lon, phi
+
+
+# ---------------------------------------------------------------------------
+# Equal Earth (EPSG method 1078, EPSG:8857-8859) — the Equal Earth
+# projection (Savric, Patterson & Jenny 2018) on the authalic sphere.
+# ---------------------------------------------------------------------------
+
+_EQEARTH_A1 = 1.340264
+_EQEARTH_A2 = -0.081106
+_EQEARTH_A3 = 0.000893
+_EQEARTH_A4 = 0.003796
+_EQEARTH_M = math.sqrt(3.0) / 2.0
+
+
+def _eqearth_poly(theta, xp):
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    return theta * (_EQEARTH_A1 + _EQEARTH_A2 * t2
+                    + t6 * (_EQEARTH_A3 + _EQEARTH_A4 * t2))
+
+
+def _eqearth_dpoly(theta, xp):
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    return _EQEARTH_A1 + 3.0 * _EQEARTH_A2 * t2 \
+        + t6 * (7.0 * _EQEARTH_A3 + 9.0 * _EQEARTH_A4 * t2)
+
+
+def _eqearth_forward(lon, lat, ell, lon0, k0, xp=np):
+    # authalic sphere of equal surface area
+    qp = _qp(ell)
+    rq = ell.a * math.sqrt(qp / 2.0)
+    beta = xp.arcsin(xp.clip(_q_authalic(lat, ell, xp=xp) / qp,
+                             -1.0, 1.0))
+    theta = xp.arcsin(_EQEARTH_M * xp.sin(beta))
+    x = rq * 2.0 * math.sqrt(3.0) * (lon - lon0) * xp.cos(theta) \
+        / (3.0 * _eqearth_dpoly(theta, xp))
+    y = rq * _eqearth_poly(theta, xp)
+    return x, y
+
+
+def _eqearth_inverse(x, y, ell, lon0, k0, xp=np):
+    qp = _qp(ell)
+    rq = ell.a * math.sqrt(qp / 2.0)
+    yn = y / rq
+    theta = yn                           # Newton for poly(theta) = y/Rq
+    for _ in range(12):
+        theta = theta - (_eqearth_poly(theta, xp) - yn) \
+            / _eqearth_dpoly(theta, xp)
+    beta = xp.arcsin(xp.clip(xp.sin(theta) / _EQEARTH_M, -1.0, 1.0))
+    lat = _authalic_to_geodetic(beta, ell, xp=xp)
+    lon = lon0 + 3.0 * x * _eqearth_dpoly(theta, xp) \
+        / (2.0 * math.sqrt(3.0) * rq * xp.cos(theta))
+    return lon, lat
+
+
 _FORWARD = {
     'stere': _stere_forward,
     'tmerc': _tmerc_forward,
@@ -959,6 +1184,9 @@ _FORWARD = {
     'somerc': _somerc_forward,
     'ortho': _ortho_forward,
     'aeqd': _aeqd_forward,
+    'omerc': _omerc_forward,
+    'krovak': _krovak_forward,
+    'eqearth': _eqearth_forward,
 }
 
 _INVERSE = {
@@ -978,12 +1206,16 @@ _INVERSE = {
     'somerc': _somerc_inverse,
     'ortho': _ortho_inverse,
     'aeqd': _aeqd_inverse,
+    'omerc': _omerc_inverse,
+    'krovak': _krovak_inverse,
+    'eqearth': _eqearth_inverse,
 }
 
 # projections whose math needs the full parameter dict (standard
 # parallels, center latitude, satellite height) beyond (lon0, k0)
 _PARAMETRIC = frozenset({'lcc', 'aea', 'laea', 'cea', 'geos',
-                         'somerc', 'ortho', 'aeqd', 'eqc'})
+                         'somerc', 'ortho', 'aeqd', 'eqc', 'omerc',
+                         'krovak'})
 
 
 def _scale_factor(proj, params, ell):

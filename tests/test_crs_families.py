@@ -543,7 +543,10 @@ def test_geos_wkt_and_proj4_roundtrip():
         assert back.params.get('sweep') == crs.params.get('sweep', 'y')
 
 
-def test_hotine_general_azimuth_refused():
+def test_hotine_general_azimuth_parses_as_omerc():
+    # a general initial line under the azimuth-center method name is
+    # the Hotine oblique Mercator variant B (it used to be refused;
+    # azimuth 90 still resolves to the Swiss somerc convention)
     wkt = ('PROJCS["rso",GEOGCS["g",DATUM["WGS84",SPHEROID["WGS84",'
            '6378137,298.257223563],TOWGS84[0,0,0,0,0,0,0]],'
            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
@@ -551,8 +554,189 @@ def test_hotine_general_azimuth_refused():
            'PARAMETER["azimuth",53.31580995],'
            'PARAMETER["latitude_of_center",4],'
            'PARAMETER["longitude_of_center",115],UNIT["metre",1]]')
-    with pytest.raises(NotImplementedError):
-        CRS.from_string(wkt)
+    crs = CRS.from_string(wkt)
+    assert crs.proj == 'omerc'
+    assert not crs.params.get('no_uoff')
+    assert abs(crs.params['lonc'] - 115.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Hotine oblique Mercator (omerc), Krovak, Equal Earth — round 2
+# additions (EPSG methods 9812/9815, 9819, 1078)
+# ---------------------------------------------------------------------------
+
+EVRST_SS = ELLIPSOIDS['evrstSS']
+BESSEL = ELLIPSOIDS['bessel']
+
+_RSO_BORNEO = {'lat_0': 4.0, 'lonc': 115.0,
+               'alpha': 53.31582047222222,
+               'gamma': 53.13010236111111, 'k': 0.99984}
+_KROVAK = {'lat_0': 49.5, 'lon_0': 24.833333333333332,
+           'alpha': 30.288139722222223, 'k': 0.9999}
+
+
+def test_omerc_epsg_guidance_worked_example():
+    # IOGP Guidance Note 7-2, Hotine Oblique Mercator variant B:
+    # Timbalai 1948 / RSO Borneo. phi 5°23'14.1129"N, lam
+    # 115°48'19.8196"E -> E 679245.73, N 596562.78 (FE/FN included)
+    p = dict(_RSO_BORNEO, x_0=590476.87, y_0=442857.65)
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    x, y = project_forward('omerc', np.float64(lon), np.float64(lat),
+                           EVRST_SS, p)
+    assert abs(float(x) - 679245.73) < 0.02
+    assert abs(float(y) - 596562.78) < 0.02
+    lo, la = project_inverse('omerc', x, y, EVRST_SS, p)
+    assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
+
+
+def test_omerc_conformality_and_initial_line_scale():
+    # conformal: h == k everywhere; scale k0 on the initial line
+    # (which passes through the projection centre)
+    for lon, lat in ((115.0, 4.0), (117.5, 5.5), (112.0, 1.5)):
+        h, k = _scales('omerc', _RSO_BORNEO, EVRST_SS, lon, lat)
+        assert abs(h / k - 1) < 1e-5
+    h, k = _scales('omerc', _RSO_BORNEO, EVRST_SS, 115.0, 4.0)
+    assert abs(k - 0.99984) < 1e-5
+
+
+def test_omerc_variant_a_offset_relationship():
+    # variant A (no_uoff) differs from variant B by the constant
+    # (u_c sin/cos gamma_c) rectified offset — same shape, shifted grid
+    pa = dict(_RSO_BORNEO, no_uoff=True)
+    pts = [(115.0, 4.0), (117.0, 6.0)]
+    deltas = []
+    for lon, lat in pts:
+        xa, ya = project_forward('omerc', np.float64(lon),
+                                 np.float64(lat), EVRST_SS, pa)
+        xb, yb = project_forward('omerc', np.float64(lon),
+                                 np.float64(lat), EVRST_SS,
+                                 _RSO_BORNEO)
+        deltas.append((float(xa - xb), float(ya - yb)))
+    assert abs(deltas[0][0] - deltas[1][0]) < 1e-6
+    assert abs(deltas[0][1] - deltas[1][1]) < 1e-6
+    assert abs(deltas[0][0]) > 1000        # the offset is real
+    lo, la = project_inverse('omerc', np.float64(10000.0),
+                             np.float64(20000.0), EVRST_SS, pa)
+    x2, y2 = project_forward('omerc', lo, la, EVRST_SS, pa)
+    assert abs(float(x2) - 10000) < 1e-6
+    assert abs(float(y2) - 20000) < 1e-6
+
+
+def test_omerc_alaska_zone1_roundtrip():
+    crs = CRS.from_epsg(26931)
+    wgs = CRS.from_epsg(4326)
+    lon = np.linspace(-139.0, -131.0, 7)
+    lat = np.linspace(54.5, 59.5, 7)
+    x, y = transform_coords(wgs, crs, lon, lat)
+    assert np.all(np.isfinite(x))
+    lo, la = transform_coords(crs, wgs, x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+def test_krovak_epsg_guidance_worked_example():
+    # IOGP Guidance Note 7-2, Krovak: phi 50°12'32.4416"N, lam
+    # 16°50'59.1790"E (Greenwich) -> southing 1050538.63, westing
+    # 568991.00; EPSG:5514 east/north = the negated pair
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    x, y = project_forward('krovak', np.float64(lon), np.float64(lat),
+                           BESSEL, _KROVAK)
+    assert abs(float(x) - -568991.00) < 0.05
+    assert abs(float(y) - -1050538.63) < 0.05
+    lo, la = project_inverse('krovak', x, y, BESSEL, _KROVAK)
+    assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
+
+
+def test_krovak_czech_flag_flips_signs():
+    p = dict(_KROVAK, czech=True)
+    lon, lat = 14.42, 50.09            # Prague
+    xe, ye = project_forward('krovak', np.float64(lon),
+                             np.float64(lat), BESSEL, _KROVAK)
+    xs, ys = project_forward('krovak', np.float64(lon),
+                             np.float64(lat), BESSEL, p)
+    assert abs(float(xe) + float(xs)) < 1e-9
+    assert abs(float(ye) + float(ys)) < 1e-9
+    lo, la = project_inverse('krovak', xs, ys, BESSEL, p)
+    assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
+
+
+def test_krovak_conformality_and_pseudo_parallel_scale():
+    for lon, lat in ((14.42, 50.09), (17.25, 49.2), (21.0, 48.7)):
+        h, k = _scales('krovak', _KROVAK, BESSEL, lon, lat)
+        assert abs(h / k - 1) < 1e-5
+
+
+def test_eqearth_equal_area_property():
+    # |J| of the forward map must equal the ellipsoidal area element
+    # (1-e2) a^2 cos(phi) / (1 - e2 sin^2 phi)^2 — the defining
+    # property, measured by numerical differentiation
+    p = {'lon_0': 0.0}
+    eps = 1e-6
+    deps = math.radians(eps)
+    for lon, lat in ((0.0, 0.0), (20.0, 40.0), (-60.0, 70.0),
+                     (120.0, -35.0)):
+        x0, y0 = project_forward('eqearth', np.float64(lon),
+                                 np.float64(lat), WGS84, p)
+        xl, yl = project_forward('eqearth', np.float64(lon + eps),
+                                 np.float64(lat), WGS84, p)
+        xb, yb = project_forward('eqearth', np.float64(lon),
+                                 np.float64(lat + eps), WGS84, p)
+        jac = abs(float(xl - x0) * float(yb - y0)
+                  - float(xb - x0) * float(yl - y0)) / deps ** 2
+        s2 = math.sin(math.radians(lat)) ** 2
+        element = (1 - WGS84.e2) * WGS84.a ** 2 \
+            * math.cos(math.radians(lat)) / (1 - WGS84.e2 * s2) ** 2
+        assert abs(jac / element - 1) < 2e-4
+
+
+def test_eqearth_symmetries_and_roundtrip():
+    p = {'lon_0': 0.0}
+    x, y = project_forward('eqearth', np.float64(30.0),
+                           np.float64(45.0), WGS84, p)
+    xm, ym = project_forward('eqearth', np.float64(-30.0),
+                             np.float64(-45.0), WGS84, p)
+    assert abs(float(x) + float(xm)) < 1e-6
+    assert abs(float(y) + float(ym)) < 1e-6
+    lon = np.linspace(-179.0, 179.0, 13)
+    lat = np.linspace(-85.0, 85.0, 13)
+    xx, yy = project_forward('eqearth', lon, lat, WGS84, p)
+    lo, la = project_inverse('eqearth', xx, yy, WGS84, p)
+    np.testing.assert_allclose(lo, lon, atol=1e-7)
+    np.testing.assert_allclose(la, lat, atol=1e-7)
+
+
+@pytest.mark.parametrize('code,proj', [
+    (5514, 'krovak'), (8857, 'eqearth'), (29873, 'omerc'),
+    (26931, 'omerc'), (3375, 'omerc')])
+def test_round2_registry_and_roundtrips(code, proj):
+    crs = CRS.from_epsg(code)
+    assert crs.proj == proj
+    assert CRS.from_wkt(crs.to_wkt()) == crs
+    assert CRS.from_proj4(crs.to_proj4()) == crs
+
+
+def test_omerc_different_initial_lines_are_different_grids():
+    a = CRS.from_epsg(29873)
+    b = CRS({'proj': 'omerc', 'lat_0': 4.0, 'lonc': 115.0,
+             'alpha': 40.0, 'k': 0.99984, 'x_0': 590476.87,
+             'y_0': 442857.65, 'ellps': 'evrstSS'})
+    assert a != b
+
+
+def test_reproject_onto_krovak_grid():
+    import nd_tpu
+    from nd_tpu.testing import generate_test_dataset
+    from nd_tpu.warp import Reprojection
+    ds = generate_test_dataset(
+        dims={'y': 24, 'x': 24, 'time': 2},
+        extent=(13.0, 48.5, 19.0, 51.0))
+    out = Reprojection(crs='epsg:5514').apply(ds)
+    from nd_tpu.warp import get_crs
+    assert get_crs(out) == CRS.from_epsg(5514)
+    v = np.asarray(out['C11'].values)
+    assert np.isfinite(v).mean() > 0.4
 
 
 def test_reproject_onto_lv95_and_geos():
