@@ -183,9 +183,114 @@ def open_netcdf(path, as_complex=False, rename_latlon=True, *args,
 # FORMAT: RASTER (TIFF)
 # ---------------------
 
+def _read_world_file(path):
+    """ESRI world-file georeferencing for plain image rasters.
+
+    GDAL's sidecar rule: ``<first><last>w`` of the image extension
+    (``.pgw``/``.jgw``/``.bpw``/``.tfw``) or the generic ``.wld``. The
+    six lines anchor at the CENTER of the upper-left pixel; returns a
+    corner-anchored Affine matching the GeoTIFF reader's convention.
+    """
+    from ..crs import Affine
+    base, ext = os.path.splitext(str(path))
+    ext = ext.lstrip('.')
+    candidates = ['%s.%s' % (base, (ext[0] + ext[-1] + 'w').lower()),
+                  base + '.wld'] if len(ext) >= 2 else [base + '.wld']
+    for cand in candidates:
+        if not os.path.exists(cand):
+            continue
+        with open(cand) as fh:
+            vals = [float(line.strip()) for line in fh
+                    if line.strip()][:6]
+        if len(vals) != 6:
+            raise IOError('world file %s must have 6 numeric lines'
+                          % cand)
+        A, D, B, E, C, F = vals
+        return Affine(A, B, C - (A + B) / 2.0,
+                      D, E, F - (D + E) / 2.0)
+    return None
+
+
+def _read_prj_file(path):
+    from ..crs import CRS
+    base, _ = os.path.splitext(str(path))
+    prj = base + '.prj'
+    if os.path.exists(prj):
+        with open(prj) as fh:
+            return CRS.from_wkt(fh.read())
+    return None
+
+
+_PLAIN_IMAGE_EXTS = ('.png', '.jpg', '.jpeg', '.bmp')
+
+
+def _open_plain_image(path, overview_level=None):
+    """Plain image rasters (PNG/JPEG/BMP via OpenCV) with ESRI
+    world-file + ``.prj`` sidecar georeferencing — the reference
+    reads these through GDAL's world-file support. Always eager (the
+    formats have no internal windowed layout); ``overview_level`` is
+    rejected (no pyramid)."""
+    try:
+        import cv2
+    except ImportError:
+        raise IOError('reading %s needs OpenCV (cv2), which is not '
+                      'installed' % os.path.splitext(str(path))[1])
+    if overview_level is not None:
+        raise ValueError('plain image rasters carry no overview '
+                         'pyramid; open the full resolution')
+    img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError('OpenCV could not decode %s' % path)
+    if img.ndim == 2:
+        data = img[None]
+    else:
+        # BGR(A) -> RGB(A) band order, then (band, y, x)
+        if img.shape[2] == 3:
+            img = img[:, :, ::-1]
+        elif img.shape[2] == 4:
+            img = np.concatenate([img[:, :, 2::-1], img[:, :, 3:]],
+                                 axis=2)
+        data = np.moveaxis(img, 2, 0)
+    transform = _read_world_file(path)
+    crs = _read_prj_file(path)
+    return _raster_dataarray(data, transform, crs, nodata=None,
+                             is_tiled=0)
+
+
+def _raster_dataarray(data, transform, crs, nodata, is_tiled):
+    """Assemble the (band, y, x) DataArray open_rasterio returns."""
+    nbands, height, width = data.shape[0], data.shape[1], data.shape[2]
+    attrs = {}
+    coords = {'band': np.arange(1, nbands + 1)}
+    if transform is not None:
+        cols = np.arange(width) + 0.5
+        rows = np.arange(height) + 0.5
+        if transform.b or transform.d:
+            C, R = np.meshgrid(cols, rows)
+            coords['xc'] = (('y', 'x'),
+                            transform.a * C + transform.b * R
+                            + transform.c)
+            coords['yc'] = (('y', 'x'),
+                            transform.d * C + transform.e * R
+                            + transform.f)
+        else:
+            coords['x'] = transform.a * cols + transform.c
+            coords['y'] = transform.e * rows + transform.f
+        attrs['transform'] = tuple(transform)[:6]
+        attrs['res'] = (abs(transform.a), abs(transform.e))
+    if crs is not None:
+        attrs['crs'] = crs.to_proj4()
+    if nodata is not None:
+        attrs['nodatavals'] = (nodata,) * nbands
+    attrs['is_tiled'] = int(is_tiled)
+    return DataArray(data, dims=('band', 'y', 'x'), coords=coords,
+                     attrs=attrs)
+
+
 def open_rasterio(path, chunks=None, overview_level=None, *args,
                   **kwargs):
-    """Read a GeoTIFF into a (band, y, x) DataArray.
+    """Read a raster (GeoTIFF, or PNG/JPEG/BMP with world-file
+    sidecars) into a (band, y, x) DataArray.
 
     Mirrors ``xarray.open_rasterio`` used by the reference
     (io.py:283-284): coordinates are pixel-center positions from the
@@ -195,13 +300,16 @@ def open_rasterio(path, chunks=None, overview_level=None, *args,
     lazy windowed view (:class:`~nd_tpu.io.lazy.LazyGeoTIFFArray`):
     nothing is decoded at open time, and slicing materializes only the
     strips/tiles the window touches — the reference's dask-backed
-    windowed GDAL read.
+    windowed GDAL read. (Plain images decode eagerly — they have no
+    windowed layout.)
 
     ``overview_level`` selects a reduced-resolution overview IFD
     (0 = first/largest, like rasterio): the raster decodes at that
     decimation and the transform/coords scale to match.
     """
     from .geotiff import TiffFile
+    if os.path.splitext(str(path))[1].lower() in _PLAIN_IMAGE_EXTS:
+        return _open_plain_image(path, overview_level=overview_level)
     t = TiffFile(str(path))
     nbands, height, width = t.nbands, t.height, t.width
     if overview_level is not None:
@@ -226,36 +334,11 @@ def open_rasterio(path, chunks=None, overview_level=None, *args,
             transform = transform * Affine.scale(width / ov_w,
                                                  height / ov_h)
         height, width = ov_h, ov_w
-    attrs = {}
-    coords = {'band': np.arange(1, nbands + 1)}
-    if transform is not None:
-        cols = np.arange(width) + 0.5
-        rows = np.arange(height) + 0.5
-        if transform.b or transform.d:
-            # rotated/sheared grid: 1-d x/y coords cannot represent it
-            # — emit the full 2-d coordinate fields (like xarray's
-            # rasterio backend for non-rectilinear rasters) instead of
-            # silently dropping the rotation terms
-            C, R = np.meshgrid(cols, rows)
-            coords['xc'] = (('y', 'x'),
-                            transform.a * C + transform.b * R
-                            + transform.c)
-            coords['yc'] = (('y', 'x'),
-                            transform.d * C + transform.e * R
-                            + transform.f)
-        else:
-            coords['x'] = transform.a * cols + transform.c
-            coords['y'] = transform.e * rows + transform.f
-        attrs['transform'] = tuple(transform)[:6]
-        attrs['res'] = (abs(transform.a), abs(transform.e))
-    if t.crs is not None:
-        attrs['crs'] = t.crs.to_proj4()
-    if t.nodata is not None:
-        attrs['nodatavals'] = (t.nodata,) * nbands
-    attrs['is_tiled'] = int(322 in t.tags)
+    crs = t.crs
+    nodata = t.nodata
+    is_tiled = int(322 in t.tags)
     t.close()
-    return DataArray(data, dims=('band', 'y', 'x'), coords=coords,
-                     attrs=attrs)
+    return _raster_dataarray(data, transform, crs, nodata, is_tiled)
 
 
 def to_geotiff(ds, path, nodata=None, compress=True, tiled=False,

@@ -353,3 +353,64 @@ def test_open_netcdf_classic_cdf(tmp_path):
     assert times.dtype.kind == 'M'
     assert str(times[1]).startswith('2020-01-02')
     assert ds.attrs['history'] == 'classic writer'
+
+
+# ---------------------------------------------------------------------
+# plain-image rasters (PNG/JPEG/BMP + ESRI world file / .prj sidecars)
+# ---------------------------------------------------------------------
+
+def test_open_png_with_world_file_and_prj(tmp_path):
+    cv2 = pytest.importorskip('cv2')
+    from nd_tpu.crs import CRS
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (20, 30), np.uint8)
+    p = str(tmp_path / 'img.png')
+    cv2.imwrite(p, img)
+    # world file: pixel size 10/-10, center of UL pixel at (105, 495)
+    with open(str(tmp_path / 'img.pgw'), 'w') as fh:
+        fh.write('10\n0\n0\n-10\n105\n495\n')
+    with open(str(tmp_path / 'img.prj'), 'w') as fh:
+        fh.write(CRS.from_epsg(32633).to_wkt())
+    da = ndio.open_rasterio(p)
+    assert da.dims == ('band', 'y', 'x')
+    np.testing.assert_array_equal(np.asarray(da.values)[0], img)
+    # corner-anchored transform: UL corner = center - half pixel
+    assert da.attrs['transform'] == (10.0, 0.0, 100.0, 0.0, -10.0,
+                                     500.0)
+    np.testing.assert_allclose(da['x'].values[:2], [105.0, 115.0])
+    np.testing.assert_allclose(da['y'].values[:2], [495.0, 485.0])
+    assert CRS.from_user_input(da.attrs['crs']) == CRS.from_epsg(32633)
+
+
+def test_open_png_rgb_band_order(tmp_path):
+    cv2 = pytest.importorskip('cv2')
+    rgb = np.zeros((4, 5, 3), np.uint8)
+    rgb[..., 0] = 200    # red plane
+    rgb[..., 2] = 50     # blue plane
+    p = str(tmp_path / 'rgb.png')
+    cv2.imwrite(p, rgb[:, :, ::-1])          # cv2 writes BGR
+    da = ndio.open_rasterio(p)
+    v = np.asarray(da.values)
+    assert v.shape == (3, 4, 5)
+    assert (v[0] == 200).all() and (v[2] == 50).all()
+
+
+def test_open_image_wld_fallback_and_no_georef(tmp_path):
+    cv2 = pytest.importorskip('cv2')
+    img = np.full((6, 6), 9, np.uint8)
+    p = str(tmp_path / 'pic.bmp')
+    cv2.imwrite(p, img)
+    da = ndio.open_rasterio(p)                    # no sidecars at all
+    assert 'transform' not in da.attrs and 'x' not in da.coords
+    with open(str(tmp_path / 'pic.wld'), 'w') as fh:
+        fh.write('2\n0\n0\n-2\n1\n11\n')
+    da2 = ndio.open_rasterio(p)
+    assert da2.attrs['transform'] == (2.0, 0.0, 0.0, 0.0, -2.0, 12.0)
+
+
+def test_open_image_overview_level_rejected(tmp_path):
+    cv2 = pytest.importorskip('cv2')
+    p = str(tmp_path / 'x.png')
+    cv2.imwrite(p, np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        ndio.open_rasterio(p, overview_level=0)
