@@ -37,7 +37,9 @@ except ImportError:  # pragma: no cover
 __all__ = ['separable_convolve_pallas', 'supports_pallas']
 
 _TX = 512
-_TILE_BYTES = 4 << 20      # soft VMEM budget for the input tile
+_VMEM_BUDGET = 12 << 20    # scoped-VMEM budget per grid step (the
+#                            Mosaic limit is 16 MB; headroom for
+#                            regalloc spills and the DMA semaphore)
 # Taps per axis the fused kernel admits. The accumulation chain is
 # unrolled values (shared with ops.conv._shift_add_valid), and Mosaic
 # stack-allocates unrolled temps — keep the count conservative and
@@ -50,16 +52,26 @@ def _halo(lo, hi, align):
         else 0
 
 
-def _min_tile_bytes(b, pads, n2=1, k2=1):
-    """VMEM floor estimate for the fused kernel at the smallest tile
-    (ty=8, tx=128): input scratch + output block + ~2 live unrolled
-    temps of output size. ``n2``/``k2``: extent and tap count of the
-    leading (temporal) filtered axis, fully tile-resident."""
+def _live_tile_bytes(b, n2, pads, kcounts, ty, tx):
+    """Scoped-VMEM model for ONE grid step of the fused kernel:
+    DMA'd input scratch + the unrolled shift-add temps of the largest
+    single axis pass + ~2 output-tile temps. Mosaic keeps each pass's
+    whole unrolled chain live on the VMEM stack, one pass at a time —
+    validated against a measured OOM (a 13-tap y-pass on a (32, 1024)
+    tile of a 12-deep stack allocated 28.04 MB; this model predicts
+    28.7). The earlier input-only budget ignored the per-tap temps and
+    admitted exactly that compile failure."""
     h0 = _halo(*pads[0], 4)
     h1 = _halo(*pads[1], 64)
-    scratch = (n2 + k2 - 1) * b * (8 + 2 * h0) * (128 + 2 * h1) * 4
-    out = n2 * b * 8 * 128 * 4
-    return scratch + 3 * out
+    lo2, hi2 = pads[2]
+    k0, k1, k2 = kcounts
+    scr = (n2 + lo2 + hi2) * b * (ty + 2 * h0) * (tx + 2 * h1) * 4
+    pass2 = k2 * n2 * b * (ty + 2 * h0) * (tx + 2 * h1) * 4 \
+        if k2 > 1 else 0
+    pass0 = k0 * n2 * b * ty * (tx + 2 * h1) * 4 if k0 > 1 else 0
+    pass1 = k1 * n2 * b * ty * tx * 4 if k1 > 1 else 0
+    out = n2 * b * ty * tx * 4
+    return scr + max(pass2, pass0, pass1) + 2 * out
 
 
 def supports_pallas():
@@ -179,15 +191,16 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
     # path's _SHAPE_BUCKET; ty is a divisor of 64 so the tile grid
     # fits the bucketed extent exactly.
     tx = min(_TX, max(128, int(np.ceil(n1 / 128)) * 128))
-    tb = (nt + lo2 + hi2) * b
+    kcounts = (len(taps.get(0, ())), len(taps.get(1, ())),
+               len(taps.get(2, ())))
 
     def tile_bytes(t_y, t_x):
-        return tb * (t_y + 2 * h0) * (t_x + 2 * h1) * 4
+        return _live_tile_bytes(b, nt, pads, kcounts, t_y, t_x)
 
-    while tx > 128 and tile_bytes(8, tx) > _TILE_BYTES:
+    while tx > 128 and tile_bytes(8, tx) > _VMEM_BUDGET:
         tx -= 128
     ty = 64
-    while ty > 8 and tile_bytes(ty, tx) > _TILE_BYTES:
+    while ty > 8 and tile_bytes(ty, tx) > _VMEM_BUDGET:
         ty //= 2
     ny_pad = int(np.ceil(n0 / 64)) * 64
     nx_pad = int(np.ceil(n1 / tx)) * tx
@@ -293,8 +306,9 @@ def try_fused_separable(arr, taps_by_axis, mode, cval,
     shp = np.shape(arr)
     n2 = shp[2] if len(shp) > 2 else 1
     b = int(np.prod(shp[3:])) if len(shp) > 3 else 1
-    k2 = pads[2][0] + pads[2][1] + 1
-    if _min_tile_bytes(b, pads, n2=n2, k2=k2) > 12 << 20:
+    kc = {ax: len(t) for ax, t in active}
+    kcounts = (kc.get(0, 0), kc.get(1, 0), kc.get(2, 0))
+    if _live_tile_bytes(b, n2, pads, kcounts, 8, 128) > _VMEM_BUDGET:
         return None
 
     def pallas_path(a):

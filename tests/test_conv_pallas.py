@@ -278,3 +278,60 @@ def test_fused_kernel_failure_degrades_to_xla(monkeypatch):
         got = np.asarray(convolve(a, k, axes=(0, 1)))
     reset_pallas_strikes()
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_vmem_model_covers_the_measured_gaussian_oom():
+    """Regression: the 13-tap gaussian over a (1024, 1024, 12) cube
+    OOM'd Mosaic's 16 MB VMEM stack (28.04 MB measured) because the
+    tile chooser budgeted only the DMA'd input tile, not the unrolled
+    shift-add temps. The live-bytes model must (a) reproduce the
+    measured failure at the tile the old chooser picked and (b) admit
+    a tile under budget for the same kernel."""
+    from nd_tpu.ops.conv_pallas import (_VMEM_BUDGET, _halo,
+                                        _live_tile_bytes)
+    pads = {0: (6, 6), 1: (6, 6), 2: (0, 0)}
+    kcounts = (13, 13, 0)
+    # the old chooser picked (ty=32, tx=1024): Mosaic allocated
+    # 28.04 MB there — the model must flag it
+    old = _live_tile_bytes(1, 12, pads, kcounts, 32, 1024)
+    assert old > 16 << 20
+    assert abs(old - 28.04e6) / 28.04e6 < 0.15   # tracks the measurement
+    # the chooser's loop (tx by -128 at ty=8, then ty halving) must
+    # land on an admissible tile
+    tx = 1024
+    while tx > 128 and _live_tile_bytes(1, 12, pads, kcounts, 8, tx) \
+            > _VMEM_BUDGET:
+        tx -= 128
+    ty = 64
+    while ty > 8 and _live_tile_bytes(1, 12, pads, kcounts, ty, tx) \
+            > _VMEM_BUDGET:
+        ty //= 2
+    assert _live_tile_bytes(1, 12, pads, kcounts, ty, tx) \
+        <= _VMEM_BUDGET
+    assert tx >= 128 and ty >= 8
+    # small kernels keep their big tiles: 3-tap boxcar on the same
+    # cube still admits a (>=32, 1024) tile (perf guard)
+    pads3 = {0: (1, 1), 1: (1, 1), 2: (0, 0)}
+    assert _live_tile_bytes(1, 12, pads3, (3, 3, 0), 32, 1024) \
+        <= _VMEM_BUDGET
+
+
+def test_gaussian_13tap_fused_interpret_parity():
+    """The exact kernel family that OOM'd on the chip, at a reduced
+    spatial extent: the fused Pallas path (interpret) must equal the
+    XLA shift-add composition bit-for-bit."""
+    from nd_tpu.ops.conv import gaussian_kernel1d
+    from nd_tpu.ops.conv_pallas import try_fused_separable
+    g = np.asarray(gaussian_kernel1d(1.5), np.float32)[::-1]
+    rng = np.random.RandomState(0)
+    import jax.numpy as jnp
+    cube = jnp.asarray(rng.rand(48, 160, 12).astype(np.float32))
+    out = try_fused_separable(cube, [(0, g), (1, g)], 'reflect', 0.0,
+                              interpret=True)
+    assert out is not None
+    from nd_tpu.ops.conv import _shift_add_valid, pad_reflect
+    ref = pad_reflect(cube, ((6, 6), (6, 6), (0, 0)), 'reflect', 0.0)
+    ref = _shift_add_valid(ref, g, 0)
+    ref = _shift_add_valid(ref, g, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
