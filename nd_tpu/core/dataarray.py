@@ -184,6 +184,31 @@ def _fill_for(fill_value, dtype):
     return fill_value
 
 
+def _union_align(a, b):
+    """Reindex two objects onto the union of their 1-d dimension
+    coordinate labels (NaN-filled where one side has no data); unions
+    of two descending axes stay descending. Dims without coordinates
+    on both sides are left alone."""
+    indexers = {}
+    for d in set(a.sizes) & set(b.sizes):
+        ca = a._coords.get(d)
+        cb = b._coords.get(d)
+        if ca is None or cb is None or ca.ndim != 1 or cb.ndim != 1:
+            continue
+        va, vb = ca.values, cb.values
+        if va.shape == vb.shape and (va == vb).all():
+            continue
+        union = np.union1d(va, vb)
+        if (len(va) > 1 and va[0] > va[-1]
+                and len(vb) > 1 and vb[0] > vb[-1]):
+            union = union[::-1]
+        indexers[d] = union
+    if indexers:
+        a = a.reindex(indexers)
+        b = b.reindex(indexers)
+    return a, b
+
+
 def _accumulate_max(xp, a, axis):
     """Running maximum along an axis (numpy ufunc accumulate or the
     XLA cummax — jax.numpy ufuncs have no ``.accumulate``)."""
@@ -1468,6 +1493,214 @@ class DataArray(_NDOpsMixin):
     def to_numpy(self):
         return self.values
 
+    def as_numpy(self):
+        """A copy whose payload is host numpy (device data fetched)."""
+        return self._replace(self.values)
+
+    def load(self):
+        """Materialize the payload on the host in place (the xarray/
+        dask ``load`` contract) and return self."""
+        self.variable = Variable(self.dims, self.values,
+                                 self.variable.attrs)
+        return self
+
+    # -- elementwise / structural conveniences -------------------------------
+    @property
+    def T(self):
+        return self.transpose()
+
+    def conj(self):
+        xp = get_xp(self.data)
+        return self._replace(xp.conj(self.data))
+
+    conjugate = conj
+
+    def isin(self, test_elements):
+        """Elementwise membership mask (classified-map selection)."""
+        if isinstance(test_elements, DataArray):
+            test_elements = test_elements.values
+        xp = get_xp(self.data)
+        test = xp.asarray(np.asarray(test_elements).ravel())
+        return self._replace(xp.isin(self.data, test))
+
+    def argsort(self, axis=-1):
+        xp = get_xp(self.data)
+        return self._replace(xp.argsort(self.data, axis=axis))
+
+    def broadcast_like(self, other):
+        """Self expanded/broadcast against ``other``'s dimensions."""
+        a, _ = broadcast(self, other)
+        return a
+
+    def drop_isel(self, indexers=None, **kwargs):
+        """Drop positions along dimensions (complement of isel)."""
+        indexers = _normalize_indexers(indexers, kwargs)
+        out = self
+        for d, pos in indexers.items():
+            n = out.sizes[d]
+            pos = np.atleast_1d(np.asarray(pos, dtype=np.int64))
+            pos = np.where(pos < 0, pos + n, pos)
+            if (pos < 0).any() or (pos >= n).any():
+                raise IndexError('drop_isel positions out of bounds '
+                                 'for dim %r of size %d' % (d, n))
+            keep = np.delete(np.arange(n), pos)
+            out = out.isel({d: keep})
+        return out
+
+    def drop_sel(self, indexers=None, **kwargs):
+        """Drop coordinate labels along dimensions."""
+        indexers = _normalize_indexers(indexers, kwargs)
+        out = self
+        for d, labels in indexers.items():
+            if d not in self._coords:
+                raise KeyError('no coordinate on dim %r' % d)
+            cv = self._coords[d].values
+            labels = np.atleast_1d(np.asarray(labels, dtype=cv.dtype))
+            pos = []
+            for lab in labels:
+                hits = np.nonzero(cv == lab)[0]
+                if len(hits) == 0:
+                    raise KeyError('label %r not found in dim %r'
+                                   % (lab, d))
+                pos.extend(hits.tolist())
+            out = out.drop_isel({d: pos})
+        return out
+
+    def combine_first(self, other):
+        """Union-aligned NaN fill: self's values where valid, else
+        ``other``'s — the xarray mosaicking idiom. Dimensions with 1-d
+        coordinates on both sides align to the sorted union of labels
+        (descending if both sides descend); NaN elsewhere."""
+        a, b = _union_align(self, other)
+        a, b = broadcast(a, b)
+        return a.where(a.notnull(), b)
+
+    def get_index(self, dim):
+        import pandas as pd
+        if dim not in self._coords:
+            raise KeyError('no coordinate on dim %r' % dim)
+        return pd.Index(self._coords[dim].values)
+
+    def reset_coords(self, names=None, drop=False):
+        """Demote non-index coordinates: ``drop=True`` removes them,
+        otherwise they become data variables of a Dataset."""
+        if names is None:
+            names = [k for k, v in self._coords.items()
+                     if k not in self.dims]
+        elif isinstance(names, str):
+            names = [names]
+        for k in names:
+            if k in self.dims:
+                raise ValueError('cannot reset index coordinate %r' % k)
+        if drop:
+            out = self.copy(deep=False)
+            for k in names:
+                out._coords.pop(k, None)
+            return out
+        if self.name is None:
+            raise ValueError('cannot convert an unnamed DataArray to '
+                             'a Dataset: pass name first')
+        ds = Dataset({self.name: self})
+        for k in names:
+            if k in ds._coords:
+                ds._variables[k] = ds._coords.pop(k)
+        return ds
+
+    # -- derivatives / integrals along a coordinate --------------------------
+    def differentiate(self, coord):
+        """d(self)/d(coord) by second-order differences on the (possibly
+        non-uniform) coordinate, one-sided at the edges — the xarray /
+        numpy.gradient formulation."""
+        dim, x, axis, n = self._coord_axis_for_calculus(coord)
+        if n < 2:
+            raise ValueError('differentiate needs at least 2 points')
+        data = self.data
+        xp = get_xp(data)
+        kind = np.dtype(str(data.dtype)).kind
+        if kind in 'iub':
+            data = data.astype(np.float64)
+        shape = [1] * self.ndim
+        shape[axis] = n
+
+        def sl(lo, hi):
+            key = [slice(None)] * self.ndim
+            key[axis] = slice(lo, hi)
+            return tuple(key)
+
+        xv = np.asarray(x, dtype=np.float64)
+        h_prev = (xv[1:-1] - xv[:-2])
+        h_next = (xv[2:] - xv[1:-1])
+        wp = -h_next / (h_prev * (h_prev + h_next))
+        wc = (h_next - h_prev) / (h_prev * h_next)
+        wn = h_prev / (h_next * (h_prev + h_next))
+        ishape = [1] * self.ndim
+        ishape[axis] = n - 2
+        interior = (xp.asarray(wp.reshape(ishape)) * data[sl(0, -2)]
+                    + xp.asarray(wc.reshape(ishape)) * data[sl(1, -1)]
+                    + xp.asarray(wn.reshape(ishape)) * data[sl(2, None)])
+        first = (data[sl(1, 2)] - data[sl(0, 1)]) / (xv[1] - xv[0])
+        last = (data[sl(-1, None)] - data[sl(-2, -1)]) \
+            / (xv[-1] - xv[-2])
+        out = xp.concatenate([first, interior, last], axis=axis)
+        return self._replace(out)
+
+    def integrate(self, coord):
+        """Trapezoid-rule integral along a coordinate (reduces the
+        dimension, like xarray)."""
+        dim, x, axis, n = self._coord_axis_for_calculus(coord)
+        data = self.data
+        xp = get_xp(data)
+        kind = np.dtype(str(data.dtype)).kind
+        if kind in 'iub':
+            data = data.astype(np.float64)
+        xv = np.asarray(x, dtype=np.float64)
+        dx = xv[1:] - xv[:-1]
+        shape = [1] * self.ndim
+        shape[axis] = n - 1
+        key_lo = [slice(None)] * self.ndim
+        key_lo[axis] = slice(None, -1)
+        key_hi = [slice(None)] * self.ndim
+        key_hi[axis] = slice(1, None)
+        tot = ((data[tuple(key_lo)] + data[tuple(key_hi)]) * 0.5
+               * xp.asarray(dx.reshape(shape))).sum(axis=axis)
+        dims = tuple(d for d in self.dims if d != dim)
+        coords = {k: v for k, v in self._coords.items()
+                  if dim not in v.dims}
+        return DataArray._from_parts(Variable(dims, tot), coords,
+                                     self.attrs, self.name)
+
+    def _coord_axis_for_calculus(self, coord):
+        if coord not in self._coords or self._coords[coord].ndim != 1:
+            raise ValueError('%r must be a 1-d coordinate' % coord)
+        dim = self._coords[coord].dims[0]
+        if dim not in self.dims:
+            raise ValueError('coordinate %r is not along a dimension '
+                             'of this array' % coord)
+        x = _as_float_index(self._coords[coord].values)
+        return dim, x, self.dims.index(dim), self.sizes[dim]
+
+    # -- dict serialization ---------------------------------------------------
+    def to_dict(self, data=True):
+        """Nested-dict form (the xarray serialization schema)."""
+        d = {'dims': self.dims, 'attrs': dict(self.attrs),
+             'name': self.name,
+             'coords': {k: {'dims': v.dims,
+                            'data': v.values.tolist() if data
+                            else v.shape,
+                            'attrs': dict(v.attrs)}
+                        for k, v in self._coords.items()}}
+        d['data'] = self.values.tolist() if data else self.shape
+        return d
+
+    @classmethod
+    def from_dict(cls, d):
+        coords = {k: (tuple(c['dims']), np.asarray(c['data']),
+                      c.get('attrs'))
+                  for k, c in d.get('coords', {}).items()}
+        return cls(np.asarray(d['data']), dims=tuple(d['dims']),
+                   coords=coords, attrs=d.get('attrs'),
+                   name=d.get('name'))
+
     # -- misc ---------------------------------------------------------------------------
     def persist(self):
         return self
@@ -2371,6 +2604,149 @@ class Dataset(_NDOpsMixin):
 
     def chunk(self, *args, **kwargs):
         return self
+
+    def load(self):
+        for k, v in list(self._variables.items()):
+            self._variables[k] = Variable(v.dims, v.values, v.attrs)
+        return self
+
+    def as_numpy(self):
+        return self.map(lambda da: da.as_numpy())
+
+    # -- elementwise / structural conveniences -------------------------------
+    def isin(self, test_elements):
+        return self.map(lambda da: da.isin(test_elements))
+
+    def drop_isel(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        out = self
+        for d, pos in indexers.items():
+            n = out.sizes[d]
+            pos = np.atleast_1d(np.asarray(pos, dtype=np.int64))
+            pos = np.where(pos < 0, pos + n, pos)
+            if (pos < 0).any() or (pos >= n).any():
+                raise IndexError('drop_isel positions out of bounds '
+                                 'for dim %r of size %d' % (d, n))
+            keep = np.delete(np.arange(n), pos)
+            out = out.isel({d: keep})
+        return out
+
+    def drop_sel(self, indexers=None, **kwargs):
+        indexers = _normalize_indexers(indexers, kwargs)
+        out = self
+        for d, labels in indexers.items():
+            if d not in self._coords:
+                raise KeyError('no coordinate on dim %r' % d)
+            cv = self._coords[d].values
+            labels = np.atleast_1d(np.asarray(labels, dtype=cv.dtype))
+            pos = []
+            for lab in labels:
+                hits = np.nonzero(cv == lab)[0]
+                if len(hits) == 0:
+                    raise KeyError('label %r not found in dim %r'
+                                   % (lab, d))
+                pos.extend(hits.tolist())
+            out = out.drop_isel({d: pos})
+        return out
+
+    def combine_first(self, other):
+        """Union-aligned NaN fill per variable; variables present in
+        only one input pass through (reindexed to the union grid)."""
+        a, b = _union_align(self, other)
+        out = Dataset({}, attrs=dict(a.attrs))
+        for k in a._variables:
+            da = a[k]
+            if k in b._variables:
+                db = b[k]
+                da2, db2 = broadcast(da, db)
+                out[k] = da2.where(da2.notnull(), db2)
+            else:
+                out[k] = da
+        for k in b._variables:
+            if k not in a._variables:
+                out[k] = b[k]
+        for ck, cv in a._coords.items():
+            out._coords.setdefault(ck, cv)
+        return out
+
+    def get_index(self, dim):
+        import pandas as pd
+        if dim not in self._coords:
+            raise KeyError('no coordinate on dim %r' % dim)
+        return pd.Index(self._coords[dim].values)
+
+    def set_coords(self, names):
+        """Promote data variables to coordinates."""
+        if isinstance(names, str):
+            names = [names]
+        out = self.copy(deep=False)
+        for k in names:
+            if k not in out._variables:
+                raise KeyError('no variable %r' % k)
+            out._coords[k] = out._variables.pop(k)
+        return out
+
+    def reset_coords(self, names=None, drop=False):
+        """Demote non-index coordinates to data variables (or drop)."""
+        if names is None:
+            names = [k for k, v in self._coords.items()
+                     if k not in self.sizes]
+        elif isinstance(names, str):
+            names = [names]
+        out = self.copy(deep=False)
+        for k in names:
+            if k in self.sizes:
+                raise ValueError('cannot reset index coordinate %r' % k)
+            if k not in out._coords:
+                raise KeyError('no coordinate %r' % k)
+            cv = out._coords.pop(k)
+            if not drop:
+                out._variables[k] = cv
+        return out
+
+    def differentiate(self, coord):
+        return self.map(lambda da: da.differentiate(coord)
+                        if coord in da._coords
+                        and da._coords[coord].ndim == 1
+                        and da._coords[coord].dims[0] in da.dims
+                        else da)
+
+    def integrate(self, coord):
+        dim = self._coords[coord].dims[0]
+        out = Dataset({}, attrs=dict(self.attrs))
+        for k in self._variables:
+            da = self[k]
+            out[k] = da.integrate(coord) if dim in da.dims else da
+        for ck, cv in self._coords.items():
+            if dim not in cv.dims:
+                out._coords.setdefault(ck, cv)
+        return out
+
+    def to_dataarray(self, dim='variable'):
+        return self.to_array(dim)
+
+    def to_dict(self, data=True):
+        return {'dims': dict(self.sizes), 'attrs': dict(self.attrs),
+                'coords': {k: {'dims': v.dims,
+                               'data': v.values.tolist() if data
+                               else v.shape,
+                               'attrs': dict(v.attrs)}
+                           for k, v in self._coords.items()},
+                'data_vars': {k: {'dims': v.dims,
+                                  'data': v.values.tolist() if data
+                                  else v.shape,
+                                  'attrs': dict(v.attrs)}
+                              for k, v in self._variables.items()}}
+
+    @classmethod
+    def from_dict(cls, d):
+        coords = {k: (tuple(c['dims']), np.asarray(c['data']),
+                      c.get('attrs'))
+                  for k, c in d.get('coords', {}).items()}
+        data_vars = {k: (tuple(c['dims']), np.asarray(c['data']),
+                         c.get('attrs'))
+                     for k, c in d.get('data_vars', {}).items()}
+        return cls(data_vars, coords=coords, attrs=d.get('attrs'))
 
     def fillna(self, value):
         return self.map(lambda da: da.fillna(value))
