@@ -78,3 +78,17 @@ def test_geostationary_disk():
     from nd_tpu.crs import CRS
     from nd_tpu.warp import get_crs
     assert get_crs(laea) == CRS.from_epsg(3035)
+
+
+def test_timeseries_gapfill_example():
+    from timeseries_gapfill import main
+    mosaic, filled, series = main()
+    # the mosaic spans the union grid of both swaths
+    assert mosaic.sizes['x'] == 60
+    # interpolation + edge fill removes every gap
+    assert not np.isnan(np.asarray(filled.values)).any()
+    # the seasonal signal survives: the weighted series peaks near
+    # the sine's crest (t ~ k/4) and dips near the trough
+    s = np.asarray(series.values)
+    assert s.argmax() in (1, 2, 3) and s.argmin() in (5, 6, 7)
+    assert 0.3 < s.min() < s.max() < 0.9
