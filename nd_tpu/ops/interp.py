@@ -18,6 +18,16 @@ __all__ = ['map_coordinates', 'grid_from_transforms',
            'separable_coords', 'axis_weights', 'matmul_resample']
 
 
+def _catmull_weights(t, xp=jnp):
+    """Catmull-Rom (a = -0.5, the GDAL 'cubic' kernel) tap weights for
+    offsets (-1, 0, 1, 2) at fraction ``t`` in [0, 1)."""
+    w0 = ((-t + 2.0) * t - 1.0) * t * 0.5
+    w1 = ((3.0 * t - 5.0) * t * t + 2.0) * 0.5
+    w2 = ((-3.0 * t + 4.0) * t + 1.0) * t * 0.5
+    w3 = (t - 1.0) * t * t * 0.5
+    return (w0, w1, w2, w3)
+
+
 def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
     """Sample ``values`` at fractional pixel coordinates.
 
@@ -27,7 +37,9 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
         Source raster(s); leading dims are batched.
     rows, cols : arrays of identical shape S
         Fractional pixel coordinates to sample at.
-    method : {'bilinear', 'nearest'}
+    method : {'bilinear', 'nearest', 'cubic'}
+        'cubic' is the Catmull-Rom 4x4 kernel (GDAL's cubic),
+        edge-clamped like the batched translate kernels.
     cval : float
         Fill value for out-of-bounds samples (default NaN).
 
@@ -36,7 +48,7 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
     array (..., *S)
     """
     values = jnp.asarray(values)
-    if method == 'bilinear' and values.dtype.kind not in 'fc':
+    if method in ('bilinear', 'cubic') and values.dtype.kind not in 'fc':
         # fractional weights need a float accumulator: integer
         # rasters would truncate the weights to 0/1 (and the default
         # NaN cval cannot be represented at all) — promote like
@@ -109,6 +121,35 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
                         jnp.asarray(np.nan, out.dtype), out)
         out = jnp.where(valid[None, :], out,
                         jnp.asarray(cval, out.dtype))
+    elif method == 'cubic':
+        eps = 1e-6
+        valid = (r >= -eps) & (r <= H - 1 + eps) & \
+            (c >= -eps) & (c <= W - 1 + eps)
+        r = jnp.clip(r, 0, H - 1)
+        c = jnp.clip(c, 0, W - 1)
+        r0 = jnp.floor(r)
+        c0 = jnp.floor(c)
+        fr = (r - r0).astype(flat.dtype)
+        fc = (c - c0).astype(flat.dtype)
+        r0i = r0.astype(jnp.int32)
+        c0i = c0.astype(jnp.int32)
+        wr = _catmull_weights(fr)
+        wc = _catmull_weights(fc)
+        # IEEE does the NaN bookkeeping: 0 * NaN = NaN, so every
+        # touched non-finite contributor poisons the sum even at a
+        # zero Catmull-Rom weight — matching the matmul plan's
+        # weight-independent contributor count
+        acc = jnp.zeros(flat.shape[:1] + r.shape, flat.dtype)
+        for a in range(4):
+            ra = jnp.clip(r0i + (a - 1), 0, H - 1)
+            for bb in range(4):
+                cb = jnp.clip(c0i + (bb - 1), 0, W - 1)
+                w = (wr[a] * wc[bb])[None, :]
+                acc = acc + flat[:, ra, cb] * w
+        out = jnp.where(jnp.isinf(acc),
+                        jnp.asarray(np.nan, acc.dtype), acc)
+        out = jnp.where(valid[None, :], out,
+                        jnp.asarray(cval, out.dtype))
     else:
         raise ValueError('unknown method %r' % method)
 
@@ -156,24 +197,57 @@ def axis_weights(coords, size, method):
         W[rng, idxc] = 1.0
         Wm[rng, idxc] = 1.0
         return W, Wm, valid
-    if method != 'bilinear':
-        raise ValueError('unknown method %r' % method)
     eps = 1e-6
     valid = (coords >= -eps) & (coords <= size - 1 + eps)
     r = np.clip(coords, 0, size - 1)
     r0 = np.floor(r)
-    fr = (r - r0).astype(np.float32)
     r0i = r0.astype(np.int64)
-    r1i = np.minimum(r0i + 1, size - 1)
-    np.add.at(W, (rng, r0i), 1.0 - fr)
-    np.add.at(W, (rng, r1i), fr)
-    np.add.at(Wm, (rng, r0i), 1.0)
-    np.add.at(Wm, (rng, r1i), 1.0)
-    return W, Wm, valid
+    if method == 'bilinear':
+        fr = (r - r0).astype(np.float32)
+        r1i = np.minimum(r0i + 1, size - 1)
+        np.add.at(W, (rng, r0i), 1.0 - fr)
+        np.add.at(W, (rng, r1i), fr)
+        np.add.at(Wm, (rng, r0i), 1.0)
+        np.add.at(Wm, (rng, r1i), 1.0)
+        return W, Wm, valid
+    if method == 'cubic':
+        fr = r - r0
+        taps = _catmull_weights(fr, xp=np)
+        for a in range(4):
+            idx = np.clip(r0i + (a - 1), 0, size - 1)
+            np.add.at(W, (rng, idx), taps[a].astype(np.float32))
+            np.add.at(Wm, (rng, idx), 1.0)
+        return W, Wm, valid
+    if method == 'average':
+        # GDAL's downsampling average: uniform over the source samples
+        # whose centers fall inside the destination cell's footprint
+        # (footprint width = the coordinate step, i.e. the scale
+        # factor), normalized by the in-bounds contributor count
+        step = np.abs(np.diff(coords))
+        s = max(1.0, float(np.median(step))) if len(step) else 1.0
+        lo = np.ceil(coords - s / 2.0 - 1e-9).astype(np.int64)
+        hi = np.floor(coords + s / 2.0 - 1e-9).astype(np.int64)
+        # never an empty window: degenerate cells take the nearest
+        empty = hi < lo
+        near = np.round(coords).astype(np.int64)
+        lo = np.where(empty, near, lo)
+        hi = np.where(empty, near, hi)
+        span = int((hi - lo).max()) + 1 if n else 1
+        for off in range(span):
+            idx = lo + off
+            inside = (idx <= hi) & (idx >= 0) & (idx < size)
+            np.add.at(W, (rng[inside], idx[inside]), 1.0)
+            np.add.at(Wm, (rng[inside], idx[inside]), 1.0)
+        counts = W.sum(axis=1)
+        valid = valid & (counts > 0)
+        counts = np.where(counts > 0, counts, 1.0)
+        W /= counts[:, None]
+        return W, Wm, valid
+    raise ValueError('unknown method %r' % method)
 
 
 def matmul_resample(values, wy, wym, wx, wxm, valid_y, valid_x, cval,
-                    expected):
+                    expected, skipna=False):
     """Separable resample as two MXU matmuls (TPU fast path).
 
     ``out[..., i, j] = sum_hw wy[i, h] * values[..., h, w] * wx[j, w]``
@@ -183,6 +257,11 @@ def matmul_resample(values, wy, wym, wx, wxm, valid_y, valid_x, cval,
     ``wym``/``wxm``) yields NaN. On TPU this replaces per-pixel
     gathers — which XLA lowers serially — with dense matmuls at
     ~10x the throughput for typical raster sizes.
+
+    ``skipna=True`` (the 'average' method) switches to a NaN-skipping
+    weighted mean instead: non-finite contributors drop out of the
+    normalization (GDAL's average-over-valid), and a cell with no
+    finite contributor is NaN.
     """
     from jax import lax
 
@@ -191,11 +270,18 @@ def matmul_resample(values, wy, wym, wx, wxm, valid_y, valid_x, cval,
     Vs = jnp.where(finite, V, jnp.zeros((), V.dtype))
     hp = lax.Precision.HIGHEST     # full f32 (bf16 passes lose ~1e-3)
     num = jnp.einsum('ih,...hw,jw->...ij', wy, Vs, wx, precision=hp)
-    cnt = jnp.einsum('ih,...hw,jw->...ij', wym,
-                     finite.astype(wym.dtype), wxm, precision=hp)
     in_range = valid_y[:, None] & valid_x[None, :]
-    out = jnp.where(cnt > expected - 0.5, num,
-                    jnp.asarray(np.nan, V.dtype))
+    if skipna:
+        den = jnp.einsum('ih,...hw,jw->...ij', wy,
+                         finite.astype(wy.dtype), wx, precision=hp)
+        out = num / jnp.where(den > 1e-12, den, 1.0)
+        out = jnp.where(den > 1e-12, out,
+                        jnp.asarray(np.nan, V.dtype))
+    else:
+        cnt = jnp.einsum('ih,...hw,jw->...ij', wym,
+                         finite.astype(wym.dtype), wxm, precision=hp)
+        out = jnp.where(cnt > expected - 0.5, num,
+                        jnp.asarray(np.nan, V.dtype))
     return jnp.where(in_range, out, jnp.asarray(cval, V.dtype))
 
 

@@ -431,7 +431,8 @@ def _jitted_gather(values, rows, cols, method, cval):
 def _matmul_jit():
     import jax
     from .ops.interp import matmul_resample
-    return jax.jit(matmul_resample, static_argnames=('expected',))
+    return jax.jit(matmul_resample,
+                   static_argnames=('expected', 'skipna'))
 
 
 # weight matrices above this many entries would not pay for themselves
@@ -454,7 +455,7 @@ def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
     """
     from .ops.interp import axis_weights, separable_coords
 
-    if method not in ('bilinear', 'nearest'):
+    if method not in ('bilinear', 'nearest', 'cubic', 'average'):
         return None
     height, width = dst_shape
     H, W = src_shape
@@ -475,10 +476,10 @@ def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
     c1 = rc[1].astype(cdt).astype(np.float64)
     wy, wym, vy = axis_weights(r1, H, method)
     wx, wxm, vx = axis_weights(c1, W, method)
-    expected = 4.0 if method == 'bilinear' else 1.0
+    expected = {'bilinear': 4.0, 'cubic': 16.0}.get(method, 1.0)
     return (jnp.asarray(wy), jnp.asarray(wym), jnp.asarray(wx),
             jnp.asarray(wxm), jnp.asarray(vy), jnp.asarray(vx),
-            expected)
+            expected, method == 'average')
 
 def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                width=None, height=None, res=None, extent=None, **kwargs):
@@ -569,13 +570,22 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
         paths, curvilinear warps, big rasters — uses the device
         gather (whose coordinate grid is only built and uploaded when
         this fallback actually fires)."""
-        if values.dtype == jnp.float32:
+        if values.dtype == jnp.float32 or method == 'average':
             plan = _cached_plan(*grid_key, values.shape[-2:], method,
                                 np.dtype(coord_dtype).str)
             if plan is not None:
                 return _matmul_jit()(values, *plan[:6],
                                      np.float32(nodata),
-                                     expected=plan[6])
+                                     expected=plan[6],
+                                     skipna=plan[7])
+        if method == 'average':
+            # averaging needs the per-axis footprint decomposition;
+            # on a curvilinear warp the footprint is not separable
+            raise NotImplementedError(
+                "resampling='average' requires a separable warp "
+                '(axis-aligned affine grids or per-axis-factoring '
+                "CRS pairs); use 'bilinear' or 'cubic' for this "
+                'geometry')
         rows, cols = _cached_grid(*grid_key,
                                   np.dtype(coord_dtype).str)
         return _jitted_gather(values, rows, cols, method, nodata)
@@ -587,17 +597,30 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
         if out_dtype == jnp.float16:
             return out.astype(jnp.float16)
         if jnp.issubdtype(out_dtype, jnp.integer):
+            # NaN can reach an int restore via the average path's
+            # skip-NaN mean (an all-nodata footprint); 0 is the int
+            # nodata — an unguarded rint(NaN) cast is undefined
+            out = jnp.where(jnp.isnan(out),
+                            jnp.zeros((), out.dtype), out)
             return jnp.rint(out).astype(out_dtype)
         return out
 
     def _method_for_dtype(dtype, resampling):
         """Dtype-dispatch matching the reference (warp.py:724-732):
-        nearest/0 for ints, bilinear/NaN for floats."""
+        nearest/0 for ints, bilinear/NaN for floats. Explicit
+        ``resampling=`` accepts nearest/bilinear/cubic (Catmull-Rom,
+        GDAL's kernel)/average (NaN-skipping footprint mean for
+        downsampling, separable warps only)."""
         if np.issubdtype(np.dtype(str(dtype)), np.integer):
             method, nodata = 'nearest', 0
         else:
             method, nodata = 'bilinear', np.nan
         if resampling is not None:
+            if resampling not in ('nearest', 'bilinear', 'cubic',
+                                  'average'):
+                raise ValueError(
+                    'unsupported resampling %r (choose nearest, '
+                    'bilinear, cubic or average)' % (resampling,))
             method = resampling
         return method, nodata
 

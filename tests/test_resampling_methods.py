@@ -1,0 +1,168 @@
+"""Cubic (Catmull-Rom) and average resampling — the round-2 widening
+of the warp engine's method set toward the reference's GDAL
+``Resampling`` breadth (/root/reference/nd/warp.py:724-732 dispatches
+by dtype but accepts any rasterio method via kwargs).
+
+Oracles: a literal numpy Catmull-Rom evaluator written independently
+in this file, quadratic-reproduction (the kernel's order-3 accuracy),
+gather==matmul-plan agreement on separable warps, and block nanmean
+for the average downsampler."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nd_tpu.core import DataArray, Dataset
+from nd_tpu.ops.interp import (axis_weights, map_coordinates,
+                               matmul_resample)
+from nd_tpu.testing import generate_test_dataset
+from nd_tpu.warp import Reprojection
+
+
+def _cr_1d(samples, x):
+    """Literal Catmull-Rom interpolation of 1-d ``samples`` at ``x``
+    (edge-clamped), written from the spline definition: the cubic
+    through p1/p2 with tangents (p2-p0)/2 and (p3-p1)/2."""
+    n = len(samples)
+    i = int(np.floor(x))
+    t = x - i
+    p = [samples[min(max(i + k, 0), n - 1)] for k in (-1, 0, 1, 2)]
+    m1 = (p[2] - p[0]) / 2.0
+    m2 = (p[3] - p[1]) / 2.0
+    return ((2 * t ** 3 - 3 * t ** 2 + 1) * p[1]
+            + (t ** 3 - 2 * t ** 2 + t) * m1
+            + (-2 * t ** 3 + 3 * t ** 2) * p[2]
+            + (t ** 3 - t ** 2) * m2)
+
+
+def test_cubic_matches_literal_catmull_rom():
+    rng = np.random.RandomState(0)
+    v = rng.rand(1, 12, 15)
+    rows = np.array([3.3, 5.0, 7.75])
+    cols = np.array([2.6, 9.25, 11.0])
+    out = np.asarray(map_coordinates(v, rows, cols, method='cubic'))
+    for k, (rr, cc) in enumerate(zip(rows, cols)):
+        # separable 2-d Catmull-Rom: interpolate each of the 4 rows
+        # along x, then across them along y
+        i = int(np.floor(rr))
+        col_vals = [_cr_1d(v[0, min(max(i + a, 0), 11)], cc)
+                    for a in (-1, 0, 1, 2)]
+        expect = _cr_1d(np.asarray(col_vals), 1.0 + (rr - i))
+        np.testing.assert_allclose(out[0, k], expect, rtol=1e-12)
+
+
+def test_cubic_reproduces_quadratics_and_identity():
+    y, x = np.mgrid[0:16, 0:20].astype(np.float64)
+    quad = 2.0 + 0.3 * x + 0.1 * y + 0.05 * x * y + 0.02 * x * x
+    rows = np.array([4.5, 7.25, 9.9])
+    cols = np.array([5.5, 10.75, 3.2])
+    out = np.asarray(map_coordinates(quad[None], rows, cols,
+                                     method='cubic'))[0]
+    expect = 2.0 + 0.3 * cols + 0.1 * rows + 0.05 * cols * rows \
+        + 0.02 * cols * cols
+    np.testing.assert_allclose(out, expect, rtol=1e-10)
+    # exact at integer coordinates
+    same = np.asarray(map_coordinates(quad[None], np.array([3.0]),
+                                      np.array([7.0]),
+                                      method='cubic'))[0]
+    np.testing.assert_allclose(same, quad[3, 7], rtol=1e-12)
+
+
+def test_cubic_nan_window_and_out_of_range():
+    v = np.ones((1, 8, 8))
+    v[0, 4, 4] = np.nan
+    # 4x4 window around (3.5, 3.5) touches (4, 4) -> NaN even though
+    # its own cell (3, 3) block weights would be nonzero elsewhere
+    out = np.asarray(map_coordinates(v, np.array([3.5, 1.0]),
+                                     np.array([3.5, 1.0]),
+                                     method='cubic'))[0]
+    assert np.isnan(out[0]) and out[1] == 1.0
+    oob = np.asarray(map_coordinates(v, np.array([-1.0]),
+                                     np.array([2.0]),
+                                     method='cubic'))[0]
+    assert np.isnan(oob[0])
+
+
+def test_cubic_plan_matches_gather_on_separable_warp():
+    rng = np.random.RandomState(1)
+    v = rng.rand(24, 30).astype(np.float32)
+    v[5, 7] = np.nan
+    rows_1d = np.linspace(0.0, 23.0, 17)
+    cols_1d = np.linspace(0.0, 29.0, 21)
+    R, C = np.meshgrid(rows_1d, cols_1d, indexing='ij')
+    gathered = np.asarray(map_coordinates(v[None], R, C,
+                                          method='cubic'))[0]
+    wy, wym, vy = axis_weights(rows_1d, 24, 'cubic')
+    wx, wxm, vx = axis_weights(cols_1d, 30, 'cubic')
+    planned = np.asarray(matmul_resample(
+        jnp.asarray(v), jnp.asarray(wy), jnp.asarray(wym),
+        jnp.asarray(wx), jnp.asarray(wxm), jnp.asarray(vy),
+        jnp.asarray(vx), np.float32(np.nan), expected=16.0))
+    np.testing.assert_allclose(planned, gathered, atol=2e-6,
+                               equal_nan=True)
+    np.testing.assert_array_equal(np.isnan(planned),
+                                  np.isnan(gathered))
+
+
+def test_average_downsample_equals_block_nanmean():
+    rng = np.random.RandomState(2)
+    v = rng.rand(16, 16).astype(np.float32)
+    v[rng.rand(16, 16) < 0.2] = np.nan
+    # destination cells of width 4 source pixels, centered on the
+    # 4x4 blocks: coords are the block centers in source pixels
+    coords = np.array([1.5, 5.5, 9.5, 13.5])
+    W, Wm, valid = axis_weights(coords, 16, 'average')
+    assert valid.all()
+    out = np.asarray(matmul_resample(
+        jnp.asarray(v), jnp.asarray(W), jnp.asarray(Wm),
+        jnp.asarray(W), jnp.asarray(Wm), jnp.asarray(valid),
+        jnp.asarray(valid), np.float32(np.nan), expected=1.0,
+        skipna=True))
+    with np.errstate(all='ignore'):
+        expect = np.nanmean(
+            v.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+            .reshape(4, 4, 16), axis=-1)
+    np.testing.assert_allclose(out, expect, atol=1e-6, equal_nan=True)
+
+
+def test_reprojection_average_and_cubic_end_to_end():
+    ds = generate_test_dataset(dims={'y': 32, 'x': 32, 'time': 2})
+    from nd_tpu.warp import get_transform
+    t = get_transform(ds)
+    # downsample 4x with dst cells centered on the 4x4 source blocks
+    # (source pixel = 4*j + 1.5): average == coarsen mean
+    t4 = t * type(t)(4, 0, 1.5, 0, 4, 1.5)
+    avg = Reprojection(crs='epsg:4326', transform=t4, width=8,
+                       height=8, resampling='average').apply(ds)
+    ref = ds.coarsen(y=4, x=4).mean()
+    np.testing.assert_allclose(np.asarray(avg['C11'].values),
+                               np.asarray(ref['C11'].values),
+                               atol=1e-5)
+    # cubic stays finite and close to bilinear on smooth data
+    cub = Reprojection(crs='epsg:4326', transform=t4, width=8,
+                       height=8, resampling='cubic').apply(ds)
+    assert np.isfinite(np.asarray(cub['C11'].values)).all()
+
+
+def test_average_curvilinear_raises():
+    ds = generate_test_dataset(dims={'y': 16, 'x': 16, 'time': 1})
+    with pytest.raises(NotImplementedError):
+        # geographic -> LAEA is curvilinear: no separable footprint
+        Reprojection(crs='epsg:3035',
+                     resampling='average').apply(ds)
+
+
+def test_unknown_resampling_rejected():
+    ds = generate_test_dataset(dims={'y': 8, 'x': 8, 'time': 1})
+    with pytest.raises(ValueError):
+        Reprojection(crs='epsg:4326',
+                     resampling='lanczos').apply(ds)
+
+
+def test_cubic_integer_promotion_roundtrip():
+    rng = np.random.RandomState(3)
+    v = rng.randint(0, 100, (1, 10, 10)).astype(np.int32)
+    out = map_coordinates(v, np.array([2.0]), np.array([3.0]),
+                          method='cubic')
+    assert np.asarray(out)[0] == pytest.approx(v[0, 2, 3], abs=1e-4)
