@@ -28,6 +28,30 @@ def _catmull_weights(t, xp=jnp):
     return (w0, w1, w2, w3)
 
 
+_LANCZOS_A = 3   # GDAL's lanczos window (6x6 support)
+
+
+def _lanczos_weights(t, xp=jnp):
+    """Normalized Lanczos-3 tap weights for offsets (-2..3) at
+    fraction ``t`` in [0, 1). GDAL normalizes the truncated window so
+    constants reproduce exactly; so do we."""
+    a = float(_LANCZOS_A)
+    taps = []
+    for off in range(-(_LANCZOS_A - 1), _LANCZOS_A + 1):
+        x = t - off
+        # sinc(x) * sinc(x/a) with the removable singularity at 0
+        px = np.pi * x
+        safe = xp.where(x == 0, 1.0, px)
+        w = xp.where(
+            x == 0, 1.0,
+            a * xp.sin(safe) * xp.sin(safe / a) / (safe * safe))
+        taps.append(w)
+    total = taps[0]
+    for w in taps[1:]:
+        total = total + w
+    return [w / total for w in taps]
+
+
 def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
     """Sample ``values`` at fractional pixel coordinates.
 
@@ -37,8 +61,9 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
         Source raster(s); leading dims are batched.
     rows, cols : arrays of identical shape S
         Fractional pixel coordinates to sample at.
-    method : {'bilinear', 'nearest', 'cubic'}
+    method : {'bilinear', 'nearest', 'cubic', 'lanczos'}
         'cubic' is the Catmull-Rom 4x4 kernel (GDAL's cubic),
+        'lanczos' the normalized Lanczos-3 6x6 window — both
         edge-clamped like the batched translate kernels.
     cval : float
         Fill value for out-of-bounds samples (default NaN).
@@ -48,7 +73,8 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
     array (..., *S)
     """
     values = jnp.asarray(values)
-    if method in ('bilinear', 'cubic') and values.dtype.kind not in 'fc':
+    if method in ('bilinear', 'cubic', 'lanczos') \
+            and values.dtype.kind not in 'fc':
         # fractional weights need a float accumulator: integer
         # rasters would truncate the weights to 0/1 (and the default
         # NaN cval cannot be represented at all) — promote like
@@ -121,7 +147,7 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
                         jnp.asarray(np.nan, out.dtype), out)
         out = jnp.where(valid[None, :], out,
                         jnp.asarray(cval, out.dtype))
-    elif method == 'cubic':
+    elif method in ('cubic', 'lanczos'):
         eps = 1e-6
         valid = (r >= -eps) & (r <= H - 1 + eps) & \
             (c >= -eps) & (c <= W - 1 + eps)
@@ -133,17 +159,21 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
         fc = (c - c0).astype(flat.dtype)
         r0i = r0.astype(jnp.int32)
         c0i = c0.astype(jnp.int32)
-        wr = _catmull_weights(fr)
-        wc = _catmull_weights(fc)
+        if method == 'cubic':
+            wr, wc = _catmull_weights(fr), _catmull_weights(fc)
+            first = -1
+        else:
+            wr, wc = _lanczos_weights(fr), _lanczos_weights(fc)
+            first = -(_LANCZOS_A - 1)
         # IEEE does the NaN bookkeeping: 0 * NaN = NaN, so every
         # touched non-finite contributor poisons the sum even at a
-        # zero Catmull-Rom weight — matching the matmul plan's
+        # zero tap weight — matching the matmul plan's
         # weight-independent contributor count
         acc = jnp.zeros(flat.shape[:1] + r.shape, flat.dtype)
-        for a in range(4):
-            ra = jnp.clip(r0i + (a - 1), 0, H - 1)
-            for bb in range(4):
-                cb = jnp.clip(c0i + (bb - 1), 0, W - 1)
+        for a in range(len(wr)):
+            ra = jnp.clip(r0i + (a + first), 0, H - 1)
+            for bb in range(len(wc)):
+                cb = jnp.clip(c0i + (bb + first), 0, W - 1)
                 w = (wr[a] * wc[bb])[None, :]
                 acc = acc + flat[:, ra, cb] * w
         out = jnp.where(jnp.isinf(acc),
@@ -210,12 +240,17 @@ def axis_weights(coords, size, method):
         np.add.at(Wm, (rng, r0i), 1.0)
         np.add.at(Wm, (rng, r1i), 1.0)
         return W, Wm, valid
-    if method == 'cubic':
+    if method in ('cubic', 'lanczos'):
         fr = r - r0
-        taps = _catmull_weights(fr, xp=np)
-        for a in range(4):
-            idx = np.clip(r0i + (a - 1), 0, size - 1)
-            np.add.at(W, (rng, idx), taps[a].astype(np.float32))
+        if method == 'cubic':
+            taps = _catmull_weights(fr, xp=np)
+            first = -1
+        else:
+            taps = _lanczos_weights(fr, xp=np)
+            first = -(_LANCZOS_A - 1)
+        for a in range(len(taps)):
+            idx = np.clip(r0i + (a + first), 0, size - 1)
+            np.add.at(W, (rng, idx), np.asarray(taps[a], np.float32))
             np.add.at(Wm, (rng, idx), 1.0)
         return W, Wm, valid
     if method == 'average':

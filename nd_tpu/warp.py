@@ -455,7 +455,8 @@ def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
     """
     from .ops.interp import axis_weights, separable_coords
 
-    if method not in ('bilinear', 'nearest', 'cubic', 'average'):
+    if method not in ('bilinear', 'nearest', 'cubic', 'lanczos',
+                      'average'):
         return None
     height, width = dst_shape
     H, W = src_shape
@@ -476,7 +477,8 @@ def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
     c1 = rc[1].astype(cdt).astype(np.float64)
     wy, wym, vy = axis_weights(r1, H, method)
     wx, wxm, vx = axis_weights(c1, W, method)
-    expected = {'bilinear': 4.0, 'cubic': 16.0}.get(method, 1.0)
+    expected = {'bilinear': 4.0, 'cubic': 16.0,
+                'lanczos': 36.0}.get(method, 1.0)
     return (jnp.asarray(wy), jnp.asarray(wym), jnp.asarray(wx),
             jnp.asarray(wxm), jnp.asarray(vy), jnp.asarray(vx),
             expected, method == 'average')
@@ -609,18 +611,20 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
         """Dtype-dispatch matching the reference (warp.py:724-732):
         nearest/0 for ints, bilinear/NaN for floats. Explicit
         ``resampling=`` accepts nearest/bilinear/cubic (Catmull-Rom,
-        GDAL's kernel)/average (NaN-skipping footprint mean for
-        downsampling, separable warps only)."""
+        GDAL's kernel)/lanczos (normalized Lanczos-3)/average
+        (NaN-skipping footprint mean for downsampling, separable
+        warps only)."""
         if np.issubdtype(np.dtype(str(dtype)), np.integer):
             method, nodata = 'nearest', 0
         else:
             method, nodata = 'bilinear', np.nan
         if resampling is not None:
             if resampling not in ('nearest', 'bilinear', 'cubic',
-                                  'average'):
+                                  'lanczos', 'average'):
                 raise ValueError(
                     'unsupported resampling %r (choose nearest, '
-                    'bilinear, cubic or average)' % (resampling,))
+                    'bilinear, cubic, lanczos or average)'
+                    % (resampling,))
             method = resampling
         return method, nodata
 

@@ -157,7 +157,41 @@ def test_unknown_resampling_rejected():
     ds = generate_test_dataset(dims={'y': 8, 'x': 8, 'time': 1})
     with pytest.raises(ValueError):
         Reprojection(crs='epsg:4326',
-                     resampling='lanczos').apply(ds)
+                     resampling='mode').apply(ds)
+
+
+def test_lanczos_constant_and_linear_reproduction():
+    # the normalized window reproduces constants exactly and linear
+    # ramps to high accuracy away from the edges
+    v = np.full((1, 12, 12), 7.0)
+    out = np.asarray(map_coordinates(v, np.array([5.3]),
+                                     np.array([6.7]),
+                                     method='lanczos'))[0]
+    np.testing.assert_allclose(out, 7.0, rtol=1e-12)
+    y, x = np.mgrid[0:16, 0:16].astype(np.float64)
+    ramp = 2.0 * x + 0.5 * y
+    got = np.asarray(map_coordinates(ramp[None], np.array([7.25]),
+                                     np.array([8.6]),
+                                     method='lanczos'))[0]
+    np.testing.assert_allclose(got, 2.0 * 8.6 + 0.5 * 7.25, rtol=1e-3)
+
+
+def test_lanczos_plan_matches_gather():
+    rng = np.random.RandomState(4)
+    v = rng.rand(20, 24).astype(np.float32)
+    rows_1d = np.linspace(0.0, 19.0, 13)
+    cols_1d = np.linspace(0.0, 23.0, 11)
+    R, C = np.meshgrid(rows_1d, cols_1d, indexing='ij')
+    gathered = np.asarray(map_coordinates(v[None], R, C,
+                                          method='lanczos'))[0]
+    wy, wym, vy = axis_weights(rows_1d, 20, 'lanczos')
+    wx, wxm, vx = axis_weights(cols_1d, 24, 'lanczos')
+    planned = np.asarray(matmul_resample(
+        jnp.asarray(v), jnp.asarray(wy), jnp.asarray(wym),
+        jnp.asarray(wx), jnp.asarray(wxm), jnp.asarray(vy),
+        jnp.asarray(vx), np.float32(np.nan), expected=36.0))
+    np.testing.assert_allclose(planned, gathered, atol=3e-6,
+                               equal_nan=True)
 
 
 def test_cubic_integer_promotion_roundtrip():
