@@ -1168,6 +1168,13 @@ class DataArray(_NDOpsMixin):
         from .grouped import Weighted
         return Weighted(self, weights)
 
+    @property
+    def dt(self):
+        """Calendar fields of a datetime array (``da.dt.month`` etc.,
+        the xarray ``.dt`` accessor)."""
+        from .grouped import DatetimeAccessor
+        return DatetimeAccessor(self)
+
     # -- gap filling / interpolation --------------------------------------------
     def ffill(self, dim, limit=None):
         """Propagate the last valid value forward along ``dim``

@@ -31,6 +31,65 @@ def _nan_pad_value(dtype):
     return np.nan, np.float64
 
 
+_DT_FIELDS = ('year', 'month', 'day', 'hour', 'minute', 'second',
+              'dayofyear', 'dayofweek', 'weekday', 'quarter',
+              'season', 'date', 'week', 'weekofyear', 'days_in_month',
+              'time')
+
+
+def dt_field(values, field):
+    """A derived calendar field of a datetime64 array (the xarray
+    ``.dt`` / ``'time.month'`` virtual-coordinate surface), computed
+    via pandas."""
+    import pandas as pd
+    values = np.asarray(values)
+    if values.dtype.kind != 'M':
+        raise TypeError("'.%s' only works on datetime coordinates "
+                        '(got dtype %s)' % (field, values.dtype))
+    idx = pd.DatetimeIndex(values.ravel())
+    if field == 'season':
+        season_of = {12: 'DJF', 1: 'DJF', 2: 'DJF',
+                     3: 'MAM', 4: 'MAM', 5: 'MAM',
+                     6: 'JJA', 7: 'JJA', 8: 'JJA',
+                     9: 'SON', 10: 'SON', 11: 'SON'}
+        out = np.asarray([season_of[m] for m in idx.month])
+    elif field == 'date':
+        out = np.asarray(idx.date)
+    elif field == 'time':
+        out = np.asarray(idx.time)
+    elif field in ('week', 'weekofyear'):
+        out = np.asarray(idx.isocalendar().week.to_numpy(), np.int64)
+    elif field in ('weekday', 'dayofweek'):
+        out = np.asarray(idx.dayofweek, np.int64)
+    elif field in _DT_FIELDS:
+        out = np.asarray(getattr(idx, field))
+    else:
+        raise AttributeError(
+            'unknown datetime field %r (choose from %s)'
+            % (field, ', '.join(_DT_FIELDS)))
+    return out.reshape(values.shape)
+
+
+class DatetimeAccessor:
+    """``da.dt.<field>``: calendar fields of a datetime DataArray."""
+
+    def __init__(self, obj):
+        self._obj = obj
+
+    def __getattr__(self, field):
+        if field.startswith('_'):
+            raise AttributeError(field)
+        from .dataarray import DataArray
+        da = self._obj
+        vals = dt_field(da.values, field)
+        return DataArray._from_parts(
+            type(da.variable)(da.dims, vals), dict(da._coords), {},
+            field)
+
+    def __dir__(self):
+        return list(_DT_FIELDS)
+
+
 class GroupBy:
     """Split an object along one dimension by coordinate value.
 
@@ -54,13 +113,25 @@ class GroupBy:
 
     @classmethod
     def from_group(cls, obj, group):
-        """Build from a coordinate name or a 1-d DataArray of labels."""
+        """Build from a coordinate name, a virtual datetime field
+        (``'time.month'``-style, the xarray idiom), or a 1-d DataArray
+        of labels."""
         from .dataarray import DataArray
+        from .variable import Variable
         if isinstance(group, str):
             name = group
-            if group not in obj._coords:
+            if group not in obj._coords and '.' in group:
+                base, _, field = group.partition('.')
+                if base not in obj._coords:
+                    raise KeyError('no coordinate %r to group by'
+                                   % base)
+                cv = obj._coords[base]
+                gvar = Variable(cv.dims,
+                                dt_field(cv.values, field))
+            elif group not in obj._coords:
                 raise KeyError('no coordinate %r to group by' % group)
-            gvar = obj._coords[group]
+            else:
+                gvar = obj._coords[group]
         elif isinstance(group, DataArray):
             name = group.name or 'group'
             gvar = group.variable

@@ -373,3 +373,54 @@ def test_weighted_dataset():
     np.testing.assert_allclose(out['a'].values, 2.5)
     # b has no x dim: broadcast weights average leaves it unchanged
     np.testing.assert_allclose(out['b'].values, np.ones(3))
+
+
+# ---------------------------------------------------------------------------
+# virtual datetime fields: groupby('time.month') and the .dt accessor
+# ---------------------------------------------------------------------------
+
+def test_groupby_virtual_month():
+    t = np.array(['2020-01-01', '2020-01-15', '2020-02-01',
+                  '2020-02-10', '2020-03-01', '2020-03-20'],
+                 dtype='datetime64[ns]')
+    ds = Dataset({'a': (('time',), np.arange(6.0))},
+                 coords={'time': t})
+    out = ds.groupby('time.month').mean()
+    np.testing.assert_allclose(out['a'].values, [0.5, 2.5, 4.5])
+    np.testing.assert_array_equal(out['time.month'].values, [1, 2, 3])
+
+
+def test_groupby_virtual_season_and_year():
+    t = np.array(['2019-12-20', '2020-01-05', '2020-06-10',
+                  '2020-07-01', '2021-04-03'], dtype='datetime64[ns]')
+    ds = Dataset({'a': (('time',), np.array([1.0, 3.0, 10.0, 20.0,
+                                             7.0]))},
+                 coords={'time': t})
+    seas = ds.groupby('time.season').mean()
+    got = dict(zip(seas['time.season'].values.tolist(),
+                   seas['a'].values.tolist()))
+    assert got == {'DJF': 2.0, 'JJA': 15.0, 'MAM': 7.0}
+    yr = ds.groupby('time.year').sum()
+    np.testing.assert_array_equal(yr['time.year'].values,
+                                  [2019, 2020, 2021])
+
+
+def test_dt_accessor_fields_match_pandas():
+    import pandas as pd
+    t = np.array(['2020-02-29T13:45:10', '2021-12-31T00:00:00'],
+                 dtype='datetime64[ns]')
+    da = DataArray(t, dims=('time',), coords={'time': t})
+    idx = pd.DatetimeIndex(t)
+    np.testing.assert_array_equal(da.dt.year.values, idx.year)
+    np.testing.assert_array_equal(da.dt.month.values, idx.month)
+    np.testing.assert_array_equal(da.dt.day.values, idx.day)
+    np.testing.assert_array_equal(da.dt.hour.values, idx.hour)
+    np.testing.assert_array_equal(da.dt.dayofyear.values,
+                                  idx.dayofyear)
+    np.testing.assert_array_equal(da.dt.days_in_month.values,
+                                  [29, 31])
+    np.testing.assert_array_equal(da.dt.season.values, ['DJF', 'DJF'])
+    with pytest.raises(AttributeError):
+        da.dt.nonsense
+    with pytest.raises(TypeError):
+        DataArray(np.arange(3.0), dims=('x',)).dt.month
