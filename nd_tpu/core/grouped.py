@@ -128,6 +128,9 @@ class GroupBy:
                 cv = obj._coords[base]
                 gvar = Variable(cv.dims,
                                 dt_field(cv.values, field))
+                # xarray names the result dim after the field:
+                # groupby('time.month') -> a selectable 'month' dim
+                name = field
             elif group not in obj._coords:
                 raise KeyError('no coordinate %r to group by' % group)
             else:
@@ -438,7 +441,6 @@ class Coarsen:
 
     def __init__(self, obj, windows, boundary='exact', side='left',
                  coord_func='mean'):
-        from .dataarray import Dataset
         if boundary not in ('exact', 'trim', 'pad'):
             raise ValueError("boundary must be 'exact', 'trim' or 'pad'")
         if side not in ('left', 'right'):
@@ -446,7 +448,7 @@ class Coarsen:
         windows = {d: int(w) for d, w in windows.items()}
         if any(w < 1 for w in windows.values()):
             raise ValueError('window sizes must be >= 1')
-        sizes = obj.sizes if not isinstance(obj, Dataset) else obj.sizes
+        sizes = obj.sizes
         for d in windows:
             if d not in sizes:
                 raise ValueError('coarsen dimension %r not in object '
@@ -517,7 +519,7 @@ class Coarsen:
         return arr, window_axes
 
     # -- reductions --------------------------------------------------------
-    def _reduce_da(self, da, name):
+    def _reduce_da(self, da, name, skipna=True):
         from .variable import Variable, get_xp
         from .dataarray import DataArray
         if not any(d in da.dims for d in self._windows):
@@ -540,7 +542,7 @@ class Coarsen:
                     * bxp.ones([s for i, s in enumerate(blocked.shape)
                                 if i not in axes], np.int64)
             else:
-                fn = getattr(bxp, 'nan' + name)
+                fn = getattr(bxp, ('nan' + name) if skipna else name)
                 red = fn(blocked, axis=axes)
         coords = {}
         for ck, cv in da._coords.items():
@@ -561,7 +563,7 @@ class Coarsen:
             base = blocked.astype('int64')
             red = getattr(np, 'nan' + name)(
                 np.where(np.isnat(blocked), np.nan, base), axis=axes)
-            return red.astype('int64').astype(blocked.dtype)
+            return np.round(red).astype('int64').astype(blocked.dtype)
         raise TypeError('%s() is not defined for datetime blocks' % name)
 
     def _coarsen_coord(self, values, dims):
@@ -583,7 +585,7 @@ class Coarsen:
             return blocked[tuple(key)]
         return getattr(np, 'nan' + fn)(blocked, axis=tuple(axes))
 
-    def _reduce(self, name):
+    def _reduce(self, name, skipna=True):
         from .dataarray import Dataset
         if isinstance(self._obj, Dataset):
             ds = self._obj
@@ -594,7 +596,7 @@ class Coarsen:
                 sub = Coarsen(da, {d: w for d, w in self._windows.items()
                                    if d in da.dims},
                               self._boundary, self._side, self._coord_func)
-                red = sub._reduce_da(da, name)
+                red = sub._reduce_da(da, name, skipna=skipna)
                 out._variables[k] = red.variable
                 for ck, cv in red._coords.items():
                     done_coords.setdefault(ck, cv)
@@ -610,11 +612,17 @@ class Coarsen:
                             self._coarsen_coord(cv.values, cv.dims),
                             cv.attrs)
             return out
-        return self._reduce_da(self._obj, name)
+        return self._reduce_da(self._obj, name, skipna=skipna)
 
     def __getattr__(self, name):
         if name in self._REDUCERS:
-            return lambda **kw: self._reduce(name)
+            def reducer(skipna=True, **kw):
+                if kw:
+                    raise TypeError(
+                        'coarsen reductions accept only skipna=, got '
+                        '%r' % sorted(kw))
+                return self._reduce(name, skipna=skipna)
+            return reducer
         raise AttributeError(name)
 
 

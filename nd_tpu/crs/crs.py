@@ -688,8 +688,14 @@ class CRS:
             par.append('PARAMETER["azimuth",%.12g]' % alpha)
             par.append('PARAMETER["rectified_grid_angle",%.12g]'
                        % float(self._params.get('gamma', alpha)))
+            # the projection-centre longitude may arrive as +lon_0
+            # (the math path accepts both); emitting only a present
+            # 'lonc' key silently dropped it from the WKT round-trip
+            lonc = self._params.get('lonc',
+                                    self._params.get('lon_0', 0.0))
+            par.append('PARAMETER["longitude_of_center",%.12g]'
+                       % float(lonc))
             fields = [('latitude_of_center', 'lat_0'),
-                      ('longitude_of_center', 'lonc'),
                       ('scale_factor', 'k'),
                       ('false_easting', 'x_0'),
                       ('false_northing', 'y_0')]
@@ -800,6 +806,10 @@ class CRS:
                 out['lonc'] = round(float(p.get(
                     'lonc', p.get('lon_0', 0.0))), 9)
                 out['no_uoff'] = bool(p.get('no_uoff'))
+                # once the centre longitude is captured as lonc, a raw
+                # +lon_0 spelling plays no role in the math — it must
+                # not break identity with the +lonc spelling
+                out['lon_0'] = 0.0
             if proj == 'krovak':
                 out['alpha'] = round(float(p.get(
                     'alpha', 30.288139722222223)), 9)

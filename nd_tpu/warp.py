@@ -460,7 +460,12 @@ def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
         return None
     height, width = dst_shape
     H, W = src_shape
-    if height * H > _MATMUL_PLAN_CAP or width * W > _MATMUL_PLAN_CAP:
+    # 'average' has no gather fallback (the footprint decomposition IS
+    # the method), so it gets a larger cap — a deliberate
+    # downsampling job may pay the bigger weight matrices
+    cap = _MATMUL_PLAN_CAP * 8 if method == 'average' \
+        else _MATMUL_PLAN_CAP
+    if height * H > cap or width * W > cap:
         return None
     rows, cols = _cached_host_grid(dst_transform6, dst_shape,
                                    src_transform6, src_proj4,
@@ -581,8 +586,19 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                                      expected=plan[6],
                                      skipna=plan[7])
         if method == 'average':
-            # averaging needs the per-axis footprint decomposition;
-            # on a curvilinear warp the footprint is not separable
+            # distinguish the two plan-refusal causes so the error
+            # never misdiagnoses a separable-but-huge grid as
+            # curvilinear
+            from .ops.interp import separable_coords
+            rows, cols = _cached_host_grid(*grid_key)
+            if separable_coords(rows, cols) is not None:
+                raise NotImplementedError(
+                    "resampling='average' weight matrices for this "
+                    'grid (%dx%d -> %dx%d) exceed the plan size cap; '
+                    'tile the raster (tiling.map_over_tiles) or '
+                    'coarsen() after a bilinear warp'
+                    % (values.shape[-2], values.shape[-1],
+                       rows.shape[0], cols.shape[1]))
             raise NotImplementedError(
                 "resampling='average' requires a separable warp "
                 '(axis-aligned affine grids or per-axis-factoring '
