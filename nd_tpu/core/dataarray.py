@@ -1362,10 +1362,135 @@ class DataArray(_NDOpsMixin):
         host."""
         del assume_sorted  # sortedness is detected, not assumed
         indexers = _normalize_indexers(coords, coords_kwargs)
+        adv = {d: t for d, t in indexers.items()
+               if isinstance(t, DataArray) and t.ndim >= 1
+               and t.dims != (d,)}
+        if adv:
+            # DataArray indexers on foreign dims = vectorized
+            # (pointwise) interpolation — transect/trajectory
+            # extraction in xarray terms
+            if set(adv) != set(indexers):
+                rest = {d: t for d, t in indexers.items()
+                        if d not in adv}
+                return self.interp(rest, method=method) \
+                    .interp(adv, method=method)
+            return self._interp_pointwise(adv, method)
         out = self
         for d, t in indexers.items():
             out = out._interp_dim(d, t, method)
         return out
+
+    def _interp_pointwise(self, indexers, method):
+        """Vectorized interpolation: every indexer is a DataArray on a
+        shared set of NEW dims (e.g. ``points``); the result samples
+        the field at each joint position — the xarray advanced-interp
+        contract used for transects and trajectories."""
+        import itertools
+        if method not in ('linear', 'nearest'):
+            raise ValueError("method must be 'linear' or 'nearest'")
+        dims_new = None
+        for d, t in indexers.items():
+            if dims_new is None:
+                dims_new = t.dims
+            elif t.dims != dims_new:
+                raise ValueError(
+                    'vectorized interp indexers must share one dim '
+                    'set (got %r vs %r)' % (t.dims, dims_new))
+            if d not in self.dims:
+                raise ValueError('dim %r not in %r' % (d, self.dims))
+            if d not in self._coords or self._coords[d].ndim != 1:
+                raise ValueError('interp needs a 1-d coordinate on %r'
+                                 % d)
+        pshape = next(iter(indexers.values())).shape
+
+        # per-dim corner indices + weights at each target point
+        per_dim = {}
+        oob = np.zeros(pshape, bool)
+        for d, t in indexers.items():
+            raw_c = self._coords[d].values
+            c = _as_float_index(raw_c)
+            tv = np.asarray(t.values)
+            if raw_c.dtype.kind == 'M':
+                tv = np.asarray(tv, dtype='datetime64[ns]')
+            tq = _as_float_index(tv)
+            n = len(c)
+            order = np.arange(n)
+            cs = c
+            if n > 1 and not np.all(np.diff(c) >= 0):
+                order = np.argsort(c, kind='stable')
+                cs = c[order]
+            j = np.searchsorted(cs, tq.ravel(), side='left')
+            lo_s = np.clip(j - 1, 0, n - 1)
+            hi_s = np.clip(j, 0, n - 1)
+            denom = cs[hi_s] - cs[lo_s]
+            w = np.where(denom == 0, 0.0,
+                         (tq.ravel() - cs[lo_s])
+                         / np.where(denom == 0, 1, denom))
+            exact = cs[hi_s] == tq.ravel()
+            w = np.where(exact, 1.0, w)
+            lo = order[np.where(exact, hi_s, lo_s)]
+            hi = order[hi_s]
+            oob |= ((tq < cs[0]) | (tq > cs[-1])
+                    | np.isnan(tq)).reshape(pshape)
+            per_dim[d] = (lo.reshape(pshape), hi.reshape(pshape),
+                          w.reshape(pshape))
+
+        data = self.data
+        xp = get_xp(data)
+        if np.dtype(str(data.dtype)).kind in 'iub' \
+                and method == 'linear':
+            data = data.astype(np.float64)
+        # move the interped axes last, batched dims first
+        keep = tuple(d for d in self.dims if d not in indexers)
+        perm = [self.dims.index(d) for d in keep] \
+            + [self.dims.index(d) for d in indexers]
+        data_t = xp.transpose(data, perm)
+        ndim_q = len(indexers)
+        names = list(indexers)
+        out = None
+        for corner in itertools.product((0, 1), repeat=ndim_q):
+            idx = tuple(xp.asarray(per_dim[names[k]][corner[k]])
+                        for k in range(ndim_q))
+            vals = data_t[(Ellipsis,) + idx]
+            if method == 'nearest':
+                continue
+            wgt = None
+            for k in range(ndim_q):
+                w = per_dim[names[k]][2]
+                wk = w if corner[k] else 1.0 - w
+                wgt = wk if wgt is None else wgt * wk
+            wv = xp.asarray(wgt)
+            if np.dtype(str(vals.dtype)).kind in 'fc':
+                wv = wv.astype(vals.dtype)
+            term = vals * wv
+            out = term if out is None else out + term
+        if method == 'nearest':
+            idx = tuple(
+                xp.asarray(np.where(per_dim[names[k]][2] <= 0.5,
+                                    per_dim[names[k]][0],
+                                    per_dim[names[k]][1]))
+                for k in range(ndim_q))
+            out = data_t[(Ellipsis,) + idx]
+        if oob.any():
+            if np.dtype(str(out.dtype)).kind in 'iub':
+                out = out.astype(np.float64)
+            mask = xp.asarray(oob)
+            out = xp.where(mask, xp.asarray(np.nan, dtype=out.dtype),
+                           out)
+
+        dims_out = keep + dims_new
+        coords = {k: v for k, v in self._coords.items()
+                  if set(v.dims).issubset(set(keep))}
+        first = next(iter(indexers.values()))
+        for ck, cv in first._coords.items():
+            if set(cv.dims).issubset(set(dims_new)) \
+                    and ck not in coords:
+                coords[ck] = cv
+        for d, t in indexers.items():
+            coords[d] = Variable(dims_new, np.asarray(t.values),
+                                 self._coords[d].attrs)
+        return DataArray._from_parts(Variable(dims_out, out), coords,
+                                     self.attrs, self.name)
 
     def interp_like(self, other, method='linear'):
         """Interpolate onto ``other``'s 1-d coordinates (shared dims

@@ -429,3 +429,76 @@ def test_dt_accessor_fields_match_pandas():
         da.dt.nonsense
     with pytest.raises(TypeError):
         DataArray(np.arange(3.0), dims=('x',)).dt.month
+
+
+# ---------------------------------------------------------------------------
+# vectorized (advanced) interp: transect / trajectory extraction
+# ---------------------------------------------------------------------------
+
+def test_interp_pointwise_transect():
+    y = np.arange(5.0)
+    x = np.arange(6.0)
+    v = y[:, None] * 10 + x[None, :]
+    da = DataArray(v, dims=('y', 'x'), coords={'y': y, 'x': x})
+    track_y = DataArray(np.array([0.5, 2.0, 3.25]), dims=('points',),
+                        coords={'points': [0, 1, 2]})
+    track_x = DataArray(np.array([1.0, 4.5, 2.75]), dims=('points',))
+    out = da.interp(y=track_y, x=track_x)
+    assert out.dims == ('points',)
+    np.testing.assert_allclose(
+        out.values, [0.5 * 10 + 1.0, 2.0 * 10 + 4.5, 3.25 * 10 + 2.75])
+    np.testing.assert_array_equal(out['points'].values, [0, 1, 2])
+    np.testing.assert_allclose(out['y'].values, [0.5, 2.0, 3.25])
+
+
+def test_interp_pointwise_keeps_batched_dims_and_oob():
+    rng = np.random.RandomState(0)
+    v = rng.rand(3, 4, 5)          # (time, y, x)
+    da = DataArray(v, dims=('time', 'y', 'x'),
+                   coords={'y': np.arange(4.0), 'x': np.arange(5.0),
+                           'time': np.arange(3)})
+    ty = DataArray(np.array([1.5, 9.0]), dims=('pt',))
+    tx = DataArray(np.array([2.5, 1.0]), dims=('pt',))
+    out = da.interp(y=ty, x=tx)
+    assert out.dims == ('time', 'pt')
+    expect0 = (v[:, 1, 2] + v[:, 1, 3] + v[:, 2, 2] + v[:, 2, 3]) / 4
+    np.testing.assert_allclose(out.values[:, 0], expect0)
+    assert np.isnan(out.values[:, 1]).all()     # y=9 out of range
+
+
+def test_interp_pointwise_nearest_and_descending():
+    y = np.array([3.0, 2.0, 1.0, 0.0])          # descending axis
+    v = y * 2
+    da = DataArray(v, dims=('y',), coords={'y': y})
+    ty = DataArray(np.array([0.4, 2.6]), dims=('p',))
+    out = da.interp(y=ty, method='nearest')
+    np.testing.assert_allclose(out.values, [0.0, 6.0])
+    lin = da.interp(y=ty)
+    np.testing.assert_allclose(lin.values, [0.8, 5.2])
+
+
+def test_interp_mixed_orthogonal_then_pointwise():
+    y = np.arange(4.0)
+    x = np.arange(4.0)
+    t = np.arange(3.0)
+    v = (t[:, None, None] + y[None, :, None] * 10
+         + x[None, None, :] * 100)
+    da = DataArray(v, dims=('time', 'y', 'x'),
+                   coords={'time': t, 'y': y, 'x': x})
+    ty = DataArray(np.array([1.5]), dims=('p',))
+    tx = DataArray(np.array([2.0]), dims=('p',))
+    out = da.interp(time=0.5, y=ty, x=tx)
+    assert out.dims == ('p',)
+    np.testing.assert_allclose(out.values, [0.5 + 15 + 200])
+
+
+def test_interp_pointwise_device_payload():
+    import jax.numpy as jnp
+    v = jnp.asarray(np.arange(12.0, dtype=np.float32).reshape(3, 4))
+    da = DataArray(v, dims=('y', 'x'),
+                   coords={'y': np.arange(3.0), 'x': np.arange(4.0)})
+    ty = DataArray(np.array([0.5, 1.5]), dims=('p',))
+    tx = DataArray(np.array([1.5, 2.5]), dims=('p',))
+    out = da.interp(y=ty, x=tx)
+    np.testing.assert_allclose(np.asarray(out.values), [3.5, 8.5])
+    assert out.dtype == np.float32
