@@ -227,6 +227,21 @@ def to_zarr(ds, path, chunks=None, compress=True):
             + list(ds._variables.items()):
         _write_array(path, name, var.dims, var.values, var.attrs,
                      chunks=_chunks_for(var), compress=compress)
+
+    # consolidated metadata (.zmetadata): one JSON holding every
+    # .zgroup/.zattrs/.zarray so remote readers make a single metadata
+    # fetch — xr.open_zarr(..., consolidated=True) accepts our stores
+    meta = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn in ('.zgroup', '.zattrs', '.zarray'):
+                rel = os.path.relpath(os.path.join(root, fn), path)
+                rel = rel.replace(os.sep, '/')
+                with open(os.path.join(root, fn)) as fh:
+                    meta[rel] = json.load(fh)
+    with open(os.path.join(path, '.zmetadata'), 'w') as fh:
+        json.dump({'zarr_consolidated_format': 1, 'metadata': meta},
+                  fh, default=_json_default)
     return path
 
 

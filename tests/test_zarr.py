@@ -161,3 +161,31 @@ def test_foreign_order_rejected(tmp_path):
     json.dump(meta, open(meta_path, 'w'))
     with pytest.raises(IOError, match='order'):
         open_zarr(path)
+
+
+def test_consolidated_metadata_written_and_faithful(tmp_path):
+    """to_zarr writes .zmetadata (zarr consolidated format 1) whose
+    entries are byte-faithful copies of the per-array JSON — what
+    xr.open_zarr(consolidated=True) reads in one fetch."""
+    import json
+    import os
+    from nd_tpu.io.zarr import to_zarr
+    from nd_tpu.testing import generate_test_dataset
+    ds = generate_test_dataset(dims={'y': 6, 'x': 5, 'time': 3})
+    store = str(tmp_path / 'c.zarr')
+    to_zarr(ds, store)
+    with open(os.path.join(store, '.zmetadata')) as fh:
+        cons = json.load(fh)
+    assert cons['zarr_consolidated_format'] == 1
+    meta = cons['metadata']
+    assert '.zgroup' in meta and '.zattrs' in meta
+    assert 'C11/.zarray' in meta
+    for key, entry in meta.items():
+        with open(os.path.join(store, *key.split('/'))) as fh:
+            assert json.load(fh) == entry
+    # rewriting refreshes the consolidated view
+    ds2 = ds.isel(time=slice(0, 2))
+    to_zarr(ds2, store)
+    with open(os.path.join(store, '.zmetadata')) as fh:
+        cons2 = json.load(fh)
+    assert cons2['metadata']['C11/.zarray']['shape'] == [6, 5, 2]
