@@ -1447,23 +1447,6 @@ class DataArray(_NDOpsMixin):
         data_t = xp.transpose(data, perm)
         ndim_q = len(indexers)
         names = list(indexers)
-        out = None
-        for corner in itertools.product((0, 1), repeat=ndim_q):
-            idx = tuple(xp.asarray(per_dim[names[k]][corner[k]])
-                        for k in range(ndim_q))
-            vals = data_t[(Ellipsis,) + idx]
-            if method == 'nearest':
-                continue
-            wgt = None
-            for k in range(ndim_q):
-                w = per_dim[names[k]][2]
-                wk = w if corner[k] else 1.0 - w
-                wgt = wk if wgt is None else wgt * wk
-            wv = xp.asarray(wgt)
-            if np.dtype(str(vals.dtype)).kind in 'fc':
-                wv = wv.astype(vals.dtype)
-            term = vals * wv
-            out = term if out is None else out + term
         if method == 'nearest':
             idx = tuple(
                 xp.asarray(np.where(per_dim[names[k]][2] <= 0.5,
@@ -1471,6 +1454,22 @@ class DataArray(_NDOpsMixin):
                                     per_dim[names[k]][1]))
                 for k in range(ndim_q))
             out = data_t[(Ellipsis,) + idx]
+        else:
+            out = None
+            for corner in itertools.product((0, 1), repeat=ndim_q):
+                idx = tuple(xp.asarray(per_dim[names[k]][corner[k]])
+                            for k in range(ndim_q))
+                vals = data_t[(Ellipsis,) + idx]
+                wgt = None
+                for k in range(ndim_q):
+                    w = per_dim[names[k]][2]
+                    wk = w if corner[k] else 1.0 - w
+                    wgt = wk if wgt is None else wgt * wk
+                wv = xp.asarray(wgt)
+                if np.dtype(str(vals.dtype)).kind in 'fc':
+                    wv = wv.astype(vals.dtype)
+                term = vals * wv
+                out = term if out is None else out + term
         if oob.any():
             if np.dtype(str(out.dtype)).kind in 'iub':
                 out = out.astype(np.float64)
