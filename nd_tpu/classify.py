@@ -151,9 +151,9 @@ class Classifier:
             labels_np = np.asarray(
                 labels.values if isinstance(labels, DataArray)
                 else labels).astype(np.float64)
-            ymask = ~np.isnan(labels_np)
-            np.greater(labels_np, 0, out=ymask, where=ymask)
-            ymask = ymask.reshape(-1)
+            # valid samples carry a positive finite class id; NaN and
+            # the 0 "unlabelled" sentinel both fail the comparison
+            ymask = (labels_np > 0).reshape(-1)
         else:
             ymask = slice(None)
             labels_np = None

@@ -17,7 +17,6 @@ import glob
 import itertools
 import os
 from concurrent.futures import ThreadPoolExecutor
-from functools import partial
 
 import numpy as np
 
@@ -271,86 +270,105 @@ def map_over_tiles(files, fn, args=(), kwargs={}, path=None, suffix='',
     return result
 
 
+def _axis_tokens(vals, flip):
+    """Orderable ascending view of a coordinate vector: datetimes become
+    int64 ticks, and axes that run high-to-low (``flip``) compare through
+    a sign change so 'earlier on the axis' always sorts first. Dtypes
+    with no meaningful negation pass through unchanged (best effort)."""
+    v = np.asarray(vals)
+    if v.dtype.kind in 'mM':
+        v = v.astype('int64')
+    if flip and np.issubdtype(v.dtype, np.number):
+        v = -v
+    return v
+
+
+def _dim_flip(coord_vectors):
+    """Whether a dimension's coordinate runs high-to-low, decided by the
+    first tile wide enough to express a direction."""
+    for c in coord_vectors:
+        if len(c) > 1:
+            return bool(c[-1] < c[0])
+    return False
+
+
 def sort_key(ds, dims):
     """Sort key ordering datasets by their position on the tile grid."""
-    keys = []
+    key = ()
     for d in dims:
         vals = np.asarray(ds[d].values)
-        if len(vals) < 2 or vals[-1] >= vals[0]:
-            keys.append(vals[0])
-            keys.append(vals[-1])
-        else:
-            # descending coords sort by NEGATED key; datetimes negate
-            # via their integer ticks (not np.number, but ordered)
-            def neg(v):
-                if np.issubdtype(vals.dtype, np.number):
-                    return -v
-                if vals.dtype.kind in 'mM':
-                    return -v.astype('int64')
-                return v          # unordered-negation types: best effort
-            keys.append(neg(vals[0]))
-            keys.append(neg(vals[-1]))
-    return tuple(keys)
+        t = _axis_tokens(vals, _dim_flip([vals]))
+        key += (t[0], t[-1])
+    return key
 
 
 def sort_into_array(datasets, dims=None):
-    """Arrange tiles into a grid array by their coordinate origins."""
+    """Arrange tiles into a grid array by their coordinate origins.
+
+    Each tile's grid index along a dimension is the rank of its origin
+    token among the distinct origins (searchsorted against the sorted
+    unique set), so placement needs no pairwise comparisons.
+    """
     dims = utils.get_dims(datasets[0]) if dims is None else tuple(dims)
-    initials = {}
+    index = []
     for dim in dims:
-        initials[dim] = np.unique([np.asarray(d[dim].values)[0]
-                                   for d in datasets])
-    shape = tuple(len(initials[dim]) for dim in dims)
-    grid = np.empty(shape, dtype=object)
-
-    def _idx(ds):
-        result = []
-        for dim in dims:
-            vals = np.asarray(ds[dim].values)
-            order = 1 if (len(vals) < 2 or vals[-1] >= vals[0]) else -1
-            result.append(int(np.argmax(
-                initials[dim][::order] == vals[0])))
-        return tuple(result)
-
-    for d in datasets:
-        grid[_idx(d)] = d
+        cols = [np.asarray(d[dim].values) for d in datasets]
+        flip = _dim_flip(cols)
+        tokens = np.asarray([_axis_tokens(c, flip)[0] for c in cols])
+        index.append(np.searchsorted(np.unique(tokens), tokens))
+    grid = np.empty(tuple(int(i.max()) + 1 for i in index), dtype=object)
+    for pos, d in zip(zip(*(i.tolist() for i in index)), datasets):
+        grid[pos] = d
     return grid
 
 
 def debuffer(datasets, flat=True):
     """Remove overlap buffers from tiled datasets.
 
-    The per-dimension overlap between adjacent tiles is detected from
-    their shared coordinate values and trimmed half/half
-    (reference: tiling.py:243-285).
-    """
-    def _remove_buffer(data, dim):
-        data = list(data)
-        overlap = []
-        for a, b in zip(data[:-1], data[1:]):
-            av = np.asarray(a[dim].values)
-            bv = np.asarray(b[dim].values)
-            overlap.append(len(np.intersect1d(av, bv)))
-        buf_start = [o // 2 for o in overlap]
-        buf_stop = [-(o - b) if (o - b) > 0 else None
-                    for b, o in zip(buf_start, overlap)]
-        debuf = [d.isel(**{dim: slice(start, stop)})
-                 for d, start, stop in zip(
-                     data, [None] + buf_start, buf_stop + [None])]
-        arr = np.empty(len(debuf), dtype=object)
-        for i, d in enumerate(debuf):
-            arr[i] = d
-        return arr
+    Adjacent tiles sharing a halo keep half each: the predecessor drops
+    ceil(overlap/2) rows from its trailing edge, the successor drops
+    floor(overlap/2) from its leading edge. All of a tile's trims are
+    derived up front from its neighbours' coordinate ranges (a
+    searchsorted count of the shared run — the coordinates are
+    monotone) and applied in one combined ``isel``.
 
+    Capability parity with the reference's per-axis sweep
+    (tiling.py:243-285 there), but computed cell-wise on the grid.
+    """
     dims = utils.get_dims(datasets[0])
-    grid = sort_into_array(datasets)
-    for axis, dim in enumerate(dims):
-        func = partial(_remove_buffer, dim=dim)
-        grid = np.apply_along_axis(func, axis, grid)
+    grid = sort_into_array(datasets, dims)
+    flips = {dim: _dim_flip([np.asarray(t[dim].values)
+                             for t in grid.flat])
+             for dim in dims}
+
+    def _shared_run(cell, axis, dim):
+        # length of the coordinate overlap between grid[cell] and its
+        # successor along `axis`
+        succ = cell[:axis] + (cell[axis] + 1,) + cell[axis + 1:]
+        ta = _axis_tokens(grid[cell][dim].values, flips[dim])
+        tb = _axis_tokens(grid[succ][dim].values, flips[dim])
+        tail = ta.size - int(np.searchsorted(ta, tb[0], side='left'))
+        head = int(np.searchsorted(tb, ta[-1], side='right'))
+        return min(tail, head)
+
+    trimmed = np.empty(grid.shape, dtype=object)
+    for cell in np.ndindex(*grid.shape):
+        sel = {}
+        for axis, dim in enumerate(dims):
+            pred = cell[:axis] + (cell[axis] - 1,) + cell[axis + 1:]
+            drop_head = (_shared_run(pred, axis, dim) // 2
+                         if cell[axis] > 0 else 0)
+            after = (_shared_run(cell, axis, dim)
+                     if cell[axis] + 1 < grid.shape[axis] else 0)
+            drop_tail = after - after // 2
+            if drop_head or drop_tail:
+                sel[dim] = slice(drop_head or None,
+                                 -drop_tail if drop_tail else None)
+        trimmed[cell] = grid[cell].isel(**sel) if sel else grid[cell]
 
     if flat:
-        return list(grid.flatten())
-    return grid
+        return list(trimmed.flatten())
+    return trimmed
 
 
 def _combine_grid_fast(grid, dims):

@@ -231,16 +231,18 @@ def xr_split(ds, dim, chunks, buffer=0):
 
 
 def xr_merge(ds_list, dim, buffer=0):
-    """Inverse of xr_split: trim halos and concatenate."""
-    if buffer > 0 and len(ds_list) > 1:
-        idx_first = slice(None, -int(buffer))
-        idx_middle = slice(int(buffer), -int(buffer))
-        idx_end = slice(int(buffer), None)
-        parts = ([ds_list[0].isel(**{dim: idx_first})]
-                 + [ds.isel(**{dim: idx_middle}) for ds in ds_list[1:-1]]
-                 + [ds_list[-1].isel(**{dim: idx_end})])
+    """Inverse of xr_split: trim halos and concatenate.
+
+    Every chunk loses its halo on each side that has a neighbour —
+    positionally: no head trim on the first, no tail trim on the last.
+    """
+    b, last = int(buffer), len(ds_list) - 1
+    if b > 0 and last > 0:
+        parts = [ds.isel(**{dim: slice(b if i else None,
+                                       -b if i < last else None)})
+                 for i, ds in enumerate(ds_list)]
     else:
-        parts = ds_list
+        parts = list(ds_list)
     return concat(parts, dim=dim)
 
 
