@@ -126,7 +126,41 @@ _EPSG = {
     # ETRS89 geographic + UTM zones (the standard European grids used
     # by Sentinel-2 tiles and national mapping)
     4258: {'proj': 'longlat', 'ellps': 'GRS80', 'datum': 'ETRS89'},
+    # Amersfoort / RD New (Dutch national grid): oblique stereographic
+    # via the conformal sphere (EPSG method 9809, +proj=sterea)
+    28992: {'proj': 'sterea', 'lat_0': 52.15616055555555,
+            'lon_0': 5.38763888888889, 'k': 0.9999079,
+            'x_0': 155000.0, 'y_0': 463000.0, 'ellps': 'bessel',
+            'towgs84': (565.417, 50.3319, 465.552, -0.398957,
+                        0.343988, -1.8774, 4.0725),
+            'units': 'm'},
 }
+
+# ESRI authority codes (the "World_*" 54xxx family on WGS 84). A few
+# of these are ALSO reachable by their bare number through _EPSG below
+# (common user shorthand); the authoritative spelling is 'ESRI:NNNNN'.
+_ESRI = {
+    54002: {'proj': 'eqc', 'lat_ts': 0, 'lat_0': 0, 'lon_0': 0,
+            'x_0': 0, 'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
+            'units': 'm'},
+    54004: {'proj': 'merc', 'lon_0': 0, 'k': 1, 'x_0': 0, 'y_0': 0,
+            'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    54008: {'proj': 'sinu', 'lon_0': 0, 'x_0': 0, 'y_0': 0,
+            'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    54009: {'proj': 'moll', 'lon_0': 0, 'x_0': 0, 'y_0': 0,
+            'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    54030: {'proj': 'robin', 'lon_0': 0, 'x_0': 0, 'y_0': 0,
+            'ellps': 'WGS84', 'datum': 'WGS84', 'units': 'm'},
+    54032: {'proj': 'aeqd', 'lat_0': 0, 'lon_0': 0, 'x_0': 0,
+            'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
+            'units': 'm'},
+    54034: {'proj': 'cea', 'lat_ts': 0, 'lon_0': 0, 'x_0': 0,
+            'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
+            'units': 'm'},
+}
+# bare-number shorthand for the ESRI world projections users most
+# often request by code
+_EPSG[54030] = _ESRI[54030]
 for _zone in range(28, 39):
     _EPSG[25800 + _zone] = {
         'proj': 'utm', 'zone': _zone, 'lon_0': _zone * 6 - 183,
@@ -156,6 +190,8 @@ _PROJECTION_WKT_NAMES = {
     'omerc': 'Hotine_Oblique_Mercator',
     'krovak': 'Krovak',
     'eqearth': 'Equal_Earth',
+    'sterea': 'Oblique_Stereographic',
+    'robin': 'Robinson',
 }
 
 _WKT_NAME_TO_PROJ = {
@@ -211,6 +247,13 @@ _WKT_NAME_TO_PROJ = {
     'krovak': 'krovak',
     'krovak_(north_orientated)': 'krovak',
     'equal_earth': 'eqearth',
+    # EPSG 9809 double stereographic (conformal sphere) vs the Snyder
+    # conformal-latitude aspect: distinct projections, like PROJ's
+    # sterea/stere split
+    'oblique_stereographic': 'sterea',
+    'double_stereographic': 'sterea',
+    'roussilhe': 'sterea',
+    'robinson': 'robin',
 }
 
 # projections whose WKT standard_parallel_1/2 mean the conic
@@ -303,15 +346,30 @@ class CRS:
         return cls(dict(_EPSG[code]), epsg=code)
 
     @classmethod
+    def from_authority(cls, authority, code):
+        """Look up ``authority:code`` — 'EPSG' or 'ESRI'."""
+        auth = str(authority).strip().upper()
+        code = int(code)
+        if auth == 'EPSG':
+            return cls.from_epsg(code)
+        if auth == 'ESRI':
+            params = _ESRI.get(code) or _EPSG.get(code)
+            if params is None:
+                raise ValueError(
+                    'ESRI:%d is not in the built-in registry' % code)
+            return cls(dict(params))
+        raise ValueError('unknown CRS authority %r' % authority)
+
+    @classmethod
     def from_dict(cls, d):
         return cls(d)
 
     @classmethod
     def from_string(cls, s):
         s = s.strip()
-        m = re.match(r'(?i)^(?:\+init=)?epsg:(\d+)$', s)
+        m = re.match(r'(?i)^(?:\+init=)?(epsg|esri):(\d+)$', s)
         if m:
-            return cls.from_epsg(int(m.group(1)))
+            return cls.from_authority(m.group(1), int(m.group(2)))
         if s.upper().startswith(('PROJCS', 'GEOGCS', 'PROJCRS', 'GEOGCRS')):
             return cls.from_wkt(s)
         if s.startswith('+') or '=' in s:
@@ -665,6 +723,11 @@ class CRS:
                 and str(self._params.get('sweep', 'y')).lower() == 'x':
             pname = 'Geostationary_Satellite_(Sweep_X)'
         polar = self.proj == 'stere' and 'lat_ts' in self._params
+        if self.proj == 'stere' \
+                and abs(abs(float(self._params.get('lat_0', 90.0)))
+                        - 90.0) > 1e-9:
+            # non-polar aspect: GDAL's WKT1 name for +proj=stere
+            pname = 'Stereographic'
         conic = self.proj in _CONIC_PROJS
         par = []
         if self.proj == 'geos' and 'h' in self._params:

@@ -368,12 +368,71 @@ def _polar_stere_inverse(x, y, ell, lon0, k0, xp=np, lat_ts=None,
     return (lam * sign + lon0), phi * sign
 
 
+def _conformal_lat(phi, e, xp):
+    """Geodetic -> conformal latitude chi (Snyder 1987 eq. 3-1)."""
+    # tan(pi/4 - chi/2) = t(phi), so chi falls out of the shared t
+    return math.pi / 2 - 2 * xp.arctan(_stere_t(phi, e, xp))
+
+
+def _inv_conformal_lat(chi, e, xp):
+    """Conformal -> geodetic latitude by the Snyder 7-9 fixed point."""
+    t = xp.tan(math.pi / 4 - chi / 2)
+    phi = math.pi / 2 - 2 * xp.arctan(t)
+    for _ in range(10):
+        s = e * xp.sin(phi)
+        phi = math.pi / 2 - 2 * xp.arctan(
+            t * ((1 - s) / (1 + s)) ** (e / 2))
+    return phi
+
+
+def _oblique_stere_forward(lon, lat, ell, lon0, k0, lat0, xp=np):
+    """Oblique/equatorial ellipsoidal stereographic (Snyder 1987 §21,
+    eqs. 21-27..21-29, 14-15, 3-1): conformal-sphere aspect used by
+    PROJ's non-polar ``+proj=stere``."""
+    e = ell.e
+    chi = _conformal_lat(lat, e, xp)
+    chi1 = float(_conformal_lat(np.float64(lat0), e, np))
+    m1 = _m_parallel(lat0, ell)
+    dlam = lon - lon0
+    cos_dlam = xp.cos(dlam)
+    sin_chi = xp.sin(chi)
+    cos_chi = xp.cos(chi)
+    A = 2 * ell.a * k0 * m1 / (
+        math.cos(chi1) * (1 + math.sin(chi1) * sin_chi
+                          + math.cos(chi1) * cos_chi * cos_dlam))
+    x = A * cos_chi * xp.sin(dlam)
+    y = A * (math.cos(chi1) * sin_chi
+             - math.sin(chi1) * cos_chi * cos_dlam)
+    return x, y
+
+
+def _oblique_stere_inverse(x, y, ell, lon0, k0, lat0, xp=np):
+    """Inverse of :func:`_oblique_stere_forward` (Snyder 21-38..21-40
+    with the conformal-latitude iteration)."""
+    e = ell.e
+    chi1 = float(_conformal_lat(np.float64(lat0), e, np))
+    m1 = _m_parallel(lat0, ell)
+    rho = xp.sqrt(x * x + y * y)
+    ce = 2 * xp.arctan2(rho * math.cos(chi1), 2 * ell.a * k0 * m1)
+    # at rho = 0 the ratio y/rho is irrelevant (sin ce = 0): guard it
+    safe_rho = xp.where(rho == 0, 1.0, rho)
+    chi = xp.arcsin(xp.clip(
+        xp.cos(ce) * math.sin(chi1)
+        + y * xp.sin(ce) * math.cos(chi1) / safe_rho, -1.0, 1.0))
+    lam = xp.arctan2(
+        x * xp.sin(ce),
+        rho * math.cos(chi1) * xp.cos(ce)
+        - y * math.sin(chi1) * xp.sin(ce))
+    phi = _inv_conformal_lat(chi, e, xp)
+    return lon0 + lam, phi
+
+
 def _stere_forward(lon, lat, ell, lon0, k0, xp=np, **params):
     lat0 = params.get('lat_0', 90.0)
     lat_ts = params.get('lat_ts')
     if abs(abs(lat0) - 90.0) > 1e-9:
-        raise NotImplementedError(
-            'only polar aspects of stereographic are supported')
+        return _oblique_stere_forward(lon, lat, ell, lon0, k0,
+                                      math.radians(lat0), xp=xp)
     return _polar_stere_forward(
         lon, lat, ell, lon0, k0, xp=xp,
         lat_ts=math.radians(lat_ts) if lat_ts is not None else None,
@@ -384,12 +443,186 @@ def _stere_inverse(x, y, ell, lon0, k0, xp=np, **params):
     lat0 = params.get('lat_0', 90.0)
     lat_ts = params.get('lat_ts')
     if abs(abs(lat0) - 90.0) > 1e-9:
-        raise NotImplementedError(
-            'only polar aspects of stereographic are supported')
+        return _oblique_stere_inverse(x, y, ell, lon0, k0,
+                                      math.radians(lat0), xp=xp)
     return _polar_stere_inverse(
         x, y, ell, lon0, k0, xp=xp,
         lat_ts=math.radians(lat_ts) if lat_ts is not None else None,
         south=(lat0 < 0))
+
+
+# ---------------------------------------------------------------------------
+# Oblique stereographic, EPSG method 9809 ("double" stereographic via
+# the conformal sphere — Dutch RD New / EPSG:28992). IOGP Guidance
+# Note 7-2; distinct from Snyder's +proj=stere aspect above, matching
+# PROJ's +proj=sterea.
+# ---------------------------------------------------------------------------
+
+def _sterea_setup(ell, lat0):
+    """Host-side constants of the conformal-sphere mapping."""
+    e, e2 = ell.e, ell.e2
+    s0 = math.sin(lat0)
+    c0 = math.cos(lat0)
+    rho0 = ell.a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = ell.a / math.sqrt(1 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * c0 ** 4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (S1 * S2 ** e) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi00) / ((n - s0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    return R, n, c, chi0
+
+
+def _sterea_chi(lat, ell, n, c, xp):
+    """Geodetic latitude -> conformal-sphere latitude chi."""
+    e = ell.e
+    s = xp.sin(lat)
+    w = c * (((1 + s) / (1 - s))
+             * ((1 - e * s) / (1 + e * s)) ** e) ** n
+    return xp.arcsin((w - 1) / (w + 1))
+
+
+def _sterea_forward(lon, lat, ell, lon0, k0, xp=np, params=None):
+    lat0 = math.radians((params or {}).get('lat_0', 0.0))
+    R, n, c, chi0 = _sterea_setup(ell, lat0)
+    chi = _sterea_chi(lat, ell, n, c, xp)
+    dlam = n * (lon - lon0)
+    B = 1 + xp.sin(chi) * math.sin(chi0) \
+        + xp.cos(chi) * math.cos(chi0) * xp.cos(dlam)
+    x = 2 * R * k0 * xp.cos(chi) * xp.sin(dlam) / B
+    y = 2 * R * k0 * (xp.sin(chi) * math.cos(chi0)
+                      - xp.cos(chi) * math.sin(chi0) * xp.cos(dlam)) / B
+    return x, y
+
+
+def _sterea_inverse(x, y, ell, lon0, k0, xp=np, params=None):
+    lat0 = math.radians((params or {}).get('lat_0', 0.0))
+    R, n, c, chi0 = _sterea_setup(ell, lat0)
+    e = ell.e
+    g = 2 * R * k0 * math.tan(math.pi / 4 - chi0 / 2)
+    hh = 4 * R * k0 * math.tan(chi0) + g
+    i = xp.arctan2(x, hh + y)
+    j = xp.arctan2(x, g - y) - i
+    chi = chi0 + 2 * xp.arctan2(y - x * xp.tan(j / 2), 2 * R * k0)
+    lam = j + 2 * i
+    lon = lon0 + lam / n
+    # invert the conformal-sphere latitude: psi from chi, then iterate
+    # the isometric latitude (IOGP GN7-2 reverse formulas)
+    psi = 0.5 * xp.log((1 + xp.sin(chi))
+                       / (c * (1 - xp.sin(chi)))) / n
+    phi = 2 * xp.arctan(xp.exp(psi)) - math.pi / 2
+    for _ in range(10):
+        s = xp.sin(phi)
+        psi_i = xp.log(xp.tan(phi / 2 + math.pi / 4)
+                       * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        phi = phi - (psi_i - psi) * xp.cos(phi) \
+            * (1 - ell.e2 * s * s) / (1 - ell.e2)
+    return lon, phi
+
+
+# ---------------------------------------------------------------------------
+# Robinson (pseudocylindrical, table-driven; ESRI:54030). The classic
+# 5-degree X/Y tables interpolated with a natural cubic spline; the
+# inverse solves the monotone Y spline by Newton. Spherical on the
+# semi-major axis, like PROJ's +proj=robin.
+# ---------------------------------------------------------------------------
+
+_ROBIN_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322])
+_ROBIN_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000])
+_ROBIN_STEP = math.radians(5.0)
+_ROBIN_FXC = 0.8487
+_ROBIN_FYC = 1.3523
+
+
+def _natural_spline(y):
+    """Second derivatives of the natural cubic spline through ``y``
+    sampled at unit spacing (host, tridiagonal solve)."""
+    n = len(y)
+    m = np.zeros(n)
+    a = np.zeros(n)
+    b = np.full(n, 2.0)
+    rhs = np.zeros(n)
+    rhs[1:-1] = 6.0 * (y[2:] - 2 * y[1:-1] + y[:-2])
+    a[1:-1] = 1.0
+    # Thomas algorithm (first/last rows pin m = 0)
+    cp = np.zeros(n)
+    dp = np.zeros(n)
+    cp[0] = 0.0
+    dp[0] = 0.0
+    for k in range(1, n):
+        denom = b[k] - a[k] * cp[k - 1]
+        cp[k] = (1.0 if 0 < k < n - 1 else 0.0) / denom
+        dp[k] = (rhs[k] - a[k] * dp[k - 1]) / denom
+    for k in range(n - 2, 0, -1):
+        m[k] = dp[k] - cp[k] * m[k + 1]
+    return m
+
+
+_ROBIN_X_M = _natural_spline(_ROBIN_X)
+_ROBIN_Y_M = _natural_spline(_ROBIN_Y)
+
+
+def _robin_eval(table, m, u, xp):
+    """Evaluate the spline through ``table`` at node coordinate ``u``
+    (units of 5-degree steps, clipped to the table)."""
+    u = xp.clip(u, 0.0, len(table) - 1.0)
+    i = xp.clip(xp.floor(u).astype(int), 0, len(table) - 2)
+    t = u - i
+    y0 = xp.take(xp.asarray(table), i)
+    y1 = xp.take(xp.asarray(table), i + 1)
+    m0 = xp.take(xp.asarray(m), i)
+    m1 = xp.take(xp.asarray(m), i + 1)
+    s = 1.0 - t
+    return (y0 * s + y1 * t
+            + (m0 / 6.0) * (s * s * s - s)
+            + (m1 / 6.0) * (t * t * t - t))
+
+
+def _robin_eval_deriv(table, m, u, xp):
+    """d/du of :func:`_robin_eval` (for the Newton inverse)."""
+    u = xp.clip(u, 0.0, len(table) - 1.0)
+    i = xp.clip(xp.floor(u).astype(int), 0, len(table) - 2)
+    t = u - i
+    y0 = xp.take(xp.asarray(table), i)
+    y1 = xp.take(xp.asarray(table), i + 1)
+    m0 = xp.take(xp.asarray(m), i)
+    m1 = xp.take(xp.asarray(m), i + 1)
+    return (y1 - y0
+            - (m0 / 6.0) * (3 * t * t - 6 * t + 2)
+            + (m1 / 6.0) * (3 * t * t - 1))
+
+
+def _robin_forward(lon, lat, ell, lon0, k0, xp=np):
+    u = xp.abs(lat) / _ROBIN_STEP
+    X = _robin_eval(_ROBIN_X, _ROBIN_X_M, u, xp)
+    Y = _robin_eval(_ROBIN_Y, _ROBIN_Y_M, u, xp)
+    x = _ROBIN_FXC * ell.a * X * (lon - lon0)
+    y = _ROBIN_FYC * ell.a * Y * xp.sign(lat)
+    return x, y
+
+
+def _robin_inverse(x, y, ell, lon0, k0, xp=np):
+    Yt = xp.clip(xp.abs(y) / (_ROBIN_FYC * ell.a), 0.0, 1.0)
+    # Newton on the monotone Y spline, seeded by linear inversion
+    u = Yt * (len(_ROBIN_Y) - 1)
+    for _ in range(10):
+        f = _robin_eval(_ROBIN_Y, _ROBIN_Y_M, u, xp) - Yt
+        df = _robin_eval_deriv(_ROBIN_Y, _ROBIN_Y_M, u, xp)
+        u = xp.clip(u - f / df, 0.0, len(_ROBIN_Y) - 1.0)
+    lat = u * _ROBIN_STEP * xp.sign(y)
+    X = _robin_eval(_ROBIN_X, _ROBIN_X_M, u, xp)
+    lon = lon0 + x / (_ROBIN_FXC * ell.a * X)
+    return lon, lat
 
 
 # ---------------------------------------------------------------------------
@@ -1169,6 +1402,8 @@ def _eqearth_inverse(x, y, ell, lon0, k0, xp=np):
 
 _FORWARD = {
     'stere': _stere_forward,
+    'sterea': _sterea_forward,
+    'robin': _robin_forward,
     'tmerc': _tmerc_forward,
     'utm': _tmerc_forward,
     'merc': _merc_forward,
@@ -1191,6 +1426,8 @@ _FORWARD = {
 
 _INVERSE = {
     'stere': _stere_inverse,
+    'sterea': _sterea_inverse,
+    'robin': _robin_inverse,
     'tmerc': _tmerc_inverse,
     'utm': _tmerc_inverse,
     'merc': _merc_inverse,
@@ -1215,7 +1452,7 @@ _INVERSE = {
 # parallels, center latitude, satellite height) beyond (lon0, k0)
 _PARAMETRIC = frozenset({'lcc', 'aea', 'laea', 'cea', 'geos',
                          'somerc', 'ortho', 'aeqd', 'eqc', 'omerc',
-                         'krovak'})
+                         'krovak', 'sterea'})
 
 
 def _scale_factor(proj, params, ell):

@@ -757,3 +757,143 @@ def test_reproject_onto_lv95_and_geos():
         extent=(-2.2e6, -2.2e6, 2.2e6, 2.2e6),
         width=64, height=64).apply(ds2)
     assert np.isfinite(np.asarray(out2['C11'].values)).mean() > 0.8
+
+
+# ---------------------------------------------------------------------------
+# round 3 (VERDICT item 4): oblique stereographic (sterea + non-polar
+# stere), Robinson, ESRI authority
+# ---------------------------------------------------------------------------
+
+BESSEL = ELLIPSOIDS['bessel']
+
+
+def test_sterea_epsg_guidance_worked_example():
+    # IOGP Guidance Note 7-2, Oblique Stereographic (EPSG method 9809),
+    # Amersfoort / RD New (EPSG:28992): 53N 6E (Amersfoort geographic)
+    # -> E 196105.283, N 557057.739
+    p = {'lat_0': 52.15616055555555, 'lon_0': 5.38763888888889,
+         'k': 0.9999079, 'x_0': 155000.0, 'y_0': 463000.0}
+    x, y = project_forward('sterea', np.array([6.0]), np.array([53.0]),
+                           BESSEL, p)
+    assert abs(x[0] - 196105.283) < 2e-3
+    assert abs(y[0] - 557057.739) < 2e-3
+    lon, lat = project_inverse('sterea', x, y, BESSEL, p)
+    assert abs(lon[0] - 6.0) < 1e-9
+    assert abs(lat[0] - 53.0) < 1e-9
+
+
+def test_sterea_scale_at_origin():
+    # conformal with scale k0 at the projection centre
+    p = {'lat_0': 52.15616055555555, 'lon_0': 5.38763888888889,
+         'k': 0.9999079}
+    lat0, lon0 = 52.15616055555555, 5.38763888888889
+    d = 1e-6
+    x0, y0 = project_forward('sterea', np.array([lon0]),
+                             np.array([lat0]), BESSEL, p)
+    xn, yn = project_forward('sterea', np.array([lon0]),
+                             np.array([lat0 + d]), BESSEL, p)
+    # meridional ground distance for d degrees
+    phi = math.radians(lat0)
+    rho = BESSEL.a * (1 - BESSEL.e2) \
+        / (1 - BESSEL.e2 * math.sin(phi) ** 2) ** 1.5
+    ground = rho * math.radians(d)
+    k = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / ground
+    assert abs(k - 0.9999079) < 1e-6
+
+
+def test_oblique_stere_roundtrip_and_sphere_limit():
+    p = {'lat_0': 40.0, 'lon_0': -100.0, 'k': 0.9999}
+    lons = np.array([-90.0, -120.0, -100.0, -75.0])
+    lats = np.array([30.0, 55.0, 40.0, -10.0])
+    x, y = project_forward('stere', lons, lats, WGS84, p)
+    lon, lat = project_inverse('stere', x, y, WGS84, p)
+    np.testing.assert_allclose(lon, lons, atol=1e-9)
+    np.testing.assert_allclose(lat, lats, atol=1e-9)
+
+    # spherical limit: closed-form Snyder 21-2..21-4
+    from nd_tpu.crs.proj import Ellipsoid
+    R = 6370997.0
+    sph = Ellipsoid('sphere', R, b=R)
+    p = {'lat_0': 40.0, 'lon_0': -100.0, 'k': 1.0}
+    x, y = project_forward('stere', np.array([-90.0]),
+                           np.array([30.0]), sph, p)
+    phi1, phi, dl = map(math.radians, (40.0, 30.0, 10.0))
+    kk = 2 / (1 + math.sin(phi1) * math.sin(phi)
+              + math.cos(phi1) * math.cos(phi) * math.cos(dl))
+    assert abs(x[0] - R * kk * math.cos(phi) * math.sin(dl)) < 1e-6
+    assert abs(y[0] - R * kk * (math.cos(phi1) * math.sin(phi)
+                                - math.sin(phi1) * math.cos(phi)
+                                * math.cos(dl))) < 1e-6
+
+
+def test_oblique_stere_conformality():
+    # equal scale along meridian and parallel (differential isotropy)
+    p = {'lat_0': 40.0, 'lon_0': -100.0, 'k': 1.0}
+    lon, lat = -92.0, 33.0
+    d = 1e-6
+    x0, y0 = project_forward('stere', np.array([lon]), np.array([lat]),
+                             WGS84, p)
+    xm, ym = project_forward('stere', np.array([lon]),
+                             np.array([lat + d]), WGS84, p)
+    xp_, yp_ = project_forward('stere', np.array([lon + d]),
+                               np.array([lat]), WGS84, p)
+    phi = math.radians(lat)
+    s2 = math.sin(phi) ** 2
+    rho = WGS84.a * (1 - WGS84.e2) / (1 - WGS84.e2 * s2) ** 1.5
+    nu = WGS84.a / math.sqrt(1 - WGS84.e2 * s2)
+    h = math.hypot(xm[0] - x0[0], ym[0] - y0[0]) \
+        / (rho * math.radians(d))
+    k = math.hypot(xp_[0] - x0[0], yp_[0] - y0[0]) \
+        / (nu * math.cos(phi) * math.radians(d))
+    assert abs(h / k - 1.0) < 1e-5
+
+
+def test_robinson_nodes_and_roundtrip():
+    p = {'lon_0': 0.0}
+    # table nodes are reproduced exactly (X, Y at 50N)
+    x, y = project_forward('robin', np.array([100.0]),
+                           np.array([50.0]), WGS84, p)
+    a = WGS84.a
+    assert abs(x[0] / (0.8487 * a * math.radians(100)) - 0.8679) < 1e-12
+    assert abs(y[0] / (1.3523 * a) - 0.6176) < 1e-12
+    lons = np.array([-150.0, 30.0, 0.0, 179.0, -179.0])
+    lats = np.array([-72.0, 47.3, 0.0, 85.0, -90.0])
+    x, y = project_forward('robin', lons, lats, WGS84, p)
+    lon, lat = project_inverse('robin', x, y, WGS84, p)
+    np.testing.assert_allclose(lon, lons, atol=1e-6)
+    np.testing.assert_allclose(lat, lats, atol=1e-6)
+
+
+def test_esri_authority_and_epsg_28992():
+    for code, proj in [('ESRI:54030', 'robin'), ('esri:54009', 'moll'),
+                       ('ESRI:54008', 'sinu'), ('ESRI:54032', 'aeqd'),
+                       ('ESRI:54034', 'cea'), ('ESRI:54004', 'merc'),
+                       ('ESRI:54002', 'eqc'), ('EPSG:28992', 'sterea'),
+                       ('epsg:54030', 'robin')]:
+        c = CRS.from_user_input(code)
+        assert c.proj == proj, code
+        # WKT and proj4 round-trips preserve the definition
+        assert CRS.from_wkt(c.to_wkt()) == c, code
+        assert CRS.from_proj4(c.to_proj4()) == c, code
+    with pytest.raises(ValueError):
+        CRS.from_user_input('ESRI:99999')
+
+
+def test_transform_roundtrip_28992_and_robinson():
+    lon = np.array([4.0, 5.5, 6.5])
+    lat = np.array([51.5, 52.2, 53.0])
+    x, y = transform_coords('epsg:4326', 'epsg:28992', lon, lat)
+    lo, la = transform_coords('epsg:28992', 'epsg:4326', x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)
+    # the grid is anchored near Amersfoort: the origin maps near
+    # (x_0, y_0) up to the WGS84->Bessel datum shift (~100 m)
+    x, y = transform_coords('epsg:4326', 'epsg:28992',
+                            np.array([5.38763888888889]),
+                            np.array([52.15616055555555]))
+    assert abs(x[0] - 155000) < 300 and abs(y[0] - 463000) < 300
+
+    x, y = transform_coords('epsg:4326', 'ESRI:54030', lon, lat)
+    lo, la = transform_coords('ESRI:54030', 'epsg:4326', x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)

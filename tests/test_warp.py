@@ -453,3 +453,32 @@ def test_phase_cross_correlation_low_frequency_bias():
     sh = np.asarray(phase_cross_correlation(shifted, img,
                                             upsample_factor=10))
     np.testing.assert_allclose(sh, [3.0, -5.0], atol=0.1)
+
+
+def test_reprojection_to_rd_new_and_robinson():
+    """Round-3 CRS breadth through the warp engine: a cube over the
+    Netherlands reprojects onto the Dutch RD grid (EPSG:28992, oblique
+    stereographic + Bessel datum) and back, recovering the field; the
+    ESRI:54030 Robinson world grid parses and warps."""
+    ds = generate_test_dataset(dims={'y': 30, 'x': 30, 'time': 2},
+                               extent=(4.0, 51.5, 6.5, 53.0))
+    fwd = Reprojection(crs='epsg:28992').apply(ds)
+    assert fwd.attrs['crs']  # carries the CRS metadata
+    # the RD grid puts the cube's center in the expected coordinate
+    # range (Netherlands: x in [0, 300km], y in [300, 650km])
+    x = np.asarray(fwd['x'].values)
+    y = np.asarray(fwd['y'].values)
+    assert 0 < x.mean() < 300000
+    assert 300000 < y.mean() < 650000
+    back = Reprojection(target=ds).apply(fwd)
+    for v in ds.data_vars:
+        a = ds[v].values
+        b = back[v].values
+        mask = np.isfinite(b)
+        assert mask.mean() > 0.7
+        assert np.nanmean(np.abs(a - np.where(mask, b, np.nan))) < 0.5
+
+    world = generate_test_dataset(dims={'y': 20, 'x': 40, 'time': 1},
+                                  extent=(-60, -45, 60, 45))
+    rob = Reprojection(crs='ESRI:54030').apply(world)
+    assert np.isfinite(np.asarray(rob['C11'].values)).mean() > 0.5
