@@ -19,8 +19,8 @@ from ..core.variable import Variable
 from .zarr import to_zarr, open_zarr  # noqa: E402  (re-export)
 
 __all__ = ['open_dataset', 'open_netcdf', 'open_beam_dimap',
-           'open_rasterio', 'to_netcdf', 'to_geotiff',
-           'to_zarr', 'open_zarr',
+           'open_rasterio', 'open_sentinel2_granule', 'to_netcdf',
+           'to_geotiff', 'to_zarr', 'open_zarr',
            'assemble_complex', 'disassemble_complex', 'add_time']
 
 
@@ -287,6 +287,181 @@ def _raster_dataarray(data, transform, crs, nodata, is_tiled):
                      attrs=attrs)
 
 
+_JP2_EXTS = ('.jp2', '.j2k', '.jpc', '.jpx')
+# GeoJP2: a uuid box whose payload is a degenerate GeoTIFF carrying
+# the affine transform + CRS (the convention GDAL writes and every
+# Sentinel-2 granule uses)
+_GEOJP2_UUID = bytes([0xb1, 0x4b, 0xf8, 0xbd, 0x08, 0x3d, 0x4b, 0x43,
+                      0xa5, 0xae, 0x8c, 0xd7, 0xd5, 0xa6, 0xce, 0x03])
+
+
+def _jp2_geo_box(path):
+    """Extract (transform, crs) from a JP2's GeoJP2 uuid box, if any."""
+    import struct as _struct
+    import tempfile
+    with open(path, 'rb') as fh:
+        buf = fh.read()
+    if buf[4:8] != b'jP  ':
+        return None, None
+    pos = 0
+    payload = None
+    while pos + 8 <= len(buf):
+        (lbox,) = _struct.unpack('>I', buf[pos:pos + 4])
+        tbox = buf[pos + 4:pos + 8]
+        hdr = 8
+        if lbox == 1:
+            (lbox,) = _struct.unpack('>Q', buf[pos + 8:pos + 16])
+            hdr = 16
+        elif lbox == 0:
+            lbox = len(buf) - pos
+        if tbox == b'uuid' \
+                and buf[pos + hdr:pos + hdr + 16] == _GEOJP2_UUID:
+            payload = buf[pos + hdr + 16:pos + lbox]
+            break
+        pos += lbox
+    if payload is None:
+        return None, None
+    from .geotiff import TiffFile
+    import os as _os
+    tmp = tempfile.NamedTemporaryFile(suffix='.tif', delete=False)
+    try:
+        tmp.write(payload)
+        tmp.close()
+        t = TiffFile(tmp.name)
+        try:
+            return t.transform, t.crs
+        finally:
+            t.close()
+    except Exception:
+        return None, None
+    finally:
+        _os.unlink(tmp.name)
+
+
+def _open_jp2(path, overview_level=None):
+    """JPEG 2000 rasters through the built-in lossless decoder
+    (:mod:`nd_tpu.io.jp2`), with GeoJP2 / world-file / .prj
+    georeferencing."""
+    from .jp2 import decode_jp2
+    if overview_level is not None:
+        raise ValueError('overview_level is not supported for JPEG '
+                         '2000 yet; the reader decodes the full '
+                         'resolution')
+    arr = decode_jp2(str(path))
+    data = arr[None] if arr.ndim == 2 else np.moveaxis(arr, 2, 0)
+    transform, crs = _jp2_geo_box(path)
+    if transform is None:
+        transform = _read_world_file(path)
+    if crs is None:
+        crs = _read_prj_file(path)
+    return _raster_dataarray(np.ascontiguousarray(data), transform,
+                             crs, nodata=None, is_tiled=0)
+
+
+def open_sentinel2_granule(path, resolution=None, bands=None):
+    """Open a Sentinel-2 SAFE granule (the directory holding
+    ``MTD_TL.xml`` + ``IMG_DATA/``) as a Dataset.
+
+    The reference reads S2 JP2s through GDAL (io.py:283-284); here the
+    granule XML supplies the geolocation (``Tile_Geocoding``: EPSG
+    code, per-resolution ULX/ULY/XDIM/YDIM) and the band JP2s decode
+    through the built-in JPEG 2000 reader.
+
+    Parameters
+    ----------
+    path : str
+        Granule directory, or the ``MTD_TL.xml`` path itself.
+    resolution : int, optional
+        Grid to load (10/20/60 m). Default: the finest present.
+    bands : list of str, optional
+        Band ids (e.g. ``['B02', 'B03']``). Default: every JP2 whose
+        shape matches the chosen grid.
+    """
+    import glob as _glob
+    import xml.etree.ElementTree as ET
+
+    path = str(path)
+    if os.path.isdir(path):
+        cands = sorted(_glob.glob(os.path.join(path, 'MTD_TL.xml'))) \
+            or sorted(_glob.glob(os.path.join(path, '*.xml')))
+        if not cands:
+            raise IOError('no granule XML found in %s' % path)
+        xml_path = cands[0]
+        gdir = path
+    else:
+        xml_path = path
+        gdir = os.path.dirname(path)
+
+    root = ET.parse(xml_path).getroot()
+
+    def _findall(tag):
+        return [e for e in root.iter() if e.tag.split('}')[-1] == tag]
+
+    epsg = None
+    for e in _findall('HORIZONTAL_CS_CODE'):
+        epsg = e.text.strip()
+        break
+    geo = {}
+    for e in _findall('Geoposition'):
+        res = int(e.get('resolution'))
+        vals = {c.tag.split('}')[-1]: float(c.text) for c in e}
+        geo[res] = vals
+    sizes = {}
+    for e in _findall('Size'):
+        res = int(e.get('resolution'))
+        vals = {c.tag.split('}')[-1]: int(c.text) for c in e}
+        sizes[res] = vals
+    if not geo:
+        raise IOError('granule XML carries no Geoposition')
+    if resolution is None:
+        resolution = min(geo)
+    if resolution not in geo:
+        raise ValueError('resolution %r not in granule (has %s)'
+                         % (resolution, sorted(geo)))
+    g = geo[resolution]
+    ulx, uly = g['ULX'], g['ULY']
+    xdim, ydim = g['XDIM'], g['YDIM']
+
+    jp2s = sorted(_glob.glob(os.path.join(gdir, 'IMG_DATA', '*.jp2'))
+                  + _glob.glob(os.path.join(gdir, 'IMG_DATA', '*',
+                                            '*.jp2')))
+    if not jp2s:
+        raise IOError('no IMG_DATA JP2 bands under %s' % gdir)
+    from .jp2 import decode_jp2
+    data_vars = {}
+    ny = nx = None
+    want = set(bands) if bands is not None else None
+    for f in jp2s:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        band_id = stem.split('_')[-1]
+        if want is not None and band_id not in want:
+            continue
+        arr = decode_jp2(f)
+        if arr.ndim != 2:
+            continue
+        exp = sizes.get(resolution)
+        if exp and (arr.shape != (exp['NROWS'], exp['NCOLS'])):
+            if want is not None:
+                raise ValueError(
+                    'band %s is %r, not the %d m grid %r' %
+                    (band_id, arr.shape,
+                     resolution, (exp['NROWS'], exp['NCOLS'])))
+            continue
+        data_vars[band_id] = (('y', 'x'), arr)
+        ny, nx = arr.shape
+    if not data_vars:
+        raise IOError('no bands matched the %d m grid' % resolution)
+
+    x = ulx + (np.arange(nx) + 0.5) * xdim
+    y = uly + (np.arange(ny) + 0.5) * ydim
+    attrs = {'transform': (xdim, 0.0, ulx, 0.0, ydim, uly),
+             'res': (abs(xdim), abs(ydim))}
+    if epsg:
+        from ..crs import CRS
+        attrs['crs'] = CRS.from_user_input(epsg).to_proj4()
+    return Dataset(data_vars, coords={'y': y, 'x': x}, attrs=attrs)
+
+
 def open_rasterio(path, chunks=None, overview_level=None, *args,
                   **kwargs):
     """Read a raster (GeoTIFF, or PNG/JPEG/BMP with world-file
@@ -308,8 +483,11 @@ def open_rasterio(path, chunks=None, overview_level=None, *args,
     decimation and the transform/coords scale to match.
     """
     from .geotiff import TiffFile
-    if os.path.splitext(str(path))[1].lower() in _PLAIN_IMAGE_EXTS:
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext in _PLAIN_IMAGE_EXTS:
         return _open_plain_image(path, overview_level=overview_level)
+    if ext in _JP2_EXTS:
+        return _open_jp2(path, overview_level=overview_level)
     t = TiffFile(str(path))
     nbands, height, width = t.nbands, t.height, t.width
     if overview_level is not None:

@@ -1,0 +1,208 @@
+"""JPEG 2000 reader: bit-exact parity against OpenJPEG (via Pillow),
+GeoJP2 georeferencing, and Sentinel-2 SAFE granule assembly.
+
+The reference ingests JP2 through GDAL (reference io.py:283-284); our
+decoder is from scratch (nd_tpu/io/jp2.py), so OpenJPEG is a true
+independent oracle.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from nd_tpu.io.jp2 import decode_jp2, Jp2Error
+
+PIL = pytest.importorskip('PIL.Image')
+from PIL import features  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not features.check('jpg_2000'),
+    reason='Pillow lacks OpenJPEG (the oracle encoder)')
+
+
+def _save(tmp_path, arr, name='t.jp2', **kw):
+    p = str(tmp_path / name)
+    PIL.fromarray(arr).save(p, irreversible=False, **kw)
+    return p
+
+
+@pytest.mark.parametrize('shape,kw', [
+    ((48, 64), {}),
+    ((47, 61), {}),                          # odd extents
+    ((129, 131), {'codeblock_size': (32, 32)}),
+    ((100, 90), {'tile_size': (32, 32)}),    # multi-tile
+    ((64, 64), {'quality_layers': [50, 20, 0]}),   # multi-layer
+    ((33, 40), {'num_resolutions': 1}),      # no DWT
+    ((33, 40), {'num_resolutions': 3}),
+])
+def test_gray_bit_exact(tmp_path, shape, kw):
+    rng = np.random.RandomState(hash(str(shape) + str(kw)) % 2**31)
+    a = rng.randint(0, 256, shape, dtype=np.uint8)
+    out = decode_jp2(_save(tmp_path, a, **kw))
+    np.testing.assert_array_equal(out, a)
+
+
+def test_rgb_rct_bit_exact(tmp_path):
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    out = decode_jp2(_save(tmp_path, a))
+    np.testing.assert_array_equal(out, a)
+
+
+def test_uint16_bit_exact(tmp_path):
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 65536, (40, 48), dtype=np.uint16)
+    p = str(tmp_path / 't16.jp2')
+    PIL.fromarray(a).save(p, irreversible=False)
+    out = decode_jp2(p)
+    np.testing.assert_array_equal(out, a)
+
+
+def test_structured_content(tmp_path):
+    # smooth + constant content exercises run-length cleanup coding
+    grad = (np.add.outer(np.arange(64), np.arange(80)) % 256) \
+        .astype(np.uint8)
+    np.testing.assert_array_equal(decode_jp2(_save(tmp_path, grad)),
+                                  grad)
+    const = np.full((33, 65), 77, np.uint8)
+    np.testing.assert_array_equal(decode_jp2(_save(tmp_path, const)),
+                                  const)
+
+
+def test_irreversible_raises_loudly(tmp_path):
+    a = np.zeros((32, 32), np.uint8)
+    p = str(tmp_path / 'lossy.jp2')
+    PIL.fromarray(a).save(p, irreversible=True)
+    with pytest.raises(Jp2Error, match='reversible'):
+        decode_jp2(p)
+
+
+def test_raw_codestream(tmp_path):
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, (30, 34), dtype=np.uint8)
+    p = str(tmp_path / 't.j2k')
+    PIL.fromarray(a).save(p, irreversible=False)
+    np.testing.assert_array_equal(decode_jp2(p), a)
+
+
+def _wrap_geojp2(plain_jp2, geotiff_payload):
+    """Splice a GeoJP2 uuid box (GeoTIFF payload) into a JP2 file,
+    right before the codestream box."""
+    with open(plain_jp2, 'rb') as fh:
+        buf = fh.read()
+    uuid = bytes([0xb1, 0x4b, 0xf8, 0xbd, 0x08, 0x3d, 0x4b, 0x43,
+                  0xa5, 0xae, 0x8c, 0xd7, 0xd5, 0xa6, 0xce, 0x03])
+    box = struct.pack('>I', 8 + 16 + len(geotiff_payload)) + b'uuid' \
+        + uuid + geotiff_payload
+    # insert before jp2c
+    pos = 0
+    while pos + 8 <= len(buf):
+        (lbox,) = struct.unpack('>I', buf[pos:pos + 4])
+        tbox = buf[pos + 4:pos + 8]
+        if lbox == 0:
+            lbox = len(buf) - pos
+        if tbox == b'jp2c':
+            return buf[:pos] + box + buf[pos:]
+        pos += lbox
+    raise AssertionError('no jp2c box')
+
+
+def test_geojp2_georeferencing(tmp_path):
+    from nd_tpu.io import open_rasterio
+    from nd_tpu.io.geotiff import write_geotiff
+    from nd_tpu.crs import Affine, CRS
+
+    rng = np.random.RandomState(6)
+    a = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    plain = _save(tmp_path, a, name='geo.jp2')
+    # degenerate GeoTIFF carrying the grid
+    tform = Affine(10.0, 0.0, 600000.0, 0.0, -10.0, 5900040.0)
+    gt = str(tmp_path / 'carrier.tif')
+    write_geotiff(gt, np.zeros((1, 1, 1), np.uint8), transform=tform,
+                  crs=CRS.from_epsg(32633))
+    with open(gt, 'rb') as fh:
+        payload = fh.read()
+    out_path = str(tmp_path / 'withgeo.jp2')
+    with open(out_path, 'wb') as fh:
+        fh.write(_wrap_geojp2(plain, payload))
+
+    da = open_rasterio(out_path)
+    np.testing.assert_array_equal(np.asarray(da.values)[0], a)
+    assert tuple(np.round(da.attrs['transform'], 6)) == \
+        (10.0, 0.0, 600000.0, 0.0, -10.0, 5900040.0)
+    assert '32633' in str(da.attrs.get('crs', '')) or \
+        'utm' in str(da.attrs.get('crs', ''))
+    # pixel-center coords
+    assert abs(float(np.asarray(da['x'].values)[0]) - 600005.0) < 1e-6
+
+
+def test_open_dataset_dispatches_jp2(tmp_path):
+    from nd_tpu.io import open_dataset
+    rng = np.random.RandomState(8)
+    a = rng.randint(0, 256, (16, 20), dtype=np.uint8)
+    p = _save(tmp_path, a, name='d.jp2')
+    da = open_dataset(p)
+    np.testing.assert_array_equal(np.asarray(da.values)[0], a)
+
+
+_MTD_TL = """<?xml version="1.0" encoding="UTF-8"?>
+<n1:Level-1C_Tile_ID xmlns:n1="https://psd-14.sentinel2.eo.esa.int/\
+PSD/S2_PDI_Level-1C_Tile_Metadata.xsd">
+ <n1:Geometric_Info>
+  <Tile_Geocoding metadataLevel="Brief">
+   <HORIZONTAL_CS_NAME>WGS84 / UTM zone 33N</HORIZONTAL_CS_NAME>
+   <HORIZONTAL_CS_CODE>EPSG:32633</HORIZONTAL_CS_CODE>
+   <Size resolution="10"><NROWS>24</NROWS><NCOLS>32</NCOLS></Size>
+   <Size resolution="20"><NROWS>12</NROWS><NCOLS>16</NCOLS></Size>
+   <Geoposition resolution="10">
+    <ULX>600000</ULX><ULY>5900040</ULY>
+    <XDIM>10</XDIM><YDIM>-10</YDIM>
+   </Geoposition>
+   <Geoposition resolution="20">
+    <ULX>600000</ULX><ULY>5900040</ULY>
+    <XDIM>20</XDIM><YDIM>-20</YDIM>
+   </Geoposition>
+  </Tile_Geocoding>
+ </n1:Geometric_Info>
+</n1:Level-1C_Tile_ID>
+"""
+
+
+def test_sentinel2_safe_granule(tmp_path):
+    from nd_tpu.io import open_sentinel2_granule
+
+    gdir = tmp_path / 'L1C_T33UUP_A012345_20250101T101049'
+    (gdir / 'IMG_DATA').mkdir(parents=True)
+    (gdir / 'MTD_TL.xml').write_text(_MTD_TL)
+    rng = np.random.RandomState(9)
+    bands10 = {}
+    for b in ('B02', 'B03', 'B04'):
+        a = rng.randint(0, 4096, (24, 32), dtype=np.uint16)
+        bands10[b] = a
+        PIL.fromarray(a).save(
+            str(gdir / 'IMG_DATA' /
+                ('T33UUP_20250101T101049_%s.jp2' % b)),
+            irreversible=False)
+    # one 20 m band that must be excluded from the 10 m grid
+    a20 = rng.randint(0, 4096, (12, 16), dtype=np.uint16)
+    PIL.fromarray(a20).save(
+        str(gdir / 'IMG_DATA' / 'T33UUP_20250101T101049_B11.jp2'),
+        irreversible=False)
+
+    ds = open_sentinel2_granule(str(gdir))
+    assert set(ds.data_vars) == {'B02', 'B03', 'B04'}
+    for b, a in bands10.items():
+        np.testing.assert_array_equal(np.asarray(ds[b].values), a)
+    x = np.asarray(ds['x'].values)
+    y = np.asarray(ds['y'].values)
+    assert x[0] == 600005.0 and y[0] == 5900035.0
+    assert '33' in ds.attrs['crs']
+    # the 20 m grid loads on request
+    ds20 = open_sentinel2_granule(str(gdir), resolution=20)
+    assert set(ds20.data_vars) == {'B11'}
+    np.testing.assert_array_equal(np.asarray(ds20['B11'].values), a20)
+    # unknown resolution is a loud error
+    with pytest.raises(ValueError):
+        open_sentinel2_granule(str(gdir), resolution=60)
