@@ -22,10 +22,110 @@ __all__ = ['phase_cross_correlation', 'phase_cross_correlation_batch',
 def _fft_xp():
     """Array module for the registration FFTs: jnp when the default
     backend can lower an FFT, numpy otherwise. TPU backends commonly
-    can't (UNIMPLEMENTED) — the reference runs skimage's FFTs on the
-    host too (warp.py:1150), and registration is O(HW log HW) on tiny
-    reference frames, so the host path costs nothing at cube scale."""
+    can't transfer COMPLEX host arrays (UNIMPLEMENTED device_put) —
+    the reference runs skimage's FFTs on the host too (warp.py:1150),
+    and registration is O(HW log HW) on tiny reference frames, so the
+    host path costs nothing at cube scale. Device-resident real
+    inputs take the rfft-based jitted path below when the backend
+    lowers FFTs (probed once)."""
     return np if jax.default_backend() == 'tpu' else jnp
+
+
+_DEVICE_FFT_OK = None
+
+
+def _device_fft_ok():
+    """Whether the default backend compiles+runs a real FFT (probed
+    once; complex values are CREATED on device, never transferred, so
+    the complex-device_put limitation doesn't apply)."""
+    global _DEVICE_FFT_OK
+    if _DEVICE_FFT_OK is None:
+        if jax.default_backend() != 'tpu':
+            _DEVICE_FFT_OK = True
+        else:
+            try:
+                z = jnp.zeros((4, 8), jnp.float32)
+                out = jax.jit(lambda a: jnp.fft.irfft2(
+                    jnp.fft.rfft2(a), s=a.shape))(z)
+                np.asarray(out.ravel()[:1])
+                _DEVICE_FFT_OK = True
+            except Exception:
+                _DEVICE_FFT_OK = False
+    return _DEVICE_FFT_OK
+
+
+def _pcc_finish_device(A, H, W):
+    """Integer peak -> wrapped shifts (H, W are Python ints; called
+    inside the jitted impl)."""
+    nb = A.shape[0]
+    flat = jnp.argmax(A.reshape(nb, -1), axis=-1)
+    rows = (flat // W).astype(jnp.float32)
+    cols = (flat % W).astype(jnp.float32)
+    shifts = jnp.stack([rows, cols], axis=-1)
+    mid = jnp.asarray([int(np.fix(H / 2)), int(np.fix(W / 2))],
+                      jnp.float32)
+    dims = jnp.asarray([H, W], jnp.float32)
+    return jnp.where(shifts > mid[None], shifts - dims[None], shifts)
+
+
+def _pcc_batch_device_impl(srcs, ref, upsample_factor, normalization):
+    """All-device rfft-based twin of the host path (f32/c64): the
+    cross-power spectrum of two real images is Hermitian, so the
+    correlation surface comes back through one irfft2 — no complex
+    host<->device transfer anywhere."""
+    nb, H, W = srcs.shape
+    srcs = srcs.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    src_f = jnp.fft.rfft2(srcs)
+    ref_f = jnp.fft.rfft2(ref)
+    ip = src_f * jnp.conj(ref_f)[None]
+    if normalization == 'phase':
+        eps = float(np.finfo(np.float32).eps)
+        ip = ip / jnp.maximum(jnp.abs(ip),
+                              jnp.float32(100 * eps)).astype(ip.dtype)
+    elif normalization is not None:
+        raise ValueError('unknown normalization %r' % normalization)
+    corr = jnp.fft.irfft2(ip, s=(H, W))
+    A = jnp.abs(corr)
+    shifts = _pcc_finish_device(A, H, W)
+
+    if upsample_factor > 1:
+        upf = float(upsample_factor)
+        ups = int(np.ceil(upf * 1.5))
+        dftshift = float(np.fix(ups / 2.0))
+        shifts = jnp.round(shifts * upf) / upf
+        offsets = dftshift - shifts * upf               # (B, 2)
+        # the full Hermitian spectrum of the (real) correlation
+        # surface, reconstructed on device: fft2(corr) == the
+        # completed ip, so data = conj(fft2(corr)) matches the host
+        # path's conj(image_product) exactly
+        full = jnp.conj(jnp.fft.fft2(corr.astype(jnp.complex64)))
+        im2pi = jnp.complex64(1j * 2 * np.pi)
+        u = jnp.arange(ups, dtype=jnp.float32)
+        fw = jnp.fft.fftfreq(W, upf).astype(jnp.float32)
+        kw = jnp.exp(-im2pi * ((u[None, :, None]
+                                - offsets[:, 1][:, None, None])
+                               * fw[None, None, :]).astype(
+                                   jnp.complex64))
+        out = jnp.einsum('buw,bhw->bhu', kw, full)
+        fh = jnp.fft.fftfreq(H, upf).astype(jnp.float32)
+        kh = jnp.exp(-im2pi * ((u[None, :, None]
+                                - offsets[:, 0][:, None, None])
+                               * fh[None, None, :]).astype(
+                                   jnp.complex64))
+        out = jnp.einsum('bvh,bhu->bvu', kh, out)
+        Aref = jnp.abs(out)
+        flat = jnp.argmax(Aref.reshape(nb, -1), axis=-1)
+        sub = jnp.stack([(flat // ups).astype(jnp.float32),
+                         (flat % ups).astype(jnp.float32)],
+                        axis=-1) - jnp.float32(dftshift)
+        shifts = shifts + sub / upf
+    return shifts
+
+
+_pcc_batch_device = jax.jit(
+    _pcc_batch_device_impl,
+    static_argnames=('upsample_factor', 'normalization'))
 
 
 def phase_cross_correlation(src, ref, upsample_factor=1,
@@ -57,6 +157,13 @@ def phase_cross_correlation_batch(srcs, ref, upsample_factor=1,
 
     Returns a (B, 2) array of (row, col) shifts.
     """
+    # device-resident real series on a TPU backend with a working FFT
+    # register entirely on device (one jitted dispatch, no payload on
+    # the host link)
+    if isinstance(srcs, jax.Array) and jax.default_backend() == 'tpu' \
+            and _device_fft_ok():
+        return _pcc_batch_device(jnp.asarray(srcs), jnp.asarray(ref),
+                                 int(upsample_factor), normalization)
     xp = _fft_xp()
     # only the host-FFT branch needs a host copy; converting an
     # already-device cube through numpy would round-trip the payload

@@ -110,3 +110,24 @@ def test_coregistration_residual_shift_below_02px():
                 'time', 'y', 'x').values[0]),
             upsample_factor=50))
         assert np.abs(res).max() <= 0.2, (t, res)
+
+
+def test_device_pcc_matches_host_path():
+    """The jitted rfft-based device registration path reproduces the
+    host path's shifts (same peak, same subpixel refinement)."""
+    import jax.numpy as jnp
+    from nd_tpu.ops.fft import (_pcc_batch_device_impl,
+                                phase_cross_correlation_batch)
+    rng = np.random.RandomState(11)
+    ref = rng.rand(48, 64).astype(np.float32)
+    # integer + subpixel shifted copies
+    srcs = np.stack([np.roll(ref, (3, -5), axis=(0, 1)),
+                     np.roll(ref, (-7, 2), axis=(0, 1)),
+                     ref])
+    host = np.asarray(phase_cross_correlation_batch(
+        srcs, ref, upsample_factor=10))
+    dev = np.asarray(_pcc_batch_device_impl(
+        jnp.asarray(srcs), jnp.asarray(ref), 10, 'phase'))
+    np.testing.assert_allclose(dev, host, atol=1e-3)
+    np.testing.assert_allclose(host[0], [3, -5], atol=0.11)
+    np.testing.assert_allclose(host[1], [-7, 2], atol=0.11)
