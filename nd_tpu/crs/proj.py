@@ -1134,7 +1134,8 @@ def _ortho_inverse(x, y, ell, lon0, k0, xp=np, params=None):
     rho_c = xp.clip(rho, 1e-12, 1.0)
     cc = xp.arcsin(rho_c)
     cosc, sinc = xp.cos(cc), xp.sin(cc)
-    lat = xp.arcsin(cosc * sp0 + ys * sinc * cp0 / rho_c)
+    lat = xp.arcsin(xp.clip(cosc * sp0 + ys * sinc * cp0 / rho_c,
+                            -1.0, 1.0))
     lon = lon0 + xp.arctan2(
         xs * sinc, rho_c * cosc * cp0 - ys * sinc * sp0)
     # Newton-refine against the ellipsoidal forward (numeric Jacobian,

@@ -28,8 +28,10 @@ except ImportError:
     cartopy = None
 
 __all__ = ['colorize', 'to_rgb', 'write_video', 'plot_map',
-           'gridlines_with_labels', 'scale_bar', 'calculate_shape',
-           'CMAPS']
+           'render_map', 'gridlines_with_labels', 'scale_bar',
+           'calculate_shape', 'CMAPS']
+
+from .visualize_map import render_map  # noqa: E402
 
 CMAPS = {}
 if cv2 is not None:
@@ -272,10 +274,9 @@ def write_video(ds, path, timestamp='upper left', fontcolor=(0, 0, 0),
             writer.append_data(frame)
 
 
-@requires('cartopy')
 def plot_map(ds, buffer=None, background='_default', imscale=6,
              gridlines=True, coastlines=True, scalebar=True,
-             gridlines_kwargs={}):
+             gridlines_kwargs={}, output=None):
     """Plot a dataset's footprint on an orthographic basemap.
 
     Option semantics follow the reference (visualize.py:463-563):
@@ -284,9 +285,22 @@ def plot_map(ds, buffer=None, background='_default', imscale=6,
     ``cartopy.io.img_tiles`` tile source ('_default' tries Stamen
     terrain and degrades to no basemap when tiles are unavailable,
     e.g. offline), ``imscale`` the tile zoom level, ``scalebar`` adds
-    a geodesic scale bar. Requires cartopy (optional dependency).
+    a geodesic scale bar.
+
+    With cartopy+matplotlib installed this returns a cartopy
+    ``GeoAxes``. Without them it falls back to the framework's own
+    renderer (:func:`nd_tpu.visualize_map.render_map` — same
+    orthographic view, graticule labels and geodesic scale bar,
+    rasterized with the framework's projection engine) and returns
+    the rendered RGB image instead; ``output`` then names an optional
+    PNG path.
     """
     import warnings
+
+    if cartopy is None:
+        from .visualize_map import render_map
+        return render_map(ds, buffer=buffer, graticule=gridlines,
+                          scalebar=scalebar, output=output)
 
     import matplotlib.pyplot as plt
     import cartopy.crs as ccrs
@@ -332,6 +346,8 @@ def plot_map(ds, buffer=None, background='_default', imscale=6,
     if gridlines:
         color = '0.5' if background is None else 'white'
         gridlines_with_labels(ax, color=color, **gridlines_kwargs)
+    if output is not None:
+        plt.gcf().savefig(output, bbox_inches='tight')
     return ax
 
 

@@ -148,9 +148,10 @@ def test_scale_bar_round_length(stubbed_visualize):
     assert any('50 mi' in t.get_text() for t in ax.texts)
 
 
-def test_gate_restored_without_stub():
-    # after the stubbed tests, the real gate must be back: cartopy is
-    # absent in this image, so plot_map raises ImportError again
+def test_fallback_restored_without_stub():
+    # after the stubbed tests, the cartopy-less dispatch must be back:
+    # cartopy is absent in this image, so plot_map renders through the
+    # framework's own renderer and returns the RGB image
     import nd_tpu.visualize as vz
     try:
         import cartopy  # noqa: F401
@@ -159,5 +160,5 @@ def test_gate_restored_without_stub():
         pass
     from nd_tpu.testing import generate_test_dataset
     ds = generate_test_dataset(dims={'y': 4, 'x': 4, 'time': 1})
-    with pytest.raises(ImportError):
-        vz.plot_map(ds)
+    out = vz.plot_map(ds)
+    assert isinstance(out, np.ndarray) and out.ndim == 3

@@ -88,13 +88,17 @@ def test_accessor_to_rgb(ds):
     assert img.shape == (24, 32, 3)
 
 
-def test_plot_map_requires_cartopy():
+def test_plot_map_renders_without_cartopy():
+    # cartopy-less images no longer lose the map stack: plot_map
+    # falls back to the framework's own renderer (render_map) and
+    # returns the RGB image instead of raising
     try:
         import cartopy  # noqa: F401
-        pytest.skip('cartopy installed; gating not exercised')
+        pytest.skip('cartopy installed; fallback not exercised')
     except ImportError:
         pass
     from nd_tpu.visualize import plot_map
     ds = generate_test_dataset(dims={'y': 8, 'x': 8, 'time': 1})
-    with pytest.raises(ImportError):
-        plot_map(ds)
+    out = plot_map(ds)
+    assert isinstance(out, np.ndarray)
+    assert out.ndim == 3 and out.dtype == np.uint8
