@@ -246,19 +246,43 @@ def xr_merge(ds_list, dim, buffer=0):
     return concat(parts, dim=dim)
 
 
+def _invoke_chunk(fn, args, kwargs, part):
+    """Module-level chunk applier (picklable for process pools)."""
+    return fn(part, *args, **kwargs)
+
+
 def parallel(fn, dim=None, chunks=None, chunksize=None, merge=True,
-             buffer=0, use_threads=True):
+             buffer=0, use_threads=True, scheduler=None):
     """Parallelize a function taking a Dataset as first argument.
 
-    Splits along ``dim`` with a halo, maps over a thread pool, trims and
-    concatenates. Device kernels dispatch asynchronously, so threads are
-    enough to overlap host work; for true multi-chip execution use
-    ``nd_tpu.parallel.shard_apply``.
+    Splits along ``dim`` with a halo, maps over a worker pool, trims
+    and concatenates.
+
+    ``scheduler`` selects the pool: ``'threads'`` (default) overlaps
+    host work and asynchronous device dispatches; ``'processes'``
+    runs each chunk in a spawned worker process — real multi-core
+    speedup for GIL-bound pure-numpy host paths, the capability the
+    reference gets from ``multiprocessing.Pool``
+    (/root/reference/nd/utils.py:389-392). ``'serial'`` maps in-line
+    (debugging). With processes, ``fn`` and its arguments must be
+    picklable (module-level functions) and, from a script, the call
+    must run under ``if __name__ == '__main__':`` (spawn re-imports
+    the main module); device kernels should stay on threads — each
+    spawned worker would re-initialize its own jax client. For true
+    multi-chip execution use ``nd_tpu.parallel.shard_apply``.
+
+    ``use_threads=False`` is the legacy spelling of
+    ``scheduler='serial'``.
     """
     if dim is None:
         dim = 'y'
     if chunks is None:
         chunks = ncpus()
+    if scheduler is None:
+        scheduler = 'threads' if use_threads else 'serial'
+    if scheduler not in ('threads', 'processes', 'serial'):
+        raise ValueError("scheduler must be 'threads', 'processes' or "
+                         "'serial', got %r" % (scheduler,))
 
     def wrapper(ds, *args, **kwargs):
         if dim not in ds.sizes:
@@ -269,9 +293,21 @@ def parallel(fn, dim=None, chunks=None, chunksize=None, merge=True,
         def _fn(part):
             return fn(part, *args, **kwargs)
 
-        if use_threads and chunks > 1:
+        if scheduler == 'threads' and chunks > 1:
             with ThreadPoolExecutor(max_workers=chunks) as pool:
                 output = list(pool.map(_fn, parts))
+        elif scheduler == 'processes' and chunks > 1:
+            # spawn, not fork: forking a process with a live jax/TPU
+            # client (import nd_tpu initializes one lazily) deadlocks
+            # in the child's runtime threads
+            import functools
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            call = functools.partial(_invoke_chunk, fn, args, kwargs)
+            with ProcessPoolExecutor(
+                    max_workers=min(len(parts), ncpus()),
+                    mp_context=mp.get_context('spawn')) as pool:
+                output = list(pool.map(call, parts))
         else:
             output = [_fn(p) for p in parts]
 

@@ -76,6 +76,51 @@ def test_parallel_invalid_dim(ds):
         utils.parallel(lambda d: d, dim='nonexistent')(ds)
 
 
+def test_parallel_invalid_scheduler(ds):
+    with pytest.raises(ValueError):
+        utils.parallel(lambda d: d, scheduler='dask')(ds)
+
+
+def test_parallel_processes_equals_serial(ds):
+    # spawn-based process pool: real multi-core for GIL-bound numpy
+    # paths (the reference's multiprocessing.Pool capability,
+    # /root/reference/nd/utils.py:389-392); must agree with serial
+    # bit-exactly, including the halo trim
+    from _pool_worker import smooth_chunk
+    serial = smooth_chunk(ds)
+    par = utils.parallel(smooth_chunk, dim='y', chunks=2, buffer=1,
+                         scheduler='processes')(ds)
+    assert_equal_data(serial, par, rtol=0, atol=0)
+
+
+def test_parallel_processes_forwards_args(ds):
+    from _pool_worker import affine_chunk
+    serial = affine_chunk(ds, 3.0, offset=-1.0)
+    par = utils.parallel(affine_chunk, dim='x', chunks=2,
+                         scheduler='processes')(ds, 3.0, offset=-1.0)
+    assert_equal_data(serial, par, rtol=0, atol=0)
+
+
+@pytest.mark.skipif(utils.ncpus() < 2,
+                    reason='multi-core speedup needs >1 CPU')
+def test_parallel_processes_speedup(ds):
+    # mirrors the reference's pool speedup check
+    # (/root/reference/nd/tests/test_utils.py:150-167): with real
+    # cores, the process pool beats serial on GIL-bound numpy work
+    import time
+    from _pool_worker import burn_cpu_chunk
+    big = ds.isel(y=slice(0, ds.sizes['y']))
+    t0 = time.perf_counter()
+    utils.parallel(burn_cpu_chunk, dim='y', chunks=1,
+                   scheduler='serial')(big, spins=200)
+    t_serial = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    utils.parallel(burn_cpu_chunk, dim='y', chunks=utils.ncpus(),
+                   scheduler='processes')(big, spins=200)
+    t_par = time.perf_counter() - t0
+    assert t_par < t_serial * 1.2
+
+
 def test_select():
     objs = [{'a': 1, 'b': 2}, {'a': 2, 'b': 2}, {'a': 1, 'b': 1}]
     out = utils.select(objs, lambda o: o['a'] == 1)
