@@ -930,6 +930,35 @@ class CRS:
         return 'CRS(%r)' % (self._params,)
 
 
+def _resolve_nadgrids(crs):
+    """The parsed NTv2 grid for a CRS's ``+nadgrids``, or None.
+
+    PROJ semantics: a comma list tried in order; an ``@``-prefixed
+    entry is optional (skipped silently when the file is missing);
+    ``null`` ends the search with no shift; a missing required file
+    raises — a silent fall-through would be metres wrong.
+    """
+    import os
+    ng = crs._params.get('nadgrids')
+    if ng is None:
+        return None
+    for entry in str(ng).split(','):
+        entry = entry.strip()
+        optional = entry.startswith('@')
+        name = entry[1:] if optional else entry
+        if name == 'null':
+            return None
+        if os.path.exists(name):
+            from .ntv2 import open_gsb
+            return open_gsb(name)
+        if not optional:
+            raise FileNotFoundError(
+                'NTv2 grid %r (+nadgrids) not found; grid-shift '
+                'datum transforms need the .gsb file on disk'
+                % name)
+    return None
+
+
 def transform_coords(src_crs, dst_crs, x, y, xp=np):
     """Transform coordinate arrays between two CRS.
 
@@ -960,7 +989,32 @@ def transform_coords(src_crs, dst_crs, x, y, xp=np):
                 and 'towgs84' not in src._params \
                 and 'towgs84' not in dst._params:
             skip_datum = True
-    if not skip_datum and src.datum_shift != dst.datum_shift:
+    sgrid = None if skip_datum else _resolve_nadgrids(src)
+    dgrid = None if skip_datum else _resolve_nadgrids(dst)
+    if sgrid is not None or dgrid is not None:
+        # NTv2 grid-shift path (+nadgrids=file.gsb): the grid encodes
+        # source-datum -> WGS84; it supersedes +towgs84 on its side
+        # (PROJ precedence). A grid-less other side still applies its
+        # Helmert shift through geocentric coordinates.
+        wgs = _lookup_ellps('WGS84')
+        if sgrid is not None:
+            lon, lat = sgrid.forward(lon, lat, xp=xp)
+        elif any(src.datum_shift):
+            X, Y, Z = geodetic_to_geocentric(lon, lat, 0.0,
+                                             src.ellipsoid, xp=xp)
+            X, Y, Z = helmert_transform(X, Y, Z, src.datum_shift,
+                                        inverse=False, xp=xp)
+            lon, lat, _ = geocentric_to_geodetic(X, Y, Z, wgs, xp=xp)
+        if dgrid is not None:
+            lon, lat = dgrid.inverse(lon, lat, xp=xp)
+        elif any(dst.datum_shift):
+            X, Y, Z = geodetic_to_geocentric(lon, lat, 0.0, wgs,
+                                             xp=xp)
+            X, Y, Z = helmert_transform(X, Y, Z, dst.datum_shift,
+                                        inverse=True, xp=xp)
+            lon, lat, _ = geocentric_to_geodetic(X, Y, Z,
+                                                 dst.ellipsoid, xp=xp)
+    elif not skip_datum and src.datum_shift != dst.datum_shift:
         X, Y, Z = geodetic_to_geocentric(lon, lat, 0.0, src.ellipsoid,
                                          xp=xp)
         if any(src.datum_shift):
