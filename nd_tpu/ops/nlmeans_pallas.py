@@ -42,7 +42,7 @@ __all__ = ['nlmeans_pallas', 'nlmeans_spatial_pallas',
 
 _TY = 16
 _TX = 512
-_TILE_BYTES = 3 << 20  # soft VMEM budget for the input tile
+_VMEM_NL_BUDGET = 12 << 20   # scoped-VMEM budget per grid step
 
 
 def supports_pallas():
@@ -51,22 +51,38 @@ def supports_pallas():
         and not pallas_disabled()
 
 
+def _live_tile_bytes(nt, nv, p_t, hp_y, hp_x, ty, tx, n_pairs):
+    """Scoped-VMEM model for ONE grid step: the DMA'd input tile, ONE
+    variable-free extended slab retained per unrolled pair iteration
+    (Mosaic stack-allocates across the unrolled offset loop even with
+    ref-based accumulators — measured: at r=2/f=2 a 16x512 tile [model
+    16.1 MB] fails remote compile while 8x512 [10.7] and 16x256 [9.3]
+    build, exactly the 12 MB budget's prediction), plus the weight /
+    accumulator slabs and the output tile. The round-2 chooser scaled
+    the budget by 1/n_offsets, which over-shrank r=2/f=2 to an 8x128
+    tile whose 4x halo read overhead was the `nlmeans_r2` regression
+    (400 vs ~500 Mpix/s at the widest admissible tiles)."""
+    ext = (nt + 2 * p_t) * (ty + 2 * hp_y) * (tx + 2 * hp_x) * 4
+    out_slab = nt * ty * tx * 4
+    return ext * nv + n_pairs * ext + 7 * out_slab + nv * out_slab
+
+
 def fits_vmem(shape, r, f):
-    """Whether the fused kernel's VMEM floor fits at the smallest
-    tile (ty=8, tx=128). The (t + 2pt, v, ...) input tile and the
-    per-t accumulators ride every tile whole — a deep stack can
-    exceed the ~16 MB Mosaic limit no matter how the spatial tile
-    shrinks, which would be a hard compile failure under jit (the
-    runtime guard is inert while tracing). Callers route to the XLA
-    scan when this returns False."""
+    """Whether the fused kernel fits VMEM at the smallest tile
+    (ty=8, tx=128). The (t + 2pt, v, ...) input tile and the per-t
+    accumulators ride every tile whole — a deep stack can exceed the
+    ~16 MB Mosaic limit no matter how the spatial tile shrinks, which
+    would be a hard compile failure under jit (the runtime guard is
+    inert while tracing). Callers route to the XLA scan when this
+    returns False."""
     ny, nx, nt, nv = shape
     p_t = int(r[2]) + int(f[2])
     hp_y = int(np.ceil((int(r[0]) + int(f[0])) / 4)) * 4
     hp_x = int(np.ceil((int(r[1]) + int(f[1])) / 64)) * 64
-    tile = (nt + 2 * p_t) * nv * (8 + 2 * hp_y) * (128 + 2 * hp_x) * 4
-    accum = 3 * nt * 8 * 128 * 4
-    out = nt * nv * 8 * 128 * 4
-    return tile + accum + 3 * out <= 12 << 20
+    n_pairs = max(((2 * int(r[2]) + 1) * (2 * int(r[0]) + 1)
+                   * (2 * int(r[1]) + 1) - 1) // 2, 1)
+    return _live_tile_bytes(nt, nv, p_t, hp_y, hp_x, 8, 128,
+                            n_pairs) <= _VMEM_NL_BUDGET
 
 
 def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
@@ -116,13 +132,20 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
         ey1 = -min(dy, 0)
         ex0 = -max(dx, 0)
         ex1 = -min(dx, 0)
-        a1 = in_ref[p_t + et0 - ft:p_t + tt + et1 + ft, :,
-                    p_y + ey0 - fy:p_y + ty + ey1 + fy,
-                    p_x + ex0 - fx:p_x + tx + ex1 + fx]
-        a2 = in_ref[p_t + et0 + dt - ft:p_t + tt + et1 + dt + ft, :,
-                    p_y + ey0 + dy - fy:p_y + ty + ey1 + dy + fy,
-                    p_x + ex0 + dx - fx:p_x + tx + ex1 + dx + fx]
-        sq = jnp.sum((a1 - a2) ** 2, axis=1)
+        # per-variable accumulation: each v's difference temp is one
+        # variable-free slab instead of the full (t, v, y, x) slice
+        # pair, cutting the iteration's live VMEM ~4x (wider tiles
+        # become admissible) at identical numerics up to f32 add order
+        sq = None
+        for v in range(nvars):
+            d = (in_ref[p_t + et0 - ft:p_t + tt + et1 + ft, v,
+                        p_y + ey0 - fy:p_y + ty + ey1 + fy,
+                        p_x + ex0 - fx:p_x + tx + ex1 + fx]
+                 - in_ref[p_t + et0 + dt - ft:
+                          p_t + tt + et1 + dt + ft, v,
+                          p_y + ey0 + dy - fy:p_y + ty + ey1 + dy + fy,
+                          p_x + ex0 + dx - fx:p_x + tx + ex1 + dx + fx])
+            sq = d * d if sq is None else sq + d * d
         # patch sum over the (2f+1) window per axis: separable static
         # shifts
         ht = tt + et1 - et0
@@ -147,13 +170,14 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
         for ddt, ddy, ddx, dsq in ((dt, dy, dx, dsq_fwd),
                                    (-dt, -dy, -dx, dsq_bwd)):
             w = jnp.exp(-jnp.maximum(dsq - two_sigma2, 0) * inv_h2)
-            vals = in_ref[p_t + ddt:p_t + ddt + tt, :,
-                          p_y + ddy:p_y + ddy + ty,
-                          p_x + ddx:p_x + ddx + tx]
             wsum_ref[:] = wsum_ref[:] + w
             wsq_ref[:] = wsq_ref[:] + w * w
             wmax_ref[:] = jnp.maximum(wmax_ref[:], w)
-            out_ref[:] = out_ref[:] + w[:, None] * vals
+            for v in range(nvars):
+                out_ref[:, v] = out_ref[:, v] \
+                    + w * in_ref[p_t + ddt:p_t + ddt + tt, v,
+                                 p_y + ddy:p_y + ddy + ty,
+                                 p_x + ddx:p_x + ddx + tx]
 
     wsum = wsum_ref[:]
     wmax = wmax_ref[:]
@@ -165,10 +189,10 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
                                         jnp.asarray(n_eff, dtype),
                                         xp=jnp)
 
-    total = wsum + w_self
-    center = in_ref[p_t:p_t + tt, :, p_y:p_y + ty, p_x:p_x + tx]
-    out_ref[:] = (out_ref[:] + w_self[:, None] * center) \
-        / total[:, None]
+    inv_total = 1.0 / (wsum + w_self)
+    for v in range(nvars):
+        center = in_ref[p_t:p_t + tt, v, p_y:p_y + ty, p_x:p_x + tx]
+        out_ref[:, v] = (out_ref[:, v] + w_self * center) * inv_total
 
 
 def nlmeans_pallas(arr, r, f, sigma, h, n_eff=-1.0, interpret=False):
@@ -220,21 +244,21 @@ def nlmeans_pallas(arr, r, f, sigma, h, n_eff=-1.0, interpret=False):
                           (p_x, p_x)), mode='reflect')
     # ... alignment ring + trailing grid padding (outputs dropped).
     # Wider tiles amortize the 64-column alignment halo; shrink the
-    # tile to stay inside the VMEM budget — Mosaic's stack usage grows
-    # with the unrolled offset count, so large neighborhoods get a
-    # proportionally smaller budget.
-    n_offsets = max((2 * rt + 1) * (2 * ry + 1) * (2 * rx + 1) - 1, 1)
-    budget = max(_TILE_BYTES * 8 // n_offsets, 256 << 10)
+    # tile while the per-grid-step live-bytes model exceeds the VMEM
+    # budget.
     tx = min(_TX, max(128, int(np.ceil(nx / 128)) * 128))
     ty = min(_TY, max(8, int(np.ceil(ny / 8)) * 8))
 
-    def tile_bytes():
-        return (nt + 2 * p_t) * nv * (ty + 2 * hp_y) \
-            * (tx + 2 * hp_x) * 4
+    n_pairs = max(
+        ((2 * rt + 1) * (2 * ry + 1) * (2 * rx + 1) - 1) // 2, 1)
 
-    while tx > 128 and tile_bytes() > budget:
+    def live_bytes():
+        return _live_tile_bytes(nt, nv, p_t, hp_y, hp_x, ty, tx,
+                                n_pairs)
+
+    while tx > 128 and live_bytes() > _VMEM_NL_BUDGET:
         tx -= 128
-    while ty > 8 and tile_bytes() > budget:
+    while ty > 8 and live_bytes() > _VMEM_NL_BUDGET:
         ty -= 8
     ny_pad = int(np.ceil(ny / ty)) * ty
     nx_pad = int(np.ceil(nx / tx)) * tx
