@@ -507,25 +507,48 @@ def main():
     # rescan — this config records that the long-k path holds device
     # speed instead of dropping to the O(k) XLA scan)
     if on_accel:
-        from nd_tpu.ops.change import change_detection_exact
+        from nd_tpu.ops.change import (change_detection_exact,
+                                       _change_detection_exact_core,
+                                       _patch_capacity)
         from nd_tpu.ops.change_pallas import supports_pallas_rescan
-        KL = 56
-        if supports_pallas_rescan(KL):
-            cube_long = jnp.asarray(_make_cube(256, 512, KL, seed=2))
-            mpix_long = 256 * 512 * KL / 1e6
+        for KL, tag, lny, lnx in ((56, 'omnibus_long', 256, 512),
+                                  (200, 'omnibus_k200', 128, 512)):
+            if not supports_pallas_rescan(KL):
+                continue
+            cube_long = jnp.asarray(_make_cube(lny, lnx, KL, seed=2))
+            mpix_long = lny * lnx * KL / 1e6
 
-            def long_series():
+            def long_series(cube_long=cube_long):
                 change_detection_exact(cube_long, alpha, n=looks)
                 t0 = time.perf_counter()
                 out = change_detection_exact(cube_long, alpha,
                                              n=looks)
                 _sync(out)
                 return time.perf_counter() - t0
-            res, _ = _resilient(detail, 'omnibus_long', long_series)
+            res, _ = _resilient(detail, tag, long_series)
             if res:
-                detail['omnibus_long_k'] = KL
-                detail['omnibus_long_mpix_s'] = round(mpix_long / res,
-                                                      2)
+                detail[tag + '_k'] = KL
+                detail[tag + '_mpix_s'] = round(mpix_long / res, 2)
+
+            # parity vs the f64 'mixed' oracle + the suspect count
+            # (an overflowed rescan would silently retime the full
+            # f64 scan — surface it next to the rate)
+            def long_parity(cube_long=cube_long, KL=KL,
+                            lny=lny, lnx=lnx):
+                exact = change_detection_exact(cube_long, alpha,
+                                               n=looks)
+                ref = change_detection(cube_long, alpha=alpha,
+                                       n=looks, stat_dtype='mixed')
+                mism = float(np.asarray(jnp.mean(
+                    (exact != ref).astype(jnp.float32))))
+                _, n_sus = _change_detection_exact_core(
+                    cube_long, alpha, looks, 3e-4,
+                    _patch_capacity(lny, lnx))
+                return mism, int(n_sus)
+            res, _ = _resilient(detail, tag + '_parity', long_parity)
+            if res is not None:
+                detail[tag + '_mismatch_vs_mixed'] = res[0]
+                detail[tag + '_suspects'] = res[1]
 
     # ---- secondary configs ---------------------------------------------
     k3 = jnp.ones((3, 3), jnp.float32) / 9

@@ -422,19 +422,24 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
     non-suspect pixel with its exact decision is a no-op, so the
     capacity fill entries need no masking.
     """
-    from .change_pallas import (_K_MAX, _ROUNDS_LONG,
-                                change_detection_pallas)
+    from .change_pallas import _K_MAX, change_detection_pallas
 
     values = jnp.asarray(values)
     ny, nx, k, _ = values.shape
     capacity = -(-capacity // 128) * 128        # lane-friendly rescan
-    # long series cap the kernel's unrolled rounds; pixels that were
-    # still scanning at the cap come back with margin = -inf and are
-    # recomputed exactly below like any other suspect
-    packed, margin = change_detection_pallas(   # (P, ny, nx) int32
-        values, alpha, n=n, return_margin=True, return_packed=True,
-        interpret=interpret,
-        max_rounds=None if k <= _K_MAX else _ROUNDS_LONG)
+    if k <= _K_MAX:
+        packed, margin = change_detection_pallas(  # (P, ny, nx) int32
+            values, alpha, n=n, return_margin=True,
+            return_packed=True, interpret=interpret)
+    else:
+        # long series: the sequential-scan kernel (O(k) passes, no
+        # round cap — any pixel's full restart chain in one pass);
+        # its polynomial-threshold fit error rides the margins, so
+        # sub-margin pixels land in the same f64 rescan below
+        from .change_scan_pallas import change_detection_scan
+        packed, margin = change_detection_scan(
+            values, alpha, n=n, return_packed=True,
+            interpret=interpret)
     nplanes = packed.shape[0]
     suspect = ~(margin > jnp.float32(margin_eps))   # NaN-inclusive
     idx, count = _compact_indices(suspect, capacity)
@@ -604,8 +609,7 @@ def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
     return_device : bool, optional
         Return the (patched) device array instead of numpy.
     """
-    from .change_pallas import (_K_MAX, _ROUNDS_LONG,
-                                change_detection_pallas,
+    from .change_pallas import (_K_MAX, change_detection_pallas,
                                 supports_pallas_rescan)
 
     if not supports_pallas_rescan(np.shape(values)[2]):
@@ -622,9 +626,13 @@ def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
                 else np.asarray(values)
         values_dev = jnp.asarray(values, jnp.float32)
         k_host = values_dev.shape[2]
-        flags, margin = change_detection_pallas(
-            values_dev, alpha, n=n, return_margin=True,
-            max_rounds=None if k_host <= _K_MAX else _ROUNDS_LONG)
+        if k_host <= _K_MAX:
+            flags, margin = change_detection_pallas(
+                values_dev, alpha, n=n, return_margin=True)
+        else:
+            from .change_scan_pallas import change_detection_scan
+            flags, margin = change_detection_scan(
+                values_dev, alpha, n=n)
         result = np.array(flags)        # writable copy (asarray views
                                         # of device buffers are RO)
         suspect = ~(np.asarray(margin) > margin_eps)

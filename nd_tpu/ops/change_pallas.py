@@ -46,16 +46,13 @@ _P = 2.0
 _K_MAX = 48
 
 # Longer series remain Pallas-eligible for the margin-tracking callers
-# (exact / hybrid modes): they cap the unrolled restart rounds at
-# ``_ROUNDS_LONG`` — a pixel's rounds are one per detected change, so
-# the graph is O(rounds * k), not O(k^2) — and any pixel still active
-# after the capped rounds is forced into the suspect set (margin
-# = -inf), where the caller's f64/native rescan recomputes its full
-# series exactly. The cap below bounds VMEM: the (k, 4, ty, tx) input
-# tile plus six (k, ty, tx) cumulative temps must fit in 16 MB (the
-# long-k path shrinks ty to 8: ~2.1 MB input + ~3.1 MB temps at
-# k = 128).
-_K_RESCAN_MAX = 128
+# (exact / hybrid modes) through the SEQUENTIAL-SCAN kernel
+# (``change_scan_pallas``): three O(k) passes with carried running
+# sums — no round cap, no O(k^2) graph — whose VMEM model caps at
+# k = 256 (must equal ``change_scan_pallas.K_SCAN_MAX``; pinned by a
+# test). ``max_rounds`` below still serves this module's own
+# round-capped variant for direct callers.
+_K_RESCAN_MAX = 256
 _ROUNDS_LONG = 16
 
 
@@ -71,10 +68,10 @@ def supports_pallas(k=None):
 
 
 def supports_pallas_rescan(k=None):
-    """True when the fused kernel applies for a caller that rescans
-    suspect pixels (exact / hybrid modes): those paths stay eligible up
-    to ``_K_RESCAN_MAX`` time steps by capping the unrolled rounds and
-    folding round-overflow pixels into the suspect rescan."""
+    """True when a fused kernel applies for a caller that rescans
+    suspect pixels (exact / hybrid modes): short series use this
+    module's round kernel, longer ones the sequential-scan kernel
+    (``change_scan_pallas``) up to ``_K_RESCAN_MAX`` time steps."""
     return supports_pallas() and (k is None or k <= _K_RESCAN_MAX)
 
 

@@ -1,0 +1,134 @@
+"""Sequential-scan omnibus kernel (long-series path) — interpret-mode
+parity against the float64 'mixed' oracle plus the host-side threshold
+fit contracts."""
+
+import numpy as np
+import pytest
+
+from nd_tpu.ops.change import change_detection
+from nd_tpu.ops.change_scan_pallas import (K_SCAN_MAX,
+                                           change_detection_scan,
+                                           scan_tables)
+
+
+def _cube_with_changes(ny, nx, k, seed=0, neg_dets=False):
+    rng = np.random.RandomState(seed)
+    c11 = np.abs(rng.normal(1, .3, (ny, nx, k))) + .2
+    c22 = np.abs(rng.normal(1, .3, (ny, nx, k))) + .2
+    hi = 1.3 if neg_dets else 0.9
+    mag = np.sqrt(c11 * c22) * rng.uniform(0.2, hi, (ny, nx, k))
+    ph = rng.uniform(0, 2 * np.pi, (ny, nx, k))
+    cube = np.stack([c11, mag * np.cos(ph), mag * np.sin(ph), c22],
+                    -1).astype(np.float32)
+    cube[:, :, k // 2:, 0] *= 2.5
+    cube[:, :, k // 2:, 3] *= 2.5
+    # a bursty column with many change points (scan restart churn)
+    t = np.arange(k)
+    burst = np.where((t // 3) % 2 == 0, 1.0, 5.0).astype(np.float32)
+    cube[:, 0, :, 0] = burst
+    cube[:, 0, :, 3] = burst
+    cube[:, 0, :, 1] = 0.05
+    cube[:, 0, :, 2] = 0.02
+    return cube
+
+
+def _assert_scan_matches_mixed(cube, alpha, n, eps=3e-4):
+    """The scan kernel's contract: every pixel whose margin exceeds
+    ``eps`` carries the float64 'mixed' decisions verbatim, and
+    patching the rest with the oracle is exact (what the callers'
+    rescan does)."""
+    flags, margin = change_detection_scan(cube, alpha=alpha, n=n,
+                                          interpret=True)
+    flags = np.asarray(flags)
+    margin = np.asarray(margin)
+    ref = np.asarray(change_detection(cube, alpha=alpha, n=n,
+                                      stat_dtype='mixed'))
+    suspect = ~(margin > eps)
+    mism = (flags != ref) & ~suspect[..., None]
+    assert mism.sum() == 0
+    assert np.array_equal(np.where(suspect[..., None], ref, flags),
+                          ref)
+    return suspect
+
+
+def test_scan_matches_mixed_small():
+    cube = _cube_with_changes(8, 128, 16, seed=3)
+    suspect = _assert_scan_matches_mixed(cube, 0.99, 9)
+    # margins must be informative, not a blanket suspect set
+    assert suspect.mean() < 0.05
+
+
+def test_scan_negative_determinants():
+    """Windows with negative-determinant products (NaN statistics) and
+    near-zero determinants follow the oracle through the margin
+    machinery."""
+    cube = _cube_with_changes(8, 128, 14, seed=42, neg_dets=True)
+    dets = (cube[..., 0] * cube[..., 3] - cube[..., 1] ** 2
+            - cube[..., 2] ** 2)
+    assert (dets < 0).mean() > 0.1        # the fixture really does it
+    _assert_scan_matches_mixed(cube, 0.99, 9)
+
+
+def test_scan_tables_fit_contracts():
+    """The threshold polynomial's f32 evaluation error is measured and
+    bounded, and the margin scale never exceeds the exact S(j) (margins
+    may only shrink under approximation)."""
+    from nd_tpu.ops.change import omnibus_rho, omnibus_thresholds
+    from nd_tpu.ops.change_scan_pallas import _sim_f32
+
+    for k, n, alpha in ((56, 9, 0.99), (200, 9, 0.99), (64, 1, 0.9)):
+        tabs = scan_tables(k, n, alpha)
+        assert tabs is not None
+        thr = omnibus_thresholds(k, n, alpha)
+        rho = omnibus_rho(np.arange(k + 1), n)
+        js = np.arange(2, k + 1, dtype=np.float64)
+        c_exact = (-thr[2:] / (2 * rho[2:])
+                   - n * 2.0 * js * np.log(js))
+        s_exact = 2 * rho[2:] / np.maximum(np.abs(thr[2:]), 1.0)
+        c_got = np.array([_sim_f32(tabs['c_coefs'], j, k) for j in js])
+        assert np.abs(c_got - c_exact).max() <= tabs['c_err']
+        s_got = np.array([_sim_f32(tabs['s_coefs'], j, k,
+                                   tabs['s_scale']) for j in js])
+        assert (s_got > 0).all()
+        assert (s_got <= s_exact).all()
+        # pass-B immediates are the exact folded values
+        np.testing.assert_allclose(tabs['cg_tab'][2:], c_exact)
+
+
+def test_scan_k_bounds():
+    """Cap agreement with the rescan gate, and loud refusals."""
+    import nd_tpu.ops.change_pallas as cp
+    assert cp._K_RESCAN_MAX == K_SCAN_MAX
+    cube = _cube_with_changes(8, 128, 8)
+    with pytest.raises(ValueError, match='too long'):
+        change_detection_scan(
+            np.repeat(cube, (K_SCAN_MAX + 8) // 8, axis=2),
+            alpha=0.99, n=9, interpret=True)
+
+
+def test_exact_long_series_routes_through_scan(monkeypatch):
+    """change_detection_exact at k > _K_MAX uses the scan kernel and
+    still reproduces the mixed oracle bit-exactly — with the short-k
+    threshold lowered so the long path runs at an interpret-affordable
+    length."""
+    import nd_tpu.ops.change as ch
+    import nd_tpu.ops.change_pallas as cp
+    import nd_tpu.ops.change_scan_pallas as cs
+    from nd_tpu.ops.change import change_detection_exact
+
+    monkeypatch.setattr(cp, '_K_MAX', 8)
+    calls = []
+    orig = cs.change_detection_scan
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(cs, 'change_detection_scan', spy)
+    cube = _cube_with_changes(8, 128, 18, seed=9)
+    ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
+                                      stat_dtype='mixed'))
+    got = np.asarray(change_detection_exact(
+        cube, alpha=0.99, n=9, capacity=512, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    assert calls

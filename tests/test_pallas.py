@@ -253,14 +253,19 @@ def test_round_capped_kernel_forces_overflow_suspects():
     assert np.isfinite(margin[:, 1:]).mean() > 0.5
 
 
-def test_long_series_exact_matches_mixed():
-    """k > _K_MAX routes through the round-capped kernel + rescan and
-    still reproduces the full 'mixed' scan bit-exactly — including the
-    pixels with more change points than the cap."""
+def test_long_series_exact_matches_mixed(monkeypatch):
+    """k > _K_MAX routes through the sequential-scan kernel + rescan
+    and still reproduces the full 'mixed' scan bit-exactly — including
+    pixels with MANY change points (the scan kernel has no round cap).
+    _K_MAX is lowered so the long path runs at an interpret-affordable
+    length (the unrolled scan kernel's CPU interpret harness compiles
+    O(minutes) at the production k = 56; the real-k path is exercised
+    on hardware by bench.py's omnibus_long/omnibus_k200 configs)."""
     import nd_tpu.ops.change_pallas as cp
     from nd_tpu.ops.change import (change_detection,
                                    change_detection_exact)
-    k = cp._K_MAX + 8
+    monkeypatch.setattr(cp, '_K_MAX', 8)
+    k = 20
     cube = _many_change_cube(8, 128, k, period=3)
     ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
                                       stat_dtype='mixed'))
@@ -268,7 +273,7 @@ def test_long_series_exact_matches_mixed():
         cube, alpha=0.99, n=9, capacity=1024, interpret=True))
     np.testing.assert_array_equal(got, ref)
     # sanity: the alternating column really has many change points
-    assert ref[:, 0].sum() >= 8 * 6
+    assert ref[:, 0].sum() >= 8 * 4
 
 
 def test_hybrid_x64_off_host_patches(monkeypatch):
