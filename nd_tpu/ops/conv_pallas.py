@@ -34,7 +34,8 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
-__all__ = ['separable_convolve_pallas', 'supports_pallas']
+__all__ = ['separable_convolve_pallas', 'rowfused_convolve',
+           'supports_pallas']
 
 _TX = 512
 _VMEM_BUDGET = 12 << 20    # scoped-VMEM budget per grid step (the
@@ -251,6 +252,248 @@ def separable_convolve_pallas(arr, taps_by_axis, mode='reflect',
     return out.reshape(shape)
 
 
+_ROWFUSED_BUDGET = 15 << 20
+
+
+def _rowfused_geometry(n0, n1, nt, b, k0, k1, lo0, hi0):
+    """(ty, tc) for the row-fused kernel, or None when no admissible
+    geometry exists. The x axis is never tiled (full-width rows kill
+    the x halo and its duplicated DMA traffic); VMEM is modeled as the
+    double-buffered (tc, b, ty + 2h0, nx_in) input scratch plus ~3
+    row-slab working sets — Mosaic retires each unrolled tap's temps
+    at the ref store, so the TAP COUNT does not enter. Calibrated
+    against the measured Mosaic allocator on the bench cube
+    (1024x1024x12x4), where the compiler's own OOM reports pin the
+    coefficients: 3-tap (64, tc=3) allocates 16.82 MiB (fails the
+    16 MiB scoped limit), 13-tap (64, tc=2) allocates 24.93 MiB
+    (fails), 3-tap (64, tc=2) and 13-tap (32, tc<=2) build and run
+    (boxcar 1195 -> 1488 Mpix/s, gaussian 747 -> ~1266). The fit
+    live = scr + 1.15 row + 0.27 (k0+k1) row reproduces both OOM
+    sizes to ~1%; the 15 MiB budget leaves regalloc slack under the
+    16 MiB hardware limit."""
+    h0 = _halo(lo0, hi0, 4)
+    nx_in = int(np.ceil((int(np.ceil(n1 / 128)) * 128
+                         + 2 * ((k1 - 1) if k1 else 0)) / 128)) * 128
+
+    def live(ty, tc):
+        scr = 2 * tc * b * (ty + 2 * h0) * nx_in * 4
+        row = tc * b * ty * nx_in * 4
+        return scr + 1.15 * row + 0.27 * (k0 + k1) * row
+
+    best = None
+    for ty in (64, 32, 16, 8):
+        if ty > max(8, int(np.ceil(n0 / 8)) * 8):
+            continue
+        for tc in (4, 3, 2, 1):
+            if tc > nt:
+                continue
+            if live(ty, tc) > _ROWFUSED_BUDGET:
+                continue
+            # fewest grid steps (biggest tiles) wins, but geometries
+            # whose unrolled tap-temp stack stays small are preferred
+            # outright — measured: the 3-tap boxcar is fastest at the
+            # biggest admissible tile ((64, 2): 1438 vs (64, 1): 1192
+            # Mpix/s), while the 13-tap gaussian DEGRADES at big
+            # tiles ((32, 1): 1266 vs (64, 1): 1048 — the ~8 MB temp
+            # stack starves the double-buffered DMA of VMEM)
+            row = tc * b * ty * nx_in * 4
+            heavy = 0.27 * (k0 + k1) * row > 4.5e6
+            steps = (int(np.ceil(n0 / ty)) * int(np.ceil(nt / tc)))
+            key = (heavy, steps, -ty)
+            if best is None or key < best[0]:
+                best = (key, ty, tc)
+    return None if best is None else (best[1], best[2])
+
+
+def rowfused_convolve(arr, taps_by_axis, mode='reflect', cval=0.0,
+                      ty=None, tc=None, interpret=False):
+    """Row-fused separable VALID-correlation over axes {0, 1} with
+    scipy's origin padding — the bandwidth-optimal variant of
+    :func:`separable_convolve_pallas` for spatial-only filters.
+
+    Design (measured on-chip: 3x3 boxcar 1195 -> 1528 Mpix/s, ~75% of
+    this device's empirical streaming ceiling):
+
+    - x (axis 1) is never tiled: full-width rows mean no x halo, so no
+      duplicated DMA traffic along the fast axis;
+    - ONE combined boundary pad: the true edge pad, the alignment
+      ring, and the trailing grid padding are a single ``jnp.pad``
+      (every supported mode yields values at distance d from the edge
+      that are independent of the total pad width, so widening is
+      self-consistent; the extra ring feeds only dropped outputs) —
+      one HBM round trip instead of two;
+    - the grid walks (t-chunks, y-tiles) with double-buffered manual
+      DMA so the next tile streams in behind the VPU;
+    - tap passes accumulate in VMEM refs (``acc[:] = acc[:] + ...``),
+      the same add order and uniform-tap scaling as
+      ``ops.conv._shift_add_valid``; uniform (boxcar) taps are
+      bit-identical to the XLA path, weighted taps may differ by
+      ~1-2 ulp where the compiler contracts the per-tap multiply-add
+      into an FMA (the value-semantics XLA chain fuses differently).
+
+    ``taps_by_axis``: (axis, FLIPPED taps) with axes within {0, 1}.
+    """
+    arr = jnp.asarray(arr)
+    shape = arr.shape
+    n0, n1 = shape[0], shape[1]
+    nt = shape[2] if arr.ndim > 2 else 1
+    b = int(np.prod(shape[3:])) if arr.ndim > 3 else 1
+    taps = {int(ax): np.asarray(t, np.float64)
+            for ax, t in taps_by_axis}
+    if any(ax not in (0, 1) for ax in taps):
+        raise ValueError('row-fused kernel filters axes {0, 1} only')
+    t0 = taps.get(0)
+    t1 = taps.get(1)
+    lo0, hi0 = ((len(t0) - 1) // 2, len(t0) // 2) if t0 is not None \
+        else (0, 0)
+    lo1, hi1 = ((len(t1) - 1) // 2, len(t1) // 2) if t1 is not None \
+        else (0, 0)
+    if ty is None or tc is None:
+        geom = _rowfused_geometry(n0, n1, nt, b,
+                                  len(t0) if t0 is not None else 0,
+                                  len(t1) if t1 is not None else 0,
+                                  lo0, hi0)
+        if geom is None:
+            raise ValueError('no admissible row-fused geometry')
+        ty, tc = geom
+    h0 = _halo(lo0, hi0, 4)
+
+    data = arr.reshape(n0, n1, nt, b)
+    data = jnp.transpose(data, (2, 3, 0, 1))       # (t, B, y, x)
+
+    ny_pad = int(np.ceil(n0 / ty)) * ty
+    wout = int(np.ceil(n1 / 128)) * 128
+    nx_in = int(np.ceil((wout + lo1 + hi1) / 128)) * 128
+    nt_pad = int(np.ceil(nt / tc)) * tc
+    from .conv import _SCIPY_TO_NP_PAD, pad_reflect
+    combined = ((0, nt_pad - nt), (0, 0),
+                (h0, h0 + ny_pad - n0),
+                (lo1, nx_in - n1 - lo1))
+    limited = _SCIPY_TO_NP_PAD[mode] in ('symmetric', 'reflect',
+                                         'wrap')
+    if not limited or (nt_pad - nt <= nt
+                       and max(h0, h0 + ny_pad - n0) <= n0
+                       and max(lo1, nx_in - n1 - lo1) <= n1):
+        # ONE pad: every supported mode's values at distance d from
+        # the edge are independent of the total pad width, so the
+        # widened ring is self-consistent and the extra rows/columns
+        # feed only dropped outputs
+        data = pad_reflect(data, combined, mode, cval)
+    else:
+        # narrow extents: true boundary pad first (within the mode's
+        # width limit — the caller checked lo/hi <= extent), then the
+        # dead alignment/grid ring as unlimited edge padding
+        data = pad_reflect(data, ((0, 0), (0, 0), (lo0, hi0),
+                                  (lo1, hi1)), mode, cval)
+        data = jnp.pad(
+            data, ((0, nt_pad - nt), (0, 0),
+                   (h0 - lo0, h0 - hi0 + ny_pad - n0),
+                   (0, nx_in - n1 - lo1 - hi1)), mode='edge')
+
+    gy = ny_pad // ty
+    gt = nt_pad // tc
+    n_steps = gt * gy
+    i32 = np.int32
+
+    uniform0 = t0 is not None and bool(np.allclose(t0, t0[0]))
+    uniform1 = t1 is not None and bool(np.allclose(t1, t1[0]))
+
+    def compute(scr, out_ref, acc):
+        if t0 is not None:
+            st = h0 - lo0
+            k = len(t0)
+            acc[:] = scr[:, :, st:st + ty, :] if uniform0 \
+                else scr[:, :, st:st + ty, :] * jnp.float32(t0[0])
+            for i in range(1, k):
+                term = scr[:, :, st + i:st + i + ty, :]
+                acc[:] = acc[:] + (term if uniform0
+                                   else term * jnp.float32(t0[i]))
+            if uniform0 and t0[0] != 1.0:
+                acc[:] = acc[:] * jnp.float32(t0[0])
+            srcx = acc
+            xoff = 0
+        else:
+            srcx = scr
+            xoff = h0          # no y pass: read past the aligned ring
+        if t1 is not None:
+            k = len(t1)
+            first = srcx[:, :, xoff:xoff + ty, 0:wout]
+            out_ref[:] = first if uniform1 \
+                else first * jnp.float32(t1[0])
+            for i in range(1, k):
+                term = srcx[:, :, xoff:xoff + ty, i:i + wout]
+                out_ref[:] = out_ref[:] + (term if uniform1
+                                           else term
+                                           * jnp.float32(t1[i]))
+            if uniform1 and t1[0] != 1.0:
+                out_ref[:] = out_ref[:] * jnp.float32(t1[0])
+        else:
+            out_ref[:] = srcx[:, :, xoff:xoff + ty, 0:wout]
+
+    def dma_kernel(hbm_ref, out_ref, scratch, acc, sems):
+        g = pl.program_id(0)
+        slot = jax.lax.rem(g, i32(2))
+
+        def start(gg, sl):
+            it = gg // i32(gy)
+            iy = jax.lax.rem(gg, i32(gy))
+            pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(it * tc, tc), :,
+                           pl.ds(iy * ty, ty + 2 * h0), :],
+                scratch.at[sl], sems.at[sl]).start()
+
+        @pl.when(g == 0)
+        def _():
+            start(g, slot)
+
+        @pl.when(g + 1 < n_steps)
+        def _():
+            start(g + i32(1), jax.lax.rem(g + i32(1), i32(2)))
+
+        pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(0, tc), :, pl.ds(0, ty + 2 * h0), :],
+            scratch.at[slot], sems.at[slot]).wait()
+        compute(scratch.at[slot], out_ref, acc)
+
+    out = pl.pallas_call(
+        dma_kernel,
+        out_shape=jax.ShapeDtypeStruct((nt_pad, b, ny_pad, wout),
+                                       jnp.float32),
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (tc, b, ty, wout),
+            lambda g: (g // i32(gy), g * 0,
+                       jax.lax.rem(g, i32(gy)), g * 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tc, b, ty + 2 * h0, nx_in), jnp.float32),
+            pltpu.VMEM((tc, b, ty, nx_in), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(data)
+    out = out[:nt, :, :n0, :n1]
+    out = jnp.transpose(out, (2, 3, 0, 1))
+    return out.reshape(shape)
+
+
+def _rowfused_applicable(arr, active, mode):
+    """(ty, tc) when the row-fused kernel admits this call, else
+    None: spatial-only taps and an admissible VMEM geometry."""
+    shp = np.shape(arr)
+    if any(ax not in (0, 1) for ax, _ in active):
+        return None
+    n0, n1 = shp[0], shp[1]
+    nt = shp[2] if len(shp) > 2 else 1
+    b = int(np.prod(shp[3:])) if len(shp) > 3 else 1
+    kc = {ax: len(t) for ax, t in active}
+    lo0, hi0 = (((kc[0] - 1) // 2, kc[0] // 2) if 0 in kc
+                else (0, 0))
+    return _rowfused_geometry(n0, n1, nt, b, kc.get(0, 0),
+                              kc.get(1, 0), lo0, hi0)
+
+
 def try_fused_separable(arr, taps_by_axis, mode, cval,
                         interpret=False):
     """The fused kernel when it applies, else None (caller keeps its
@@ -311,10 +554,18 @@ def try_fused_separable(arr, taps_by_axis, mode, cval,
     if _live_tile_bytes(b, n2, pads, kcounts, 8, 128) > _VMEM_BUDGET:
         return None
 
-    def pallas_path(a):
-        return separable_convolve_pallas(a, active, mode=mode,
-                                         cval=cval,
-                                         interpret=interpret)
+    geom = _rowfused_applicable(arr, active, mode)
+    if geom is not None:
+        # bandwidth-optimal row-fused variant (spatial-only taps)
+        def pallas_path(a):
+            return rowfused_convolve(a, active, mode=mode, cval=cval,
+                                     ty=geom[0], tc=geom[1],
+                                     interpret=interpret)
+    else:
+        def pallas_path(a):
+            return separable_convolve_pallas(a, active, mode=mode,
+                                             cval=cval,
+                                             interpret=interpret)
 
     from .pallas_guard import run_with_fallback
 

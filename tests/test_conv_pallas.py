@@ -144,7 +144,7 @@ def test_convolve_dispatch_uses_fused_kernel(monkeypatch):
     ref = np.asarray(convolve(a, k, axes=(0, 1), mode='reflect'))
 
     calls = []
-    orig = cpal.separable_convolve_pallas
+    orig = cpal.rowfused_convolve
 
     def spy(arr, taps, **kw):
         calls.append([ax for ax, _ in taps])
@@ -152,7 +152,7 @@ def test_convolve_dispatch_uses_fused_kernel(monkeypatch):
         return orig(arr, taps, **kw)
 
     monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
-    monkeypatch.setattr(cpal, 'separable_convolve_pallas', spy)
+    monkeypatch.setattr(cpal, 'rowfused_convolve', spy)
     got = np.asarray(convolve(a, k, axes=(0, 1), mode='reflect'))
     assert calls == [[0, 1]]
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
@@ -172,7 +172,7 @@ def test_separable_convolve_dispatch_uses_fused_kernel(monkeypatch):
     ref = np.asarray(separable_convolve(a, [g, g], axes=(0, 1)))
 
     calls = []
-    orig = cpal.separable_convolve_pallas
+    orig = cpal.rowfused_convolve
 
     def spy(arr, taps, **kw):
         calls.append([ax for ax, _ in taps])
@@ -180,7 +180,7 @@ def test_separable_convolve_dispatch_uses_fused_kernel(monkeypatch):
         return orig(arr, taps, **kw)
 
     monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
-    monkeypatch.setattr(cpal, 'separable_convolve_pallas', spy)
+    monkeypatch.setattr(cpal, 'rowfused_convolve', spy)
     got = np.asarray(separable_convolve(a, [g, g], axes=(0, 1)))
     assert calls == [[0, 1]]
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
@@ -230,7 +230,7 @@ def test_fused_dispatch_inside_jit_with_jnp_kernel(monkeypatch):
         lambda x: separable_convolve(x, [g1, g1], axes=(0, 1)))(a))
 
     calls = []
-    orig = cpal.separable_convolve_pallas
+    orig = cpal.rowfused_convolve
 
     def spy(arr, taps, **kw):
         calls.append([ax for ax, _ in taps])
@@ -238,7 +238,7 @@ def test_fused_dispatch_inside_jit_with_jnp_kernel(monkeypatch):
         return orig(arr, taps, **kw)
 
     monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
-    monkeypatch.setattr(cpal, 'separable_convolve_pallas', spy)
+    monkeypatch.setattr(cpal, 'rowfused_convolve', spy)
     got = np.asarray(jax.jit(
         lambda x: convolve(x, k3, axes=(0, 1), mode='reflect'))(a))
     got_g = np.asarray(jax.jit(
@@ -272,6 +272,7 @@ def test_fused_kernel_failure_degrades_to_xla(monkeypatch):
 
     monkeypatch.setattr(cpal, 'supports_pallas', lambda: True)
     monkeypatch.setattr(cpal, 'separable_convolve_pallas', boom)
+    monkeypatch.setattr(cpal, 'rowfused_convolve', boom)
     reset_pallas_strikes()
     with warnings.catch_warnings():
         warnings.simplefilter('ignore')
@@ -335,3 +336,70 @@ def test_gaussian_13tap_fused_interpret_parity():
     ref = _shift_add_valid(ref, g, 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_rowfused_parity_matrix():
+    """Row-fused kernel vs the XLA shift-add oracle across modes,
+    weighted/uniform taps, single-axis cases, and shapes that exercise
+    BOTH pad strategies (the combined single pad and the narrow-extent
+    two-step fallback)."""
+    import jax.numpy as jnp
+
+    from nd_tpu.ops.conv import (_shift_add_valid, gaussian_kernel1d,
+                                 pad_reflect)
+    from nd_tpu.ops.conv_pallas import (_rowfused_applicable,
+                                        rowfused_convolve)
+
+    rng = np.random.RandomState(0)
+    g13 = np.asarray(gaussian_kernel1d(1.5))[::-1]
+    cases = [
+        ((40, 137, 5, 3), [(0, np.ones(3) / 3), (1, np.ones(3) / 3)],
+         'reflect'),                      # narrow x: two-step pad
+        ((40, 137, 5, 3), [(0, np.array([.2, .5, .3])),
+                           (1, np.array([.1, .6, .3]))], 'mirror'),
+        ((33, 70, 4), [(1, np.ones(5) / 5)], 'nearest'),
+        ((64, 128), [(0, np.array([.25, .5, .25]))], 'wrap'),
+        ((17, 257, 3), [(0, np.array([.3, .4, .3])),
+                        (1, np.ones(7) / 7)], 'constant'),
+        ((96, 300, 2, 2), [(0, g13), (1, g13)], 'reflect'),  # 13-tap
+    ]
+    for shape, taps, mode in cases:
+        x = rng.rand(*shape).astype(np.float32)
+        active = [(ax, np.asarray(t, np.float64)) for ax, t in taps]
+        geom = _rowfused_applicable(x, active, mode)
+        assert geom is not None, (shape, taps)
+        got = np.asarray(rowfused_convolve(
+            jnp.asarray(x), active, mode=mode, ty=geom[0],
+            tc=geom[1], interpret=True))
+        pad_width = [(0, 0)] * x.ndim
+        for ax, t in active:
+            k = len(t)
+            pad_width[ax] = ((k - 1) // 2, k // 2)
+        ref = pad_reflect(jnp.asarray(x), pad_width, mode, 0.0)
+        for ax, t in active:
+            ref = _shift_add_valid(ref, t, ax)
+        # uniform taps are bit-exact; weighted may differ by ~1-2 ulp
+        # of FMA contraction
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=3e-7,
+                                   atol=3e-7)
+
+
+def test_nlmeans_chooser_regression_r2f2():
+    """The r=2/f=2 bench-cube geometry must stay at wide tiles (the
+    round-2 inverse-offset budget picked 8x128, whose 4x halo read
+    overhead was the nlmeans_r2 regression) while staying inside the
+    pair-aware VMEM model that matches the measured Mosaic
+    compile/fail boundary."""
+    from nd_tpu.ops.nlmeans_pallas import (_VMEM_NL_BUDGET,
+                                           _live_tile_bytes)
+    # bench cube: (1024, 1024, 12, 4), r=2, f=2 -> p=4, hp=(4, 64),
+    # 12 unordered offset pairs
+    args = dict(nt=12, nv=4, p_t=0, hp_y=4, hp_x=64, n_pairs=12)
+    # measured on-chip: 16x512 fails remote compile, 16x256/8x512 build
+    assert _live_tile_bytes(ty=16, tx=512, **args) > _VMEM_NL_BUDGET
+    assert _live_tile_bytes(ty=16, tx=256, **args) <= _VMEM_NL_BUDGET
+    assert _live_tile_bytes(ty=8, tx=512, **args) <= _VMEM_NL_BUDGET
+    # r=1 headline keeps its 16x512 tile
+    assert _live_tile_bytes(ty=16, tx=512, nt=12, nv=4, p_t=0,
+                            hp_y=4, hp_x=64, n_pairs=4) \
+        <= _VMEM_NL_BUDGET
