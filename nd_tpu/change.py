@@ -76,7 +76,8 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
         len(getattr(sharding, 'device_set', ())) > 1
     # the hybrid rescans suspects exactly, so long series stay
     # Pallas-eligible via the round-capped kernel (k <= 128)
-    if supports_pallas_rescan(values.shape[2]) and not multi_device:
+    if supports_pallas_rescan(values.shape[2], int(n),
+                              float(alpha)) and not multi_device:
         # fused Pallas kernel + exact float64 patching of the rare
         # near-margin pixels — exact decisions at fast-mode speed
         change = change_detection_hybrid(values, alpha=float(alpha),

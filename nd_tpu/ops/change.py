@@ -514,7 +514,8 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
     """
     from .change_pallas import supports_pallas_rescan
 
-    if not (supports_pallas_rescan(np.shape(values)[2]) or interpret):
+    if not (supports_pallas_rescan(np.shape(values)[2], n, alpha)
+            or interpret):
         return change_detection(values, alpha=alpha, n=n,
                                 stat_dtype='mixed')
     if not jax.config.jax_enable_x64:
@@ -612,7 +613,7 @@ def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
     from .change_pallas import (_K_MAX, change_detection_pallas,
                                 supports_pallas_rescan)
 
-    if not supports_pallas_rescan(np.shape(values)[2]):
+    if not supports_pallas_rescan(np.shape(values)[2], n, alpha):
         out = change_detection(values, alpha=alpha, n=n)
         return out if return_device else np.asarray(out)
 

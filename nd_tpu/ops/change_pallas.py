@@ -67,12 +67,24 @@ def supports_pallas(k=None):
     return k is None or k <= _K_MAX
 
 
-def supports_pallas_rescan(k=None):
+def supports_pallas_rescan(k=None, n=None, alpha=None):
     """True when a fused kernel applies for a caller that rescans
     suspect pixels (exact / hybrid modes): short series use this
     module's round kernel, longer ones the sequential-scan kernel
-    (``change_scan_pallas``) up to ``_K_RESCAN_MAX`` time steps."""
-    return supports_pallas() and (k is None or k <= _K_RESCAN_MAX)
+    (``change_scan_pallas``) up to ``_K_RESCAN_MAX`` time steps.
+
+    With ``n``/``alpha`` also given, long series additionally require
+    the scan kernel's folded threshold tables to be feasible for that
+    parameterization (``scan_tables`` is cached, so this is a cheap
+    host check) — infeasible combinations route to the XLA path
+    instead of raising from inside the kernel wrapper."""
+    if not (supports_pallas() and (k is None or k <= _K_RESCAN_MAX)):
+        return False
+    if k is not None and k > _K_MAX and n is not None \
+            and alpha is not None:
+        from .change_scan_pallas import scan_tables
+        return scan_tables(int(k), int(n), float(alpha)) is not None
+    return True
 
 
 def _mlog(x):

@@ -61,11 +61,12 @@ from .change_pallas import _mlog
 __all__ = ['change_detection_scan', 'scan_tables', 'K_SCAN_MAX']
 
 _P = 2.0
-# VMEM bound: the (k, 4, ty, tx) tile plus five (k, ty, tx) pass
-# planes (logdet, tentative flags, window margins, global hits, global
-# margins) = 36*k*ty*tx bytes must fit the ~12 MB budget at the
-# smallest (8, 128) tile -> k <= ~340; the cap below keeps headroom
-# for the register slabs and the unrolled per-step temps.
+# VMEM bound: the (k, 4, ty, tx) tile plus six (k, ty, tx) pass
+# planes (logdet, signed conditioning, tentative flags, window
+# margins, global hits, global margins) = 40*k*ty*tx bytes must fit
+# the ~12 MB budget at the smallest (8, 128) tile -> k <= ~300; the
+# cap below keeps headroom for the register slabs and the unrolled
+# per-step temps.
 K_SCAN_MAX = 256
 _VMEM_BUDGET = 11 << 20
 
@@ -82,45 +83,64 @@ def _horner_f32(coefs, z):
     return acc
 
 
-def _sim_f32(coefs, j, k, scale=1.0):
-    """Host replica of the kernel's f32 threshold evaluation at integer
-    window length ``j`` (Horner in float32; the kernel may contract
+def _sim_f32(coefs, z):
+    """Host replica of the kernel's f32 Horner evaluation at the
+    (already scaled) f32 variable ``z`` (the kernel may contract
     mul+add into FMA, which only REDUCES rounding — the caller still
     applies a safety factor)."""
-    za = np.float32(2.0 / (k - 2))
-    zb = np.float32(-1.0 - 4.0 / (k - 2))
-    z = np.float32(j) * za + zb
     acc = np.float32(coefs[-1])
+    z = np.float32(z)
     for c in coefs[-2::-1]:
         acc = np.float32(np.float32(acc * z) + np.float32(c))
-    return np.float32(acc * np.float32(scale))
+    return acc
 
 
 @functools.lru_cache(maxsize=64)
 def scan_tables(k, n, alpha):
     """Host-side threshold preparation for the scan kernel.
 
-    Returns ``None`` when the folded form is infeasible (non-finite
-    thresholds or rho <= 0 anywhere) — callers keep the XLA path then.
-    Otherwise a dict with:
+    The folded per-window decision is rearranged so the only
+    j-dependent threshold is the FLAT ratio F2(j) = thr(j)/(2 rho(j)):
 
-    c_coefs / s_coefs : tuple of f32
+        z > thr  <=>  s' < -F2(j),
+        s' = n log_prod - n j log(det_sum / j^2)
+
+    (the analytic n P j ln j term of the original folding rides inside
+    the log of the AVERAGED-covariance determinant, so no polynomial
+    ever has to reproduce j ln j). F2 is fitted in w = sqrt(j) for
+    j >= 6 — below that rho's curvature spikes, so j in [2, 5] use
+    EXACT one-hot immediates (threshold AND margin scale) — and the
+    margin scale needs no second fit at all: on the fitted range
+    S(j) = 2 rho / max(thr, 1) = 1/F2 because thr >= 1 there
+    (enforced; one reciprocal in-kernel). Small alphas give thr < 1
+    at the smallest window lengths (e.g. the chi2 0.01-quantile at
+    4 dof is ~0.30) — those j sit in the one-hot range, whose exact
+    S immediates don't lean on the identity.
+
+    Returns ``None`` when the folded form is infeasible (non-finite
+    thresholds, rho <= 0, or thr < 1 on the fitted range) — callers
+    keep the XLA path then. Otherwise a dict with:
+
+    f2_coefs : tuple of float
         Polynomial coefficients (lowest order first) in the scaled
-        window length z = 2(j-2)/(k-2) - 1 for the folded threshold
-        C(j) = -thr(j)/(2 rho(j)) - n P j ln j and the margin scale
-        S(j) = 2 rho(j) / max(|thr(j)|, 1).
-    c_err : float
-        Absolute bound on |f32-evaluated C_poly(j) - exact C(j)| over
-        every integer j in [2, k], x4 safety — added to the statistic's
-        f32 error bound so the margin covers the fit.
-    s_scale : float
-        Final multiplier for the S polynomial chosen so its f32
-        evaluation never EXCEEDS the exact S(j) (margins must only
-        shrink under approximation, never grow).
+        variable z = za * sqrt(j) + zb for F2(j), valid for j >= 6.
+    f2_small / s_small : tuple of float
+        Exact F2 / margin-scale immediates for j = 2..min(5, k)
+        (kernel one-hot overrides; s_small deflated one ulp so the
+        f32 immediate never exceeds the exact S).
+    f2_rel_err : float
+        Bound on |F2_f32(j)/F2(j) - 1| over every integer j in [2, k]
+        from the host f32 replica of the kernel evaluation, x4 safety
+        for device FMA-contraction differences. Doubles as the
+        margin-space threshold error (S = 1/F2) and as the S
+        deflation: the kernel uses S = 1/(F2 (1 + f2_rel_err)), which
+        never exceeds the exact S.
+    za / zb : float
+        The w -> z scaling for the polynomial.
     cg_tab / sg_tab : tuple of float
-        The exact folded threshold / margin scale per window length for
-        the pass-B global tests (f64 immediates; -inf / 0 when the
-        threshold is non-finite, which never fires).
+        The exact folded threshold / margin scale per window length
+        for the pass-B global tests (f64 immediates; -inf / 0 when
+        the threshold is non-finite, which never fires).
     """
     thr = omnibus_thresholds(k, n, float(alpha))
     with np.errstate(divide='ignore', invalid='ignore'):
@@ -128,55 +148,65 @@ def scan_tables(k, n, alpha):
     js = np.arange(2, k + 1, dtype=np.float64)
     if not np.all(np.isfinite(thr[2:])) or not np.all(rho[2:] > 0):
         return None
-    c_exact = (-thr[2:] / (2 * rho[2:])
-               - n * _P * js * np.log(js))
+    f2_exact = thr[2:] / (2 * rho[2:])
     s_exact = 2 * rho[2:] / np.maximum(np.abs(thr[2:]), 1.0)
 
-    z = 2 * (js - 2) / (k - 2) - 1
-    npts = len(js)
+    j0 = min(6, k)
+    f2_small = tuple(float(v) for v in f2_exact[:j0 - 2])
+    s_small = tuple(float(v) * (1.0 - 2.0 ** -20)
+                    for v in s_exact[:j0 - 2])
+    jf = np.arange(j0, k + 1, dtype=np.float64)
+    if len(jf) < 2:
+        return None                      # k < 7: short-k round kernel
+    if thr[j0:].min() < 1.0:
+        return None          # S = 1/F2 identity needs thr >= 1 here
+    vals = f2_exact[j0 - 2:]
+    w = np.sqrt(jf)
+    za = np.float32(2.0 / (w[-1] - w[0]))
+    zb = np.float32(-1.0 - 2.0 * w[0] / (w[-1] - w[0]))
+    z = 2 * (w - w[0]) / (w[-1] - w[0]) - 1
 
-    def fit(vals):
-        best = None
-        for deg in range(4, min(14, npts - 1) + 1):
-            cf = np.polynomial.polynomial.polyfit(z, vals, deg)
-            got = np.array([_sim_f32(cf, j, k) for j in js],
-                           np.float64)
-            err = np.abs(got - vals).max()
-            if best is None or err < best[1]:
-                best = (cf, err)
-        return best
+    def sim(coefs, j):
+        wv = np.float32(np.sqrt(np.float32(j)))
+        return _sim_f32(coefs, np.float32(wv * za + zb))
 
-    c_coefs, c_fit_err = fit(c_exact)
-    s_coefs, _ = fit(s_exact)
-    s_got = np.array([_sim_f32(s_coefs, j, k) for j in js], np.float64)
-    if s_got.min() <= 0:
+    best = None
+    for deg in range(4, min(14, len(jf) - 1) + 1):
+        cf = np.polynomial.polynomial.polyfit(z, vals, deg)
+        got = np.array([sim(cf, j) for j in jf], np.float64)
+        if got.min() <= 0:
+            continue
+        err = np.abs(got / vals - 1.0).max()
+        if err <= 2e-5:
+            best = (cf, err)        # smallest adequate degree: fewer
+            break                   # unrolled per-step Horner FMAs
+        if best is None or err < best[1]:
+            best = (cf, err)
+    if best is None:
         return None
-    # deflate S so the f32 evaluation is <= exact everywhere (with an
-    # extra 1e-4 slack for FMA-contraction differences on device)
-    s_scale = float((s_exact / s_got).min()) * (1.0 - 1e-4)
-    s_chk = np.array([_sim_f32(s_coefs, j, k, s_scale) for j in js],
-                     np.float64)
-    if s_chk.min() <= 0 or (s_chk > s_exact).any():
-        return None
-    c_err = 4.0 * float(c_fit_err) + 1e-6
+    f2_coefs, fit_err = best
+    f2_rel_err = 4.0 * float(fit_err) + 1e-6
 
     cg = np.full(k + 1, -np.inf)
     sg = np.zeros(k + 1)
-    cg[2:] = c_exact
-    sg[2:] = s_exact
+    cg[2:] = (-thr[2:] / (2 * rho[2:])
+              - n * _P * js * np.log(js))
+    sg[2:] = 2 * rho[2:] / np.maximum(np.abs(thr[2:]), 1.0)
     return {
-        'c_coefs': tuple(float(c) for c in c_coefs),
-        's_coefs': tuple(float(c) for c in s_coefs),
-        'c_err': c_err,
-        's_scale': s_scale,
+        'f2_coefs': tuple(float(c) for c in f2_coefs),
+        'f2_small': f2_small,
+        's_small': s_small,
+        'f2_rel_err': f2_rel_err,
+        'za': float(za),
+        'zb': float(zb),
         'cg_tab': tuple(float(c) for c in cg),
         'sg_tab': tuple(float(c) for c in sg),
     }
 
 
 def _scan_kernel(in_ref, out_ref, margin_ref,
-                 logdet_s, tent_s, rel_a_s, ghit_s, rel_b_s,
-                 r11, r12r, r12i, r22, rlog, rneg, rcond, runc, rj,
+                 logdet_s, cond_s, tent_s, rel_a_s, ghit_s, rel_b_s,
+                 r11, r12r, r12i, r22, rlog, rneg, rcond, rj,
                  *, k, nf, tabs):
     """(k, 4, ty, tx) f32 tile -> bit-packed change planes + margin.
 
@@ -188,12 +218,13 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
     f32 = jnp.float32
     inf = f32(np.inf)
 
-    c_coefs = [f32(c) for c in tabs['c_coefs']]
-    s_coefs = [f32(c) for c in tabs['s_coefs']]
-    s_scale = f32(tabs['s_scale'])
-    c_err = f32(tabs['c_err'])
-    za = f32(2.0 / (k - 2))
-    zb = f32(-1.0 - 4.0 / (k - 2))
+    f2_coefs = [f32(c) for c in tabs['f2_coefs']]
+    f2_small = tabs['f2_small']
+    s_small = tabs['s_small']
+    f2_err = f32(tabs['f2_rel_err'])
+    f2_infl = f32(1.0 + tabs['f2_rel_err'])
+    za = f32(tabs['za'])
+    zb = f32(tabs['zb'])
 
     def chan(t):
         return (in_ref[t, 0], in_ref[t, 1], in_ref[t, 2], in_ref[t, 3])
@@ -203,33 +234,48 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
         prods = jnp.abs(x11 * x22) + x12r ** 2 + x12i ** 2
         return det, prods
 
-    def elem_extras(det, prods):
+    # ---- precompute log|det_t| and the SIGN-PACKED element
+    # conditioning cond_t * sign(det_t) once (shared by passes A/B;
+    # the sign carries neg_t, so one plane serves both) ---------------
+    for t in range(k):
+        det, prods = det_terms(*chan(t))
+        logdet_s[t] = _mlog(jnp.abs(det))
         cond = jnp.minimum(prods / jnp.maximum(jnp.abs(det),
                                                f32(1e-37)), f32(1e18))
-        neg = (det < 0).astype(f32)
-        unc = (jnp.abs(det) < f32(_U64) * prods).astype(f32)
-        return cond, neg, unc
+        cond_s[t] = jnp.where(det < 0, -cond, cond)
 
-    # ---- precompute log|det_t| once (shared by passes A and B) ------
-    for t in range(k):
-        det, _ = det_terms(*chan(t))
-        logdet_s[t] = _mlog(jnp.abs(det))
+    def elem_cond(t):
+        csd = cond_s[t]
+        return jnp.abs(csd), (csd < 0).astype(f32)
 
-    def window_stat(a11, a12r, a12i, a22, alog, aneg, acond, aunc, j):
+    def window_stat(a11, a12r, a12i, a22, alog, aneg, acond, j,
+                    averaged=False):
         """Statistic, f32 error bound and sign-uncertainty of the
         window whose accumulated sums are ``a*`` and length is ``j``
-        (per-pixel array or static float)."""
+        (per-pixel array or static float). With ``averaged`` the
+        statistic is the rearranged s' = n log_prod - n j
+        log(det_sum / j^2), whose analytic j^2 factor absorbs the
+        n P j ln j term of the folded threshold (P = 2)."""
         det_sum, det_prods = det_terms(a11, a12r, a12i, a22)
         odd = (aneg - 2.0 * jnp.floor(aneg * 0.5)) > 0.5
         log_prod = jnp.where(odd, jnp.nan, alog)
-        s = nf * log_prod - (nf * j) * _mlog(det_sum)
+        if averaged:
+            invj = 1.0 / j
+            s = nf * log_prod \
+                - (nf * j) * _mlog(det_sum * invj * invj)
+        else:
+            s = nf * log_prod - (nf * j) * _mlog(det_sum)
         cond_sum = jnp.minimum(
             det_prods / jnp.maximum(jnp.abs(det_sum), f32(1e-37)),
             f32(1e18))
         serr = nf * ((acond + j * cond_sum) * f32(_U64)
                      + (j + 1.0) * f32(_LOG_ERR))
+        # an element whose det sign is within f32 rounding of zero has
+        # cond >= 1/u64, and acond >= any element's cond — so the
+        # running SUM soundly detects it (it can only over-flag, which
+        # adds suspects, never misses one)
         sign_unc = jnp.logical_or(
-            aunc > 0.5,
+            acond > f32(1.0 / _U64),
             jnp.abs(det_sum) < f32(_U64) * det_prods)
         return s, serr, sign_unc
 
@@ -240,8 +286,7 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
 
     # ---- pass A: tentative restart chain (forward) -------------------
     x11, x12r, x12i, x22 = chan(0)
-    det0, prods0 = det_terms(x11, x12r, x12i, x22)
-    cond0, neg0, unc0 = elem_extras(det0, prods0)
+    cond0, neg0 = elem_cond(0)
     r11[:] = x11
     r12r[:] = x12r
     r12i[:] = x12i
@@ -249,15 +294,13 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
     rlog[:] = logdet_s[0]
     rneg[:] = neg0
     rcond[:] = cond0
-    runc[:] = unc0
     rj[:] = jnp.ones((ty, tx), f32)
     tent_s[0] = jnp.zeros((ty, tx), f32)
     rel_a_s[0] = jnp.full((ty, tx), inf)
 
     for t in range(1, k):
         x11, x12r, x12i, x22 = chan(t)
-        det_t, prods_t = det_terms(x11, x12r, x12i, x22)
-        cond_t, neg_t, unc_t = elem_extras(det_t, prods_t)
+        cond_t, neg_t = elem_cond(t)
         a11 = r11[:] + x11
         a12r = r12r[:] + x12r
         a12i = r12i[:] + x12i
@@ -265,17 +308,24 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
         alog = rlog[:] + logdet_s[t]
         aneg = rneg[:] + neg_t
         acond = rcond[:] + cond_t
-        aunc = runc[:] + unc_t
         j = rj[:] + 1.0                     # >= 2 at every step here
 
         s, serr, sign_unc = window_stat(a11, a12r, a12i, a22, alog,
-                                        aneg, acond, aunc, j)
-        z = j * za + zb
-        c = _horner_f32(c_coefs, z)
-        scale = _horner_f32(s_coefs, z) * s_scale
+                                        aneg, acond, j,
+                                        averaged=True)
+        z = jnp.sqrt(j) * za + zb
+        f2v = _horner_f32(f2_coefs, z)
+        scale = 1.0 / (f2v * f2_infl)
+        # exact below the fit range (where thr may be < 1, so the
+        # S = 1/F2 identity doesn't hold — override scale too)
+        for jj, (v, sv) in enumerate(zip(f2_small, s_small)):
+            is_j = j == f32(float(jj + 2))
+            f2v = jnp.where(is_j, f32(v), f2v)
+            scale = jnp.where(is_j, f32(sv), scale)
+        c = -f2v
         hit = s < c                         # NaN never hits
         tent_s[t] = jnp.where(hit, f32(1.0), f32(0.0))
-        rel_a_s[t] = rel_of(s, c, serr + c_err, scale, sign_unc)
+        rel_a_s[t] = rel_of(s, c, serr, scale, sign_unc) - f2_err
 
         # restart the segment at t where a change was detected (the
         # new window INCLUDES x[t], reference semantics)
@@ -286,13 +336,11 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
         rlog[:] = jnp.where(hit, logdet_s[t], alog)
         rneg[:] = jnp.where(hit, neg_t, aneg)
         rcond[:] = jnp.where(hit, cond_t, acond)
-        runc[:] = jnp.where(hit, unc_t, aunc)
         rj[:] = jnp.where(hit, f32(1.0), j)
 
     # ---- pass B: global tests per anchor (backward, static j) --------
     x11, x12r, x12i, x22 = chan(k - 1)
-    detl, prodsl = det_terms(x11, x12r, x12i, x22)
-    condl, negl, uncl = elem_extras(detl, prodsl)
+    condl, negl = elem_cond(k - 1)
     r11[:] = x11
     r12r[:] = x12r
     r12i[:] = x12i
@@ -300,14 +348,12 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
     rlog[:] = logdet_s[k - 1]
     rneg[:] = negl
     rcond[:] = condl
-    runc[:] = uncl
     ghit_s[k - 1] = jnp.zeros((ty, tx), f32)   # l = k-1 ends the scan
     rel_b_s[k - 1] = jnp.full((ty, tx), inf)
 
     for t in range(k - 2, -1, -1):
         x11, x12r, x12i, x22 = chan(t)
-        det_t, prods_t = det_terms(x11, x12r, x12i, x22)
-        cond_t, neg_t, unc_t = elem_extras(det_t, prods_t)
+        cond_t, neg_t = elem_cond(t)
         a11 = r11[:] + x11
         a12r = r12r[:] + x12r
         a12i = r12i[:] + x12i
@@ -315,7 +361,6 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
         alog = rlog[:] + logdet_s[t]
         aneg = rneg[:] + neg_t
         acond = rcond[:] + cond_t
-        aunc = runc[:] + unc_t
         r11[:] = a11
         r12r[:] = a12r
         r12i[:] = a12i
@@ -323,7 +368,6 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
         rlog[:] = alog
         rneg[:] = aneg
         rcond[:] = acond
-        runc[:] = aunc
 
         jg = k - t                              # STATIC window length
         cg = tabs['cg_tab'][jg]
@@ -332,8 +376,7 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
             rel_b_s[t] = jnp.full((ty, tx), inf)
             continue
         s, serr, sign_unc = window_stat(a11, a12r, a12i, a22, alog,
-                                        aneg, acond, aunc,
-                                        f32(float(jg)))
+                                        aneg, acond, f32(float(jg)))
         hit = s < f32(cg)
         ghit_s[t] = jnp.where(hit, f32(1.0), f32(0.0))
         rel_b_s[t] = rel_of(s, f32(cg), serr,
@@ -398,11 +441,11 @@ def change_detection_scan(values, alpha, n=1, interpret=False,
     nplanes = (k + 30) // 31
 
     data = jnp.transpose(values, (2, 3, 0, 1))      # (k, 4, y, x)
-    # tile chooser: 36*k*ty*tx bytes of tile + pass planes
+    # tile chooser: 40*k*ty*tx bytes of tile + pass planes
     ty, tx = 8, 128
     for cand_ty, cand_tx in ((32, 512), (16, 512), (16, 256),
                              (8, 256), (8, 128)):
-        if 36 * k * cand_ty * cand_tx <= _VMEM_BUDGET:
+        if 40 * k * cand_ty * cand_tx <= _VMEM_BUDGET:
             ty, tx = cand_ty, cand_tx
             break
     ty = min(ty, max(8, int(np.ceil(ny / 8)) * 8))
@@ -432,7 +475,7 @@ def change_detection_scan(values, alpha, n=1, interpret=False,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((ty, tx), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[plane] * 5 + [reg] * 9,
+        scratch_shapes=[plane] * 6 + [reg] * 8,
         interpret=interpret,
     )(data)
 

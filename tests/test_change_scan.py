@@ -70,29 +70,76 @@ def test_scan_negative_determinants():
 
 
 def test_scan_tables_fit_contracts():
-    """The threshold polynomial's f32 evaluation error is measured and
-    bounded, and the margin scale never exceeds the exact S(j) (margins
-    may only shrink under approximation)."""
+    """The F2 threshold polynomial's f32 evaluation error is measured,
+    bounded, and SMALL next to the default margin_eps = 3e-4 (a loose
+    fit silently turns the whole grid suspect and overflows the rescan
+    — an earlier absolute-C fit at k=200 ate 0.5 in rel units); the
+    derived margin scale 1/(F2 (1+err)) never exceeds the exact
+    S(j)."""
     from nd_tpu.ops.change import omnibus_rho, omnibus_thresholds
     from nd_tpu.ops.change_scan_pallas import _sim_f32
 
-    for k, n, alpha in ((56, 9, 0.99), (200, 9, 0.99), (64, 1, 0.9)):
+    for k, n, alpha in ((56, 9, 0.99), (200, 9, 0.99), (64, 1, 0.9),
+                        (256, 1, 0.9), (56, 9, 0.01)):
         tabs = scan_tables(k, n, alpha)
         assert tabs is not None
         thr = omnibus_thresholds(k, n, alpha)
         rho = omnibus_rho(np.arange(k + 1), n)
         js = np.arange(2, k + 1, dtype=np.float64)
-        c_exact = (-thr[2:] / (2 * rho[2:])
-                   - n * 2.0 * js * np.log(js))
+        f2_exact = thr[2:] / (2 * rho[2:])
         s_exact = 2 * rho[2:] / np.maximum(np.abs(thr[2:]), 1.0)
-        c_got = np.array([_sim_f32(tabs['c_coefs'], j, k) for j in js])
-        assert np.abs(c_got - c_exact).max() <= tabs['c_err']
-        s_got = np.array([_sim_f32(tabs['s_coefs'], j, k,
-                                   tabs['s_scale']) for j in js])
+        nsm = len(tabs['f2_small'])
+
+        def f2_f32(j):
+            jj = int(j)
+            if jj - 2 < nsm:
+                return np.float32(tabs['f2_small'][jj - 2])
+            w = np.float32(np.sqrt(np.float32(j)))
+            z = np.float32(w * np.float32(tabs['za'])
+                           + np.float32(tabs['zb']))
+            return _sim_f32(tabs['f2_coefs'], z)
+
+        got = np.array([f2_f32(j) for j in js], np.float64)
+        assert np.abs(got / f2_exact - 1.0).max() \
+            <= tabs['f2_rel_err']
+        assert tabs['f2_rel_err'] < 2e-4, (k, n, tabs['f2_rel_err'])
+        # the margin scale never exceeds exact S: 1/(F2 (1+err)) on
+        # the fitted range, exact deflated immediates below it (where
+        # thr < 1 breaks the S = 1/F2 identity — e.g. alpha = 0.01)
+        s_got = 1.0 / (got * (1.0 + tabs['f2_rel_err']))
+        s_got[:nsm] = [np.float32(v) for v in tabs['s_small']]
         assert (s_got > 0).all()
-        assert (s_got <= s_exact).all()
+        assert (s_got <= s_exact * (1 + 1e-12)).all()
         # pass-B immediates are the exact folded values
+        c_exact = (-f2_exact - n * 2.0 * js * np.log(js))
         np.testing.assert_allclose(tabs['cg_tab'][2:], c_exact)
+
+
+def test_scan_small_alpha():
+    """alpha = 0.01 (the OmnibusTest default) puts thr(j=2) below 1,
+    which the S = 1/F2 identity can't serve — the one-hot exact
+    immediates must, and the public long-k path must not raise (a
+    round-3 session crash: ValueError('folded thresholds infeasible')
+    escaped change_detection_hybrid through the accessor)."""
+    cube = _cube_with_changes(8, 128, 16, seed=11)
+    _assert_scan_matches_mixed(cube, 0.01, 9)
+
+
+def test_rescan_gate_checks_feasibility(monkeypatch):
+    """supports_pallas_rescan(k, n, alpha) consults table feasibility
+    for long series so infeasible parameterizations route to the XLA
+    path instead of raising inside the kernel wrapper."""
+    import nd_tpu.ops.change_pallas as cp
+
+    monkeypatch.setattr(cp, 'supports_pallas', lambda k=None: True)
+    assert cp.supports_pallas_rescan(56, 9, 0.01)
+    assert cp.supports_pallas_rescan(56, 9, 0.99)
+    # an absurd alpha drops thr below 1 on the fitted range (thr(6) =
+    # 0.59 at n=9) -> infeasible tables -> the gate says no
+    assert scan_tables(56, 9, 1e-12) is None
+    assert not cp.supports_pallas_rescan(56, 9, 1e-12)
+    # short series never consult the tables (round kernel serves them)
+    assert cp.supports_pallas_rescan(12, 9, 1e-12)
 
 
 def test_scan_k_bounds():

@@ -11,8 +11,8 @@ Checks (all small shapes, executables cached across runs):
      XLA 'mixed' scan == native C++ reference
   3. fast f32 Pallas change kernel: decision agreement with 'mixed'
      away from the decision margin; 3b. long series (k > 48): the
-     round-capped kernel + rescan reproduces 'mixed' exactly, incl. a
-     burst column with more change points than the round cap
+     sequential-scan kernel + rescan reproduces 'mixed' exactly,
+     incl. a burst column with many change points
   4. warp: separable matmul resample == gather sampler
   5. Pallas runtime guard: a simulated launch failure degrades to XLA
      with identical output on-device
@@ -161,7 +161,7 @@ def main(out_path=None):
 
     record('change_fast_margin', check_change_fast)
 
-    # -- 3b. long series: round-capped kernel + rescan == mixed ---------
+    # -- 3b. long series: sequential-scan kernel + rescan == mixed ------
     def check_change_long_series():
         from nd_tpu.ops.change import (change_detection,
                                        change_detection_exact)
@@ -175,8 +175,8 @@ def main(out_path=None):
         vals[..., 1] *= 0.2
         vals[..., 2] *= 0.2
         vals[:, :, k // 2:, 0] *= 3.0
-        # one column with more change points than the round cap: must
-        # come back as a forced suspect and still match exactly
+        # one column with many change points: the scan kernel resolves
+        # its full restart chain in one pass and must match exactly
         t = np.arange(k)
         burst = np.where((t // 3) % 2 == 0, 1.0, 6.0) \
             .astype(np.float32)
