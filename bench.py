@@ -513,7 +513,7 @@ def main():
         from nd_tpu.ops.change_pallas import supports_pallas_rescan
         for KL, tag, lny, lnx in ((56, 'omnibus_long', 256, 512),
                                   (200, 'omnibus_k200', 128, 512)):
-            if not supports_pallas_rescan(KL):
+            if not supports_pallas_rescan(KL, looks, alpha):
                 continue
             cube_long = jnp.asarray(_make_cube(lny, lnx, KL, seed=2))
             mpix_long = lny * lnx * KL / 1e6
@@ -529,6 +529,26 @@ def main():
             if res:
                 detail[tag + '_k'] = KL
                 detail[tag + '_mpix_s'] = round(mpix_long / res, 2)
+
+            # device-resident rate (like the short-k 'omnibus' entry):
+            # fori_loop-repeated exact core inside ONE jit, so the
+            # figure reflects the chip, not the per-dispatch tunnel
+            # latency that dominates the small e2e cube above
+            cap_long = _patch_capacity(lny, lnx)
+
+            def run_exact_long(x, cap_long=cap_long):
+                flags, _ = _change_detection_exact_core(
+                    x, alpha, looks, 3e-4, cap_long)
+                return flags
+
+            res, _ = _resilient(
+                detail, tag + '_device',
+                lambda: _time_loop(run_exact_long, cube_long))
+            if res:
+                detail[tag + '_device_mpix_s'] = \
+                    round(mpix_long / res[0], 2)
+                _roofline(detail, tag + '_device',
+                          16 + 4.0 * ((KL + 30) // 31) / KL, 35 * 3)
 
             # parity vs the f64 'mixed' oracle + the suspect count
             # (an overflowed rescan would silently retime the full

@@ -404,6 +404,28 @@ def _patch_capacity(ny, nx, capacity=None):
     return -(-capacity // 128) * 128
 
 
+def _capacity_ladder(k, capacity, npix):
+    """Rescan capacities tried in order inside the jitted exact scan.
+
+    Short series (fused kernel, exact threshold immediates) keep the
+    single requested capacity: their suspect counts are tiny. Long
+    series run the sequential-scan kernel whose polynomial-fit margin
+    widening makes the suspect fraction grow with k, so a second rung
+    at 4x (capped at the grid size) absorbs data that overflows the
+    base capacity without falling off the device path. Overflowing the
+    LAST rung still means "not exact" — callers compare the returned
+    count against ``_capacity_ladder(...)[-1]``.
+    """
+    from .change_pallas import _K_MAX
+
+    caps = [capacity]
+    if k > _K_MAX:
+        wide = -(-min(4 * capacity, npix) // 128) * 128
+        if wide > capacity:
+            caps.append(wide)
+    return tuple(caps)
+
+
 @partial(jax.jit, static_argnames=('alpha', 'n', 'margin_eps',
                                    'capacity', 'interpret'))
 def _change_detection_exact_packed(values, alpha, n, margin_eps,
@@ -413,7 +435,8 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
     Returns ``(packed, n_suspect)`` with ``packed`` the (P, y, x)
     int32 bit-packed change planes (see
     :func:`~nd_tpu.ops.change_pallas.unpack_flags`). ``packed`` equals
-    the float64 'mixed' decisions whenever ``n_suspect <= capacity``,
+    the float64 'mixed' decisions whenever ``n_suspect`` fits the
+    capacity ladder (``_capacity_ladder(k, capacity, ny*nx)[-1]``),
     executed entirely in HBM: suspect pixels are compacted with a
     fixed-size sort-free flatnonzero, re-scanned with the f64
     formulation on a lane-friendly (cap/128, 128) grid, bit-packed and
@@ -442,40 +465,62 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
             interpret=interpret)
     nplanes = packed.shape[0]
     suspect = ~(margin > jnp.float32(margin_eps))   # NaN-inclusive
-    idx, count = _compact_indices(suspect, capacity)
-    # The real suspect indices come out sorted and unique, but the
-    # capacity-fill entries past `count` resolve to an arbitrary
-    # (clamped) pixel and may repeat it — so sort the whole vector
-    # (cheap at <=16k lanes) to make the indices_are_sorted hint
-    # legal, and do NOT claim unique_indices (a false hint is
-    # undefined behavior in XLA's gather/scatter lowering). Duplicate
-    # fills are benign: each gathers the same series, rescans to the
-    # same decision, and scatters the same value.
-    idx = jnp.sort(idx)
-    series = values.reshape(ny * nx, k, 4).at[idx].get(
-        indices_are_sorted=True)
-    # (cap,) rows rescanned as a (cap/128, 128) grid: a (cap, 1) grid
-    # would put the 128-lane axis on a size-1 dimension and waste >10x
-    series = series.reshape(capacity // 128, 128, k, 4)
-    # unroll only at short k: the straight-line graph beats the
-    # while_loop's per-iteration launch overhead on the small rescan
-    # grid, but its node count is O(k^2) — at the long-series ceiling
-    # (k = 128) that one-time remote compile costs minutes, the very
-    # blowup the round cap exists to avoid
-    patched = change_detection(series, alpha, n=n, stat_dtype='mixed',
-                               unroll=(k <= _K_MAX))
-    patched = patched.reshape(capacity, k)
-    out_planes = []
-    for pp in range(nplanes):
-        nb = min(31, k - 31 * pp)
-        weights = jnp.asarray(2 ** np.arange(nb), jnp.int32)
-        rows_packed = jnp.sum(
-            patched[:, 31 * pp:31 * pp + nb].astype(jnp.int32)
-            * weights, axis=-1, dtype=jnp.int32)
-        out_planes.append(
-            packed[pp].ravel().at[idx].set(
-                rows_packed, indices_are_sorted=True).reshape(ny, nx))
-    packed = jnp.stack(out_planes)
+    count = jnp.sum(suspect.astype(jnp.int32))
+
+    def patch_at(cap):
+        idx, _ = _compact_indices(suspect, cap)
+        # The real suspect indices come out sorted and unique, but the
+        # capacity-fill entries past `count` resolve to an arbitrary
+        # (clamped) pixel and may repeat it — so sort the whole vector
+        # (cheap at <=64k lanes) to make the indices_are_sorted hint
+        # legal, and do NOT claim unique_indices (a false hint is
+        # undefined behavior in XLA's gather/scatter lowering).
+        # Duplicate fills are benign: each gathers the same series,
+        # rescans to the same decision, and scatters the same value.
+        idx = jnp.sort(idx)
+        series = values.reshape(ny * nx, k, 4).at[idx].get(
+            indices_are_sorted=True)
+        # (cap,) rows rescanned as a (cap/128, 128) grid: a (cap, 1)
+        # grid would put the 128-lane axis on a size-1 dimension and
+        # waste >10x
+        series = series.reshape(cap // 128, 128, k, 4)
+        # unroll only at short k: the straight-line graph beats the
+        # while_loop's per-iteration launch overhead on the small
+        # rescan grid, but its node count is O(k^2) — at the
+        # long-series ceiling that one-time remote compile costs
+        # minutes, the very blowup the round cap existed to avoid
+        patched = change_detection(series, alpha, n=n,
+                                   stat_dtype='mixed',
+                                   unroll=(k <= _K_MAX))
+        patched = patched.reshape(cap, k)
+        out_planes = []
+        for pp in range(nplanes):
+            nb = min(31, k - 31 * pp)
+            weights = jnp.asarray(2 ** np.arange(nb), jnp.int32)
+            rows_packed = jnp.sum(
+                patched[:, 31 * pp:31 * pp + nb].astype(jnp.int32)
+                * weights, axis=-1, dtype=jnp.int32)
+            out_planes.append(
+                packed[pp].ravel().at[idx].set(
+                    rows_packed,
+                    indices_are_sorted=True).reshape(ny, nx))
+        return jnp.stack(out_planes)
+
+    # Capacity ladder: the long-series kernel's fitted thresholds
+    # widen the suspect margin, and the suspect fraction grows with k
+    # (~1.3% at k=56, ~12% at k=200 on the bench cubes) — a static
+    # capacity either over-provisions short chains or overflows long
+    # ones. Patch at the base capacity, and only when the count
+    # overflows take a lax.cond branch that patches at the wider rung
+    # — the data picks its own rescan size at runtime with no host
+    # round-trip, and a rung is paid only when it is actually taken.
+    caps = _capacity_ladder(k, capacity, ny * nx)
+    if len(caps) == 1:
+        packed = patch_at(caps[0])
+    else:
+        packed = lax.cond(count <= caps[0],
+                          lambda: patch_at(caps[0]),
+                          lambda: patch_at(caps[1]))
     return packed, count
 
 
@@ -532,11 +577,19 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
     ny, nx = values.shape[:2]
     capacity = _patch_capacity(ny, nx, capacity)
 
+    cap_max = _capacity_ladder(np.shape(values)[2], capacity,
+                               ny * nx)[-1]
+
     def pallas_path(v):
         flags, count = _change_detection_exact_core(
             v, float(alpha), int(n), float(margin_eps), capacity,
             interpret=interpret)
-        if int(count) > capacity:   # host sync; rare
+        # the overflow check is also the launch probe: int(count)
+        # blocks until the whole computation lands, so an async Pallas
+        # launch failure surfaces right here inside the guard's try —
+        # one tunnel round-trip instead of count-fetch + probe-fetch
+        # (each costs ~25-40 ms of pure latency on tunneled backends)
+        if int(count) > cap_max:   # rare
             return change_detection(v, alpha=alpha, n=n,
                                     stat_dtype='mixed')
         return flags
@@ -547,7 +600,7 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
 
     from .pallas_guard import run_with_fallback
     return run_with_fallback(pallas_path, xla_path, values,
-                             name='change-exact')
+                             probe=False, name='change-exact')
 
 
 def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
@@ -671,7 +724,8 @@ def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
         float(alpha), int(n), int(k), float(margin_eps),
         capacity)(values_dev)
     packed_np = np.asarray(packed)            # (P, ny, nx), 1-4 B/pix
-    if int(count) > capacity:                     # rare; exact rerun
+    cap_max = _capacity_ladder(k, capacity, ny * nx)[-1]
+    if int(count) > cap_max:                      # rare; exact rerun
         return np.asarray(change_detection(values_dev, alpha=alpha,
                                            n=n, stat_dtype='mixed'))
     # unpackbits on the little-endian byte view is ~25x faster than

@@ -179,3 +179,38 @@ def test_exact_long_series_routes_through_scan(monkeypatch):
         cube, alpha=0.99, n=9, capacity=512, interpret=True))
     np.testing.assert_array_equal(got, ref)
     assert calls
+
+
+def test_capacity_ladder_second_rung(monkeypatch):
+    """When the suspect count overflows the base capacity, the jitted
+    exact scan takes the 4x ladder rung (lax.cond, no host sync) and
+    stays exact — long-k suspect fractions grow with k, so a static
+    base capacity must not force the full-grid fallback."""
+    import nd_tpu.ops.change_pallas as cp
+    from nd_tpu.ops.change import (_capacity_ladder,
+                                   _change_detection_exact_core,
+                                   change_detection_exact)
+
+    monkeypatch.setattr(cp, '_K_MAX', 8)
+    cube = _cube_with_changes(8, 128, 20, seed=11)
+    ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
+                                      stat_dtype='mixed'))
+
+    # short series keep a single rung; the long path adds the 4x one
+    assert _capacity_ladder(8, 256, 1024) == (256,)
+    assert _capacity_ladder(20, 256, 1024) == (256, 1024)
+
+    # a huge margin_eps makes EVERY pixel suspect: count (1024)
+    # overflows the base rung (256) but fits the wide one (1024), so
+    # the rescan must patch the whole grid and still match the oracle
+    flags, count = _change_detection_exact_core(
+        cube, 0.99, 9, 1e9, 256, interpret=True)
+    assert int(count) == 8 * 128 > 256
+    np.testing.assert_array_equal(np.asarray(flags), ref)
+
+    # the eager wrapper compares overflow against the LAST rung, so
+    # this same call must not fall back to the full-grid mixed path
+    got = np.asarray(change_detection_exact(
+        cube, alpha=0.99, n=9, margin_eps=1e9, capacity=256,
+        interpret=True))
+    np.testing.assert_array_equal(got, ref)

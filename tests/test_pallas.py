@@ -291,7 +291,7 @@ def test_hybrid_x64_off_host_patches(monkeypatch):
 
     monkeypatch.setattr(cp, 'supports_pallas', lambda k=None: True)
     monkeypatch.setattr(cp, 'supports_pallas_rescan',
-                        lambda k=None: True)
+                        lambda k=None, n=None, alpha=None: True)
     monkeypatch.setattr(
         cp, 'change_detection_pallas',
         functools.partial(cp.change_detection_pallas, interpret=True))
