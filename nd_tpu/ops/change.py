@@ -183,7 +183,12 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
         convention) and runs the determinant/log/decision math in
         float64 — reference-exact decisions at ~1.4x the full-f64
         speed. Pass float32 for maximum throughput (~1e-5 decision
-        disagreement) or float64 to force everything wide.
+        disagreement) or float64 to force everything wide. The
+        interval sums accumulate STRICTLY left-to-right (a lax.scan,
+        not jnp.cumsum), so the decisions are a well-defined function
+        of each pixel's series — bit-stable across batch shapes and
+        backends, in the reference kernel's own add order — which is
+        what makes 'mixed' usable as the exact-mode parity target.
     unroll : bool, optional
         Statically unroll the restart loop (k-1 rounds, no early
         exit). The body is a no-op for inactive pixels, so the result
@@ -234,9 +239,13 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
     dets = (chans[0] * chans[3] - chans[1] ** 2 - chans[2] ** 2)
     logdet_t = jnp.log(jnp.abs(dets).astype(ldtype))
     neg_t = (dets < 0).astype(sdtype)
-    series = chans + [logdet_t, neg_t]  # per-channel dtypes preserved
+    # (k, y, x) layout: the interval sums below accumulate with
+    # lax.scan over the leading (time) axis, and everything downstream
+    # is elementwise with time leading
+    series = [jnp.moveaxis(a, -1, 0)
+              for a in chans + [logdet_t, neg_t]]
 
-    tt = jnp.arange(k)[None, None, :]                  # time index
+    tt = jnp.arange(k)[:, None, None]                  # time index
 
     # Host-precomputed per-window-length thresholds: the chi-square
     # decision becomes a z-threshold compare (no igamma on device).
@@ -268,28 +277,54 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
 
     def body(state):
         i, l, active, result = state
-        lc = l[..., None]                              # (y,x,1)
-        ge_l = (tt >= lc)                              # (y,x,k)
+        lc = l[None]                                   # (1,y,x)
 
         # t-space formulation: the window [l, t] (inclusive) has length
         # j_t = t - l + 1; its channel sums are cumulative sums of the
         # l-masked series — O(k) work per iteration instead of the
         # O(k^2) per-window reductions, and the global test is simply
         # the t = k-1 entry (no per-pixel indexing anywhere).
-        def csum(x):
-            return jnp.cumsum(x * ge_l.astype(x.dtype), axis=-1)
+        #
+        # The prefix sums accumulate with a SEQUENTIAL lax.scan, not
+        # jnp.cumsum: XLA's cumsum lowering reassociates the f32 adds
+        # differently per batch shape (measured on TPU: the same pixel
+        # series decides differently inside a (128,512,k) cube than as
+        # a gathered (N,128,k) row batch at knife-edge windows), which
+        # made the 'mixed' decisions an ill-defined parity target —
+        # the exact mode's f64 patch rescan (a gathered batch) could
+        # disagree with the same call on the full cube. The scan's
+        # left-to-right order is bit-stable across shapes and
+        # backends, IS the reference kernel's own accumulation order
+        # (/root/reference/nd/_change.pyx:53-77, sequential adds from
+        # the anchor), and matches the Pallas kernels' running sums
+        # exactly (masked entries add +0.0, which preserves the bits).
+        def step(carry, xs_t):
+            x11, x12r, x12i, x22, ld, ng, t = xs_t
+            m = t >= l                                 # (y,x)
+            new = (carry[0] + jnp.where(m, x11, sdtype.type(0)),
+                   carry[1] + jnp.where(m, x12r, sdtype.type(0)),
+                   carry[2] + jnp.where(m, x12i, sdtype.type(0)),
+                   carry[3] + jnp.where(m, x22, sdtype.type(0)),
+                   carry[4] + jnp.where(m, ld, ldtype.type(0)),
+                   carry[5] + jnp.where(m, ng, sdtype.type(0)))
+            return new, new
 
-        c11 = csum(series[0]).astype(ldtype)
-        c12r = csum(series[1]).astype(ldtype)
-        c12i = csum(series[2]).astype(ldtype)
-        c22 = csum(series[3]).astype(ldtype)
-        logdet = csum(series[4])
-        odd_neg = (csum(series[5]).astype(jnp.int32) % 2) == 1
+        init_sums = (jnp.zeros((ny, nx), sdtype),) * 4 \
+            + (jnp.zeros((ny, nx), ldtype),
+               jnp.zeros((ny, nx), sdtype))
+        _, sums = lax.scan(step, init_sums,
+                           tuple(series) + (jnp.arange(k),))
+        c11 = sums[0].astype(ldtype)
+        c12r = sums[1].astype(ldtype)
+        c12i = sums[2].astype(ldtype)
+        c22 = sums[3].astype(ldtype)
+        logdet = sums[4]
+        odd_neg = (sums[5].astype(jnp.int32) % 2) == 1
 
         jt = (tt - lc + 1).astype(ldtype)              # window length
         det_of_sum = c11 * c22 - c12r ** 2 - c12i ** 2
         log_prod = jnp.where(odd_neg, jnp.nan, logdet)
-        jt_i = tt - lc + 1                             # (y,x,k) int
+        jt_i = tt - lc + 1                             # (k,y,x) int
 
         if use_folded:
             # folded form: one f64 log + fused multiply-compare per
@@ -307,7 +342,7 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
                          - jt * jnp.log(det_of_sum))
             rho_t = 1 - (2 * _P ** 2 - 1) / (6 * (jt - 1) * _P) \
                 * (jt / nf - 1 / (nf * jt))
-            z = -2 * rho_t * logQ                      # (y,x,k)
+            z = -2 * rho_t * logQ                      # (k,y,x)
 
             # per-length threshold shifted into t-space: accumulate the
             # small host table with scalar one-hot compares (no 4-D
@@ -323,17 +358,17 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
             hit = jnp.logical_and(z > thresh_t, tt >= lc + 1)  # j >= 2
 
         # global test over ts[l:] is the t = k-1 entry
-        active = jnp.logical_and(active, hit[..., k - 1])
+        active = jnp.logical_and(active, hit[k - 1])
 
-        any_hit = jnp.any(hit, axis=-1)                # guaranteed when
-        t_first = jnp.argmax(hit, axis=-1)             # active
+        any_hit = jnp.any(hit, axis=0)                 # guaranteed when
+        t_first = jnp.argmax(hit, axis=0)              # active
         # change point at l + r = t_first; dry scans jump to k-1
         pos = jnp.where(any_hit, t_first, k - 1).astype(l.dtype)
         pos = jnp.maximum(pos, l + 1)
 
         set_mask = jnp.logical_and(active, any_hit)    # (y,x)
-        upd = jnp.logical_and(tt == pos[..., None],
-                              set_mask[..., None])
+        upd = jnp.logical_and(tt == pos[None],
+                              set_mask[None])
         result = jnp.logical_or(result, upd)
 
         l = jnp.where(active, pos, l)
@@ -343,7 +378,7 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
     init = (jnp.asarray(0),
             jnp.zeros((ny, nx), jnp.int32),
             jnp.ones((ny, nx), bool),
-            jnp.zeros((ny, nx, k), bool))
+            jnp.zeros((k, ny, nx), bool))
     if unroll:
         state = init
         for _ in range(max(k - 1, 0)):
@@ -351,7 +386,7 @@ def change_detection(values, alpha, n=1, stat_dtype='mixed',
         result = state[3]
     else:
         _, _, _, result = lax.while_loop(cond, body, init)
-    return result
+    return jnp.moveaxis(result, 0, -1)
 
 
 def _compact_indices(mask, capacity):

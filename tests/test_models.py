@@ -92,7 +92,14 @@ def test_graft_entry():
 
 def test_graft_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
+    from nd_tpu.ops.pallas_guard import pallas_disabled
     dryrun_multichip(8)
+    # the dryrun's explicit Pallas gate exists for processes where an
+    # accelerator backend won the default election before the CPU mesh
+    # was built; in THIS process (default backend == mesh platform) it
+    # must not fire — a process-wide disable here poisons every
+    # Pallas-dispatch test that runs after this one
+    assert not pallas_disabled()
 
 
 def test_save_load_params(tmp_path):
