@@ -224,3 +224,35 @@ def test_native_rejects_bad_channel_count():
             change_detection_native(np.ones((2, 2, 4, 3)), alpha=0.9)
     except NativeUnavailable:
         pytest.skip('native lib unavailable')
+
+
+def test_mixed_decisions_batch_shape_invariant():
+    """A pixel's 'mixed' decisions are a function of its series alone.
+
+    The interval sums accumulate with a strict left-to-right lax.scan
+    (not jnp.cumsum, whose XLA lowering reassociates f32 adds
+    differently per batch shape), so evaluating a pixel inside the
+    full cube and re-evaluating it as a gathered row batch — exactly
+    what the exact mode's f64 patch rescan does — must produce
+    bit-identical flags. Guards ops/change.py change_detection's scan
+    accumulation against regressing to a shape-dependent cumsum.
+    """
+    rng = np.random.RandomState(11)
+    ny, nx, k = 10, 12, 16
+    values = rng.normal(1, 0.4, size=(ny, nx, k, 4)).astype(np.float32)
+    values[..., 0] = np.abs(values[..., 0]) + 0.3
+    values[..., 3] = np.abs(values[..., 3]) + 0.3
+    values[..., 1:3] *= 0.2
+    alpha = 0.9
+    full = np.asarray(change_detection(values, alpha=alpha, n=4))
+    flat = values.reshape(ny * nx, k, 4)
+    idx = rng.choice(ny * nx, size=23, replace=False)
+    batch = flat[idx][:, None]              # (N, 1, k, 4) gathered rows
+    got = np.asarray(change_detection(batch, alpha=alpha, n=4))
+    np.testing.assert_array_equal(got[:, 0],
+                                  full.reshape(ny * nx, k)[idx])
+    # the unrolled straight-line graph makes the same decisions as the
+    # while_loop driver (the patch rescan runs unrolled)
+    unrolled = np.asarray(change_detection(values, alpha=alpha, n=4,
+                                           unroll=True))
+    np.testing.assert_array_equal(unrolled, full)
