@@ -100,25 +100,25 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
 
 @requires('gsl')  # capability flag: satisfied natively (chi2 on device)
 class OmnibusTest(ChangeDetection):
-    """OmnibusTest
-
-    Change detection algorithm by Conradsen et al. (2016), computed as a
-    fused TPU kernel over the full cube.
+    """Complex-Wishart omnibus change detection (Conradsen et al. 2016)
+    for dual-pol SAR covariance time series, computed as a fused TPU
+    kernel over the whole cube.
 
     Parameters
     ----------
     ds : Dataset
-        A (multilooked) dataset in covariance matrix format.
+        Covariance-format cube (``C11, C12__re, C12__im, C22``). Pass
+        ``ml`` if it has not been multilooked yet.
     ml : int, optional
-        Multilooking window size. By default no multilooking is
-        performed and the dataset is assumed to be multilooked.
+        Window size for on-the-fly multilooking; omit when ``ds`` is
+        already multilooked.
     n : int, optional
-        The number of looks in ``ds``. If ``ml`` is specified this
-        parameter is ignored (default: 1).
-    alpha : float (0. ... 1.), optional
-        The probability threshold (default: 0.01).
+        Number of looks the cube carries. Ignored (and derived as
+        ``ml**2``) when ``ml`` is given (default: 1).
+    alpha : float in (0, 1), optional
+        Significance level of the per-test rejection (default: 0.01).
     kwargs : dict, optional
-        Extra keyword arguments for ``ChangeDetection.__init__``.
+        Forwarded to ``ChangeDetection.__init__`` (e.g. ``njobs``).
     """
 
     def __init__(self, ml=None, n=1, alpha=0.01, *args, **kwargs):

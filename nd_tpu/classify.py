@@ -18,7 +18,7 @@ from collections import OrderedDict
 import numpy as np
 
 from . import utils
-from .core import DataArray, Dataset, concat
+from .core import DataArray, Dataset
 
 try:
     from sklearn import metrics, preprocessing
@@ -92,28 +92,51 @@ def _build_X(ds, feature_dims=[]):
     return vals.reshape((-1, n_feat))
 
 
-def _broadcast_array(arr, shape):
-    matching = list(shape)
-    new_shape = [1] * len(shape)
-    for dim in arr.shape:
-        i = matching.index(dim)
-        new_shape[i] = dim
-        matching[i] = None
-    return np.broadcast_to(arr.reshape(new_shape), shape)
+def _name_label_axes(shape, ds, data_dims):
+    """Pair every axis of a bare label array with a sample dim.
+
+    Axes are matched left to right against the first not-yet-claimed
+    sample dim of the same length, turning an anonymous ndarray into a
+    named-dim view that the DataArray broadcast path can handle.
+    """
+    unclaimed = list(data_dims)
+    named = []
+    for length in shape:
+        dim = next((d for d in unclaimed if ds.sizes[d] == length), None)
+        if dim is None:
+            raise ValueError(
+                'label array of shape {!r} does not align with sample '
+                'dims {!r}'.format(shape, tuple(data_dims)))
+        named.append(dim)
+        unclaimed.remove(dim)
+    return tuple(named)
 
 
 def _broadcast_labels(labels, ds, feature_dims=[]):
-    shape = _get_data_shape(ds, feature_dims=feature_dims)
-    if isinstance(labels, np.ndarray):
-        return _broadcast_array(labels, shape)
-    if isinstance(labels, DataArray):
-        data_dims = _get_data_dims(ds, feature_dims=feature_dims)
-        bc_dims = set(data_dims) - set(labels.dims) - set(feature_dims)
-        for dim in bc_dims:
-            labels = concat([labels] * ds.sizes[dim], dim=dim)
-            labels._coords[dim] = ds._coords[dim]
-        return labels.transpose(*data_dims)
-    raise TypeError(type(labels))
+    """Broadcast labels over every sample dim of ``ds`` (named-dim
+    alignment; capability parity with the reference's label broadcast)."""
+    data_dims = _get_data_dims(ds, feature_dims=feature_dims)
+    bare = isinstance(labels, np.ndarray)
+    if bare:
+        dims = _name_label_axes(labels.shape, ds, data_dims)
+        labels = DataArray(labels, dims=dims)
+    if not isinstance(labels, DataArray):
+        raise TypeError(type(labels))
+
+    # lay the label axes out in sample order, leave singleton slots for
+    # the dims the labels don't carry, then stretch those slots
+    present = [d for d in data_dims if d in labels.dims]
+    body = np.asarray(labels.transpose(*present).values)
+    slotted = body.reshape(tuple(
+        ds.sizes[d] if d in present else 1 for d in data_dims))
+    full = np.broadcast_to(
+        slotted, tuple(ds.sizes[d] for d in data_dims))
+    if bare:
+        return full
+    coords = OrderedDict(
+        (d, np.asarray(ds.coords[d].values))
+        for d in data_dims if d in ds.coords)
+    return DataArray(full, dims=data_dims, coords=coords)
 
 
 class Classifier:

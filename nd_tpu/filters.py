@@ -278,17 +278,17 @@ convolution = wrap_algorithm(ConvolutionFilter, 'convolution')
 # -------------
 
 class BoxcarFilter(ConvolutionFilter):
-    """A boxcar (moving average) filter.
+    """Uniform moving-average filter: every tap weighs ``1/w**N``.
 
     Parameters
     ----------
     dims : tuple of str, optional
-        The dimensions along which to apply the filter
-        (default: ('y', 'x')).
+        Dimensions the window slides over (default: ('y', 'x')).
     w : int
-        The width of the boxcar window (odd for symmetry).
+        Window width per dimension; use an odd value so the window is
+        centred on the output pixel.
     kwargs : dict, optional
-        Extra keyword arguments (``mode``, ``cval``).
+        Edge-handling options (``mode``, ``cval``).
     """
 
     def __init__(self, dims=('y', 'x'), w=3, **kwargs):

