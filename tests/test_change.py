@@ -256,3 +256,9 @@ def test_mixed_decisions_batch_shape_invariant():
     unrolled = np.asarray(change_detection(values, alpha=alpha, n=4,
                                            unroll=True))
     np.testing.assert_array_equal(unrolled, full)
+    # and the exact configuration the f64 patch rescan uses — unrolled
+    # on a gathered row batch — matches the full cube directly
+    got_unrolled = np.asarray(change_detection(batch, alpha=alpha, n=4,
+                                               unroll=True))
+    np.testing.assert_array_equal(got_unrolled[:, 0],
+                                  full.reshape(ny * nx, k)[idx])
