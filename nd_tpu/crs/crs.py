@@ -26,10 +26,12 @@ _WKT_GCS_NAMES = {
 }
 
 
-def _utm_params(zone, south=False):
+def _utm_params(zone, south=False, ellps='WGS84', datum=None):
     p = {'proj': 'utm', 'zone': zone, 'lon_0': zone * 6 - 183,
          'k': 0.9996, 'x_0': 500000.0, 'y_0': 10000000.0 if south else 0.0,
-         'ellps': 'WGS84', 'units': 'm'}
+         'ellps': ellps, 'units': 'm'}
+    if datum is not None:
+        p['datum'] = datum
     if south:
         p['south'] = True
     return p
@@ -134,6 +136,31 @@ _EPSG = {
             'towgs84': (565.417, 50.3319, 465.552, -0.398957,
                         0.343988, -1.8774, 4.0725),
             'units': 'm'},
+    # BD72 / Belgian Lambert 72 (conic apex at the pole; note the
+    # centimetre-level false origin offsets in the official definition)
+    31370: {'proj': 'lcc', 'lat_0': 90.0, 'lon_0': 4.367486666666666,
+            'lat_1': 51.16666723333333, 'lat_2': 49.8333339,
+            'x_0': 150000.013, 'y_0': 5400088.438, 'ellps': 'intl',
+            'towgs84': (-106.8686, 52.2978, -103.7239, 0.3366,
+                        -0.457, 1.8422, -1.2747),
+            'units': 'm'},
+    # TM65 / Irish Grid (modified Airy ellipsoid)
+    29902: {'proj': 'tmerc', 'lat_0': 53.5, 'lon_0': -8.0,
+            'k': 1.000035, 'x_0': 200000.0, 'y_0': 250000.0,
+            'ellps': 'mod_airy',
+            'towgs84': (482.5, -130.6, 564.6, -1.042, -0.214,
+                        -0.631, 8.15),
+            'units': 'm'},
+    # NTF (Paris) / Lambert zone II (one-parallel LCC). The official
+    # axis is lon_0 = 0 east of the Paris meridian; the Paris offset
+    # (2 deg 20' 14.025" = 2.337229166666667 deg) is folded into a
+    # Greenwich lon_0 so every coordinate in the pipeline stays
+    # Greenwich-referenced (the projection grid is identical).
+    27572: {'proj': 'lcc', 'lat_0': 46.8, 'lat_1': 46.8,
+            'k_0': 0.99987742, 'lon_0': 2.337229166666667,
+            'x_0': 600000.0, 'y_0': 2200000.0, 'ellps': 'clrk80ign',
+            'towgs84': (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0),
+            'units': 'm'},
 }
 
 # ESRI authority codes (the "World_*" 54xxx family on WGS 84). A few
@@ -158,17 +185,33 @@ _ESRI = {
             'y_0': 0, 'ellps': 'WGS84', 'datum': 'WGS84',
             'units': 'm'},
 }
-# bare-number shorthand for the ESRI world projections users most
-# often request by code
+# the legacy ArcGIS Online / Google web-Mercator aliases
+_ESRI[102100] = dict(_EPSG[3857])
+_ESRI[102113] = dict(_EPSG[3857])
+# bare-number shorthand for the ESRI codes users most often request
+# by number alone
 _EPSG[54030] = _ESRI[54030]
+_EPSG[102100] = _ESRI[102100]
+_EPSG[102113] = _ESRI[102113]
 for _zone in range(28, 39):
-    _EPSG[25800 + _zone] = {
-        'proj': 'utm', 'zone': _zone, 'lon_0': _zone * 6 - 183,
-        'k': 0.9996, 'x_0': 500000.0, 'y_0': 0.0, 'ellps': 'GRS80',
-        'datum': 'ETRS89', 'units': 'm'}
+    # ETRS89 / UTM (Sentinel-2 tile grids, European national mapping)
+    _EPSG[25800 + _zone] = _utm_params(_zone, ellps='GRS80',
+                                       datum='ETRS89')
+    # ED50 / UTM (legacy European charts, North Sea oil & gas)
+    _EPSG[23000 + _zone] = _utm_params(_zone, ellps='intl',
+                                       datum='ED50')
 for _zone in range(1, 61):
     _EPSG[32600 + _zone] = _utm_params(_zone, south=False)
     _EPSG[32700 + _zone] = _utm_params(_zone, south=True)
+for _zone in range(1, 24):
+    # NAD83 / UTM zones 1N-23N (the default grids for US Landsat/NAIP)
+    _EPSG[26900 + _zone] = _utm_params(_zone, ellps='GRS80',
+                                       datum='NAD83')
+for _zone in range(1, 23):
+    # NAD27 / UTM zones 1N-22N (Clarke 1866; CONUS-average datum
+    # shift — see DATUM_TO_WGS84['NAD27'])
+    _EPSG[26700 + _zone] = _utm_params(_zone, ellps='clrk66',
+                                       datum='NAD27')
 
 _PROJECTION_WKT_NAMES = {
     'stere': 'Polar_Stereographic',
@@ -690,7 +733,7 @@ class CRS:
             elif isinstance(v, (tuple, list)):
                 # proj4 list parameters (e.g. +towgs84) are
                 # comma-separated, not Python tuple reprs
-                parts.append('+%s=%s' % (k, ','.join('%g' % float(x)
+                parts.append('+%s=%s' % (k, ','.join('%.12g' % float(x)
                                                      for x in v)))
             else:
                 parts.append('+%s=%s' % (k, v))
@@ -705,7 +748,7 @@ class CRS:
         ell = self.ellipsoid
         rf = (1.0 / ell.f) if ell.f else 0.0
         datum = self._params.get('datum', 'WGS84')
-        towgs = ','.join('%g' % v for v in self.datum_shift)
+        towgs = ','.join('%.12g' % v for v in self.datum_shift)
         gcs_auth = ''
         gcs_code = {'WGS84': 4326, 'OSGB36': 4277, 'NAD83': 4269}.get(datum)
         gcs_name = {'WGS84': 'WGS 84', 'OSGB36': 'OSGB 1936',

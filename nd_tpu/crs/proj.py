@@ -71,6 +71,7 @@ ELLIPSOIDS = {
     'WGS84': Ellipsoid('WGS84', 6378137.0, rf=298.257223563),
     'GRS80': Ellipsoid('GRS80', 6378137.0, rf=298.257222101),
     'airy': Ellipsoid('airy', 6377563.396, b=6356256.909),
+    'mod_airy': Ellipsoid('mod_airy', 6377340.189, b=6356034.446),
     'intl': Ellipsoid('intl', 6378388.0, rf=297.0),
     'clrk66': Ellipsoid('clrk66', 6378206.4, b=6356583.8),
     'sphere': Ellipsoid('sphere', 6370997.0, rf=0),

@@ -897,3 +897,155 @@ def test_transform_roundtrip_28992_and_robinson():
     lo, la = transform_coords('ESRI:54030', 'epsg:4326', x, y)
     np.testing.assert_allclose(lo, lon, atol=1e-8)
     np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# round 4 (VERDICT item 3): NAD83/NAD27/ED50 UTM series, Belgian
+# Lambert 72, Irish grid, NTF Lambert zone II, web-Mercator aliases
+# ---------------------------------------------------------------------------
+
+def test_registry_round4_codes_parse_and_roundtrip():
+    codes = (['EPSG:269%02d' % z for z in range(1, 24)]
+             + ['EPSG:267%02d' % z for z in range(1, 23)]
+             + ['EPSG:230%d' % z for z in range(28, 39)]
+             + ['EPSG:31370', 'EPSG:29902', 'EPSG:27572',
+                'ESRI:102100', 'ESRI:102113', 'epsg:102100',
+                'epsg:102113'])
+    for code in codes:
+        c = CRS.from_user_input(code)
+        assert CRS.from_wkt(c.to_wkt()) == c, code
+        assert CRS.from_proj4(c.to_proj4()) == c, code
+    assert CRS.from_user_input('ESRI:102100').proj == 'webmerc'
+    assert CRS.from_user_input('EPSG:26917').proj == 'utm'
+
+
+def test_nad83_utm17_cn_tower_oracle():
+    # Public survey anchor (the Wikipedia UTM worked example): the CN
+    # Tower at 43.642567 N, 79.387139 W sits at UTM 17N 630084 E,
+    # 4833438 N. NAD83 is within centimetres of WGS 84 here.
+    x, y = transform_coords('epsg:4326', 'epsg:26917',
+                            np.array([-79.387139]),
+                            np.array([43.642567]))
+    assert abs(x[0] - 630084.0) < 1.0
+    assert abs(y[0] - 4833438.0) < 1.0
+    lo, la = transform_coords('epsg:26917', 'epsg:4326', x, y)
+    assert abs(lo[0] + 79.387139) < 1e-9
+    assert abs(la[0] - 43.642567) < 1e-9
+
+
+def test_nad27_utm_differs_from_nad83_by_datum_shift():
+    # Clarke 1866 + the CONUS-average shift move the same ground point
+    # by tens to a couple hundred metres relative to NAD83 UTM — and
+    # NOT by zero (a missing datum hookup would make them identical).
+    lon = np.array([-79.4, -95.0])
+    lat = np.array([43.6, 30.0])
+    x83, y83 = transform_coords('epsg:4326', 'epsg:26917', lon, lat)
+    x27, y27 = transform_coords('epsg:4326', 'epsg:26717', lon, lat)
+    d = np.hypot(x27 - x83, y27 - y83)
+    assert (d > 5).all() and (d < 300).all()
+    lo, la = transform_coords('epsg:26717', 'epsg:4326', x27, y27)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+def test_ed50_utm_offset_from_wgs84_utm():
+    # ED50 coordinates in the North Sea area are famously ~100-250 m
+    # away from their WGS 84 UTM counterparts.
+    lon = np.array([9.0])
+    lat = np.array([53.5])
+    xw, yw = transform_coords('epsg:4326', 'epsg:32632', lon, lat)
+    xe, ye = transform_coords('epsg:4326', 'epsg:23032', lon, lat)
+    d = float(np.hypot(xe - xw, ye - yw)[0])
+    assert 50 < d < 300
+    lo, la = transform_coords('epsg:23032', 'epsg:4326', xe, ye)
+    assert abs(lo[0] - 9.0) < 1e-8 and abs(la[0] - 53.5) < 1e-8
+
+
+def test_belgian_lambert72_structure():
+    # lat_0 = 90: the conic apex (the pole) maps exactly onto the
+    # false origin — an exact structural invariant of the definition.
+    from nd_tpu.crs.proj import project_forward
+    c = CRS.from_user_input('EPSG:31370')
+    x, y = project_forward('lcc', np.array([4.367486666666666]),
+                           np.array([90.0]), c.ellipsoid, c.params)
+    assert abs(x[0] - 150000.013) < 1e-6
+    assert abs(y[0] - 5400088.438) < 1e-6
+    # Brussels lands where Belgian Lambert 72 puts Brussels (km-level
+    # window; catches swapped parallels / wrong ellipsoid / missing
+    # false origin)
+    bx, by = transform_coords('epsg:4326', 'epsg:31370',
+                              np.array([4.3517]), np.array([50.8503]))
+    assert 147000 < bx[0] < 151000 and 169000 < by[0] < 173000
+    lo, la = transform_coords('epsg:31370', 'epsg:4326', bx, by)
+    assert abs(lo[0] - 4.3517) < 1e-8 and abs(la[0] - 50.8503) < 1e-8
+
+
+def test_irish_grid_29902():
+    # the true origin (53.5 N, 8 W) maps exactly onto the false origin
+    from nd_tpu.crs.proj import project_forward
+    c = CRS.from_user_input('EPSG:29902')
+    assert c.ellipsoid.name == 'mod_airy'
+    x, y = project_forward('tmerc', np.array([-8.0]), np.array([53.5]),
+                           c.ellipsoid, c.params)
+    assert abs(x[0] - 200000.0) < 1e-6
+    assert abs(y[0] - 250000.0) < 1e-6
+    # Dublin city centre is in the O square around (315900, 234600)
+    dx, dy = transform_coords('epsg:4326', 'epsg:29902',
+                              np.array([-6.2603]), np.array([53.3498]))
+    assert 314000 < dx[0] < 318000 and 233000 < dy[0] < 237000
+    lo, la = transform_coords('epsg:29902', 'epsg:4326', dx, dy)
+    assert abs(lo[0] + 6.2603) < 1e-8 and abs(la[0] - 53.3498) < 1e-8
+
+
+def test_ntf_lambert_zone2_27572():
+    # the true origin (46.8 N on the Paris meridian, folded to
+    # Greenwich 2.337229166666667 E) maps exactly onto (600000, 2200000)
+    from nd_tpu.crs.proj import project_forward
+    c = CRS.from_user_input('EPSG:27572')
+    x, y = project_forward('lcc', np.array([2.337229166666667]),
+                           np.array([46.8]), c.ellipsoid, c.params)
+    assert abs(x[0] - 600000.0) < 1e-6
+    assert abs(y[0] - 2200000.0) < 1e-6
+    # Paris lands near (601000, 2428500) in Lambert II etendue
+    px, py = transform_coords('epsg:4326', 'epsg:27572',
+                              np.array([2.3522]), np.array([48.8566]))
+    assert 599000 < px[0] < 603000 and 2426000 < py[0] < 2431000
+    lo, la = transform_coords('epsg:27572', 'epsg:4326', px, py)
+    assert abs(lo[0] - 2.3522) < 1e-8 and abs(la[0] - 48.8566) < 1e-8
+
+
+def test_web_mercator_alias_102100_matches_3857():
+    lon = np.array([-79.4, 4.35, 151.2])
+    lat = np.array([43.6, 50.85, -33.87])
+    x1, y1 = transform_coords('epsg:4326', 'epsg:3857', lon, lat)
+    x2, y2 = transform_coords('epsg:4326', 'ESRI:102100', lon, lat)
+    np.testing.assert_allclose(x1, x2, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(y1, y2, rtol=0, atol=1e-9)
+
+
+def test_reproject_onto_epsg26917_matches_oracle_grid():
+    # VERDICT r3 done-criterion: a Reprojection onto EPSG:26917 agrees
+    # with a precomputed (external) oracle. The analytic field
+    # f(lon, lat) is warped onto the UTM grid; at the output pixel
+    # nearest the CN Tower's published UTM coordinates the value must
+    # equal f at the tower's published geographic coordinates.
+    from nd_tpu.testing import generate_test_dataset
+    from nd_tpu.warp import Reprojection, get_crs
+
+    ds = generate_test_dataset(dims={'y': 40, 'x': 50, 'time': 1},
+                               extent=(-79.6, 43.5, -79.2, 43.8))
+    lon = np.asarray(ds.coords['x'].values)[None, :, None]
+    lat = np.asarray(ds.coords['y'].values)[:, None, None]
+    f = np.sin(lon / 2.0) * np.cos(lat / 3.0) * np.ones((1, 1, 1))
+    ds['C11'] = (('y', 'x', 'time'), f.astype(np.float64))
+    out = Reprojection(crs='epsg:26917').apply(ds)
+    assert get_crs(out) == CRS.from_epsg(26917)
+    xs = np.asarray(out.coords['x'].values)
+    ys = np.asarray(out.coords['y'].values)
+    ix = int(np.argmin(np.abs(xs - 630084.0)))
+    iy = int(np.argmin(np.abs(ys - 4833438.0)))
+    # the oracle point must be interior to the output grid
+    assert 0 < ix < len(xs) - 1 and 0 < iy < len(ys) - 1
+    got = float(np.asarray(out['C11'].values)[iy, ix, 0])
+    want = math.sin(-79.387139 / 2.0) * math.cos(43.642567 / 3.0)
+    assert abs(got - want) < 0.01
