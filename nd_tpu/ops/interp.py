@@ -15,7 +15,8 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ['map_coordinates', 'grid_from_transforms',
-           'separable_coords', 'axis_weights', 'matmul_resample']
+           'separable_coords', 'axis_weights', 'matmul_resample',
+           'footprint_axis', 'footprint_resample', 'FOOTPRINT_STATS']
 
 
 def _catmull_weights(t, xp=jnp):
@@ -25,6 +26,20 @@ def _catmull_weights(t, xp=jnp):
     w1 = ((3.0 * t - 5.0) * t * t + 2.0) * 0.5
     w2 = ((-3.0 * t + 4.0) * t + 1.0) * t * 0.5
     w3 = (t - 1.0) * t * t * 0.5
+    return (w0, w1, w2, w3)
+
+
+def _bspline_weights(t, xp=jnp):
+    """Cubic B-spline tap weights for offsets (-1, 0, 1, 2) at
+    fraction ``t`` in [0, 1) — GDAL's 'cubicspline'. An approximating
+    (smoothing) kernel: taps are non-negative and sum to 1, so
+    constants reproduce exactly, but the surface does not pass through
+    the samples."""
+    u = 1.0 - t
+    w0 = u * u * u / 6.0
+    w1 = (3.0 * t * t * t - 6.0 * t * t + 4.0) / 6.0
+    w2 = (3.0 * (u * u * u - 2.0 * u * u) + 4.0) / 6.0
+    w3 = t * t * t / 6.0
     return (w0, w1, w2, w3)
 
 
@@ -73,7 +88,7 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
     array (..., *S)
     """
     values = jnp.asarray(values)
-    if method in ('bilinear', 'cubic', 'lanczos') \
+    if method in ('bilinear', 'cubic', 'cubic_spline', 'lanczos') \
             and values.dtype.kind not in 'fc':
         # fractional weights need a float accumulator: integer
         # rasters would truncate the weights to 0/1 (and the default
@@ -147,7 +162,7 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
                         jnp.asarray(np.nan, out.dtype), out)
         out = jnp.where(valid[None, :], out,
                         jnp.asarray(cval, out.dtype))
-    elif method in ('cubic', 'lanczos'):
+    elif method in ('cubic', 'cubic_spline', 'lanczos'):
         eps = 1e-6
         valid = (r >= -eps) & (r <= H - 1 + eps) & \
             (c >= -eps) & (c <= W - 1 + eps)
@@ -161,6 +176,9 @@ def map_coordinates(values, rows, cols, method='bilinear', cval=np.nan):
         c0i = c0.astype(jnp.int32)
         if method == 'cubic':
             wr, wc = _catmull_weights(fr), _catmull_weights(fc)
+            first = -1
+        elif method == 'cubic_spline':
+            wr, wc = _bspline_weights(fr), _bspline_weights(fc)
             first = -1
         else:
             wr, wc = _lanczos_weights(fr), _lanczos_weights(fc)
@@ -240,10 +258,13 @@ def axis_weights(coords, size, method):
         np.add.at(Wm, (rng, r0i), 1.0)
         np.add.at(Wm, (rng, r1i), 1.0)
         return W, Wm, valid
-    if method in ('cubic', 'lanczos'):
+    if method in ('cubic', 'cubic_spline', 'lanczos'):
         fr = r - r0
         if method == 'cubic':
             taps = _catmull_weights(fr, xp=np)
+            first = -1
+        elif method == 'cubic_spline':
+            taps = _bspline_weights(fr, xp=np)
             first = -1
         else:
             taps = _lanczos_weights(fr, xp=np)
@@ -317,6 +338,141 @@ def matmul_resample(values, wy, wym, wx, wxm, valid_y, valid_x, cval,
                          finite.astype(wym.dtype), wxm, precision=hp)
         out = jnp.where(cnt > expected - 0.5, num,
                         jnp.asarray(np.nan, V.dtype))
+    return jnp.where(in_range, out, jnp.asarray(cval, V.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Footprint (order-statistic) resampling — GDAL's mode / min / max /
+# med / q1 / q3 / sum / rms for downsampling warps
+# ---------------------------------------------------------------------------
+
+FOOTPRINT_STATS = ('mode', 'min', 'max', 'med', 'q1', 'q3', 'sum',
+                   'rms')
+
+# contributors per destination pixel beyond this would sort/scan huge
+# windows per pixel — a deliberate >32x-per-axis downsample should
+# coarsen() first
+FOOTPRINT_SPAN_CAP = 1024
+
+
+def footprint_axis(coords, size, fallback_step=1.0):
+    """Per-axis contributor plan for the footprint statistics.
+
+    Same footprint model as 'average' (see ``axis_weights``): the
+    source samples whose centers fall inside the destination cell,
+    whose width is the coordinate step (the scale factor). Returns
+    ``(idx, inside, valid)``: ``idx`` (n, span) clipped int32 source
+    indices, ``inside`` (n, span) the contributor mask, ``valid`` (n,)
+    the destination in-range mask. A single-pixel axis has no
+    coordinate step to measure; ``fallback_step`` (the affine scale
+    ratio) supplies the cell width then.
+    """
+    coords = np.asarray(coords, np.float64)
+    n = len(coords)
+    step = np.abs(np.diff(coords))
+    s = max(1.0, float(np.median(step)) if len(step)
+            else float(fallback_step))
+    lo = np.ceil(coords - s / 2.0 - 1e-9).astype(np.int64)
+    hi = np.floor(coords + s / 2.0 - 1e-9).astype(np.int64)
+    empty = hi < lo
+    near = np.round(coords).astype(np.int64)
+    lo = np.where(empty, near, lo)
+    hi = np.where(empty, near, hi)
+    span = int((hi - lo).max()) + 1 if n else 1
+    idx = lo[:, None] + np.arange(span)[None, :]
+    inside = (idx <= hi[:, None]) & (idx >= 0) & (idx < size)
+    valid = inside.any(axis=1)
+    return (np.clip(idx, 0, size - 1).astype(np.int32), inside, valid)
+
+
+def _masked_mode(win, ok):
+    """Most frequent finite value per window (last axis); ties go to
+    the smallest value. O(s) via run lengths on the sorted window —
+    no s^2 equality matrix, no per-pixel scatter (TPU rule: masked
+    broadcast-reductions and cumulative scans only)."""
+    from jax import lax
+
+    s = win.shape[-1]
+    big = jnp.asarray(np.inf, win.dtype)
+    ws = jnp.sort(jnp.where(ok, win, big), axis=-1)
+    pos = jnp.arange(s, dtype=jnp.int32)
+    new_run = jnp.concatenate(
+        [jnp.ones(ws.shape[:-1] + (1,), bool),
+         ws[..., 1:] != ws[..., :-1]], axis=-1)
+    # first index of each element's run (cummax of run-start marks)
+    start = lax.cummax(jnp.where(new_run, pos, 0), axis=win.ndim - 1)
+    # last index: reversed cummax trick on the run-end marks
+    end_mark = jnp.concatenate(
+        [new_run[..., 1:], jnp.ones(ws.shape[:-1] + (1,), bool)],
+        axis=-1)
+    rev = jnp.flip(jnp.where(end_mark, pos, s - 1), axis=-1)
+    end = jnp.flip(lax.cummin(rev, axis=win.ndim - 1), axis=-1)
+    length = jnp.where(jnp.isfinite(ws), end - start + 1, 0)
+    # argmax returns the FIRST maximum — the smallest value, since the
+    # window is sorted ascending; select with a one-hot reduce
+    sel = (pos == jnp.argmax(length, axis=-1)[..., None])
+    mode = jnp.sum(jnp.where(sel, ws, jnp.zeros((), ws.dtype)),
+                   axis=-1)
+    return jnp.where(ok.any(axis=-1), mode,
+                     jnp.asarray(np.nan, ws.dtype))
+
+
+def footprint_resample(values, idx_y, in_y, valid_y, idx_x, in_x,
+                       valid_x, stat, cval):
+    """Footprint resample: GDAL's order-statistic methods on the
+    sample-center footprint model (separable warps only).
+
+    Each destination pixel reduces its (span_y x span_x) contributor
+    window with ``stat``, skipping non-finite contributors the way
+    GDAL skips nodata. An in-range window with no finite contributor
+    yields NaN; an out-of-range destination yields ``cval``. ``med``/
+    ``q1``/``q3`` use linear quantile interpolation (numpy's default);
+    ``mode`` resolves ties to the smallest value (deterministic, where
+    GDAL's tie order is scan-dependent).
+    """
+    V = jnp.asarray(values)
+    ny, sy = idx_y.shape
+    nx, sx = idx_x.shape
+    A = jnp.take(V, jnp.asarray(idx_y).reshape(-1), axis=-2)
+    A = A.reshape(V.shape[:-2] + (ny, sy, V.shape[-1]))
+    B = jnp.take(A, jnp.asarray(idx_x).reshape(-1), axis=-1)
+    B = B.reshape(V.shape[:-2] + (ny, sy, nx, sx))
+    B = jnp.moveaxis(B, -3, -2)                 # (..., ny, nx, sy, sx)
+    win = B.reshape(V.shape[:-2] + (ny, nx, sy * sx))
+    mask = (jnp.asarray(in_y)[:, None, :, None]
+            & jnp.asarray(in_x)[None, :, None, :]).reshape(ny, nx,
+                                                           sy * sx)
+    ok = mask & jnp.isfinite(win)
+    any_ok = ok.any(axis=-1)
+    nanv = jnp.asarray(np.nan, V.dtype)
+    if stat == 'mode':
+        out = _masked_mode(win, ok)
+    elif stat == 'min':
+        out = jnp.min(jnp.where(ok, win, jnp.asarray(np.inf, V.dtype)),
+                      axis=-1)
+        out = jnp.where(any_ok, out, nanv)
+    elif stat == 'max':
+        out = jnp.max(jnp.where(ok, win,
+                                jnp.asarray(-np.inf, V.dtype)),
+                      axis=-1)
+        out = jnp.where(any_ok, out, nanv)
+    elif stat == 'sum':
+        out = jnp.sum(jnp.where(ok, win, jnp.zeros((), V.dtype)),
+                      axis=-1)
+        out = jnp.where(any_ok, out, nanv)
+    elif stat == 'rms':
+        cnt = jnp.sum(ok, axis=-1)
+        sq = jnp.sum(jnp.where(ok, win * win, jnp.zeros((), V.dtype)),
+                     axis=-1)
+        out = jnp.sqrt(sq / jnp.maximum(cnt, 1).astype(V.dtype))
+        out = jnp.where(any_ok, out, nanv)
+    elif stat in ('med', 'q1', 'q3'):
+        q = {'med': 0.5, 'q1': 0.25, 'q3': 0.75}[stat]
+        out = jnp.nanquantile(jnp.where(ok, win, nanv), q, axis=-1)
+        out = out.astype(V.dtype)
+    else:
+        raise ValueError('unknown footprint stat %r' % (stat,))
+    in_range = jnp.asarray(valid_y)[:, None] & jnp.asarray(valid_x)
     return jnp.where(in_range, out, jnp.asarray(cval, V.dtype))
 
 

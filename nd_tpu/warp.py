@@ -469,8 +469,8 @@ def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
     """
     from .ops.interp import axis_weights, separable_coords
 
-    if method not in ('bilinear', 'nearest', 'cubic', 'lanczos',
-                      'average'):
+    if method not in ('bilinear', 'nearest', 'cubic', 'cubic_spline',
+                      'lanczos', 'average'):
         return None
     height, width = dst_shape
     H, W = src_shape
@@ -496,11 +496,55 @@ def _cached_plan(dst_transform6, dst_shape, src_transform6, src_proj4,
     c1 = rc[1].astype(cdt).astype(np.float64)
     wy, wym, vy = axis_weights(r1, H, method)
     wx, wxm, vx = axis_weights(c1, W, method)
-    expected = {'bilinear': 4.0, 'cubic': 16.0,
+    expected = {'bilinear': 4.0, 'cubic': 16.0, 'cubic_spline': 16.0,
                 'lanczos': 36.0}.get(method, 1.0)
     return (jnp.asarray(wy), jnp.asarray(wym), jnp.asarray(wx),
             jnp.asarray(wxm), jnp.asarray(vy), jnp.asarray(vx),
             expected, method == 'average')
+
+@functools.lru_cache(maxsize=1)
+def _footprint_jit():
+    import jax
+    from .ops.interp import footprint_resample
+    return jax.jit(footprint_resample,
+                   static_argnames=('stat', 'cval'))
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_footprint_plan(dst_transform6, dst_shape, src_transform6,
+                           src_proj4, dst_proj4, src_shape):
+    """Per-axis contributor plan for the footprint statistics
+    (mode/min/max/med/q1/q3/sum/rms), or None for curvilinear warps.
+    Device masks/indices keyed like `_cached_plan`."""
+    from .ops.interp import (FOOTPRINT_SPAN_CAP, footprint_axis,
+                             separable_coords)
+
+    rows, cols = _cached_host_grid(dst_transform6, dst_shape,
+                                   src_transform6, src_proj4,
+                                   dst_proj4)
+    rc = separable_coords(rows, cols)
+    if rc is None:
+        return None
+    # degenerate single-pixel axes fall back to the affine scale ratio
+    # for the cell width (same-unit warps; a 1-px curvilinear axis has
+    # no better estimate)
+    fb_y = abs(dst_transform6[4] / src_transform6[4]) \
+        if src_transform6[4] else 1.0
+    fb_x = abs(dst_transform6[0] / src_transform6[0]) \
+        if src_transform6[0] else 1.0
+    idx_y, in_y, valid_y = footprint_axis(rc[0], src_shape[0], fb_y)
+    idx_x, in_x, valid_x = footprint_axis(rc[1], src_shape[1], fb_x)
+    span = idx_y.shape[1] * idx_x.shape[1]
+    if span > FOOTPRINT_SPAN_CAP:
+        raise NotImplementedError(
+            'footprint resampling window of %dx%d contributors per '
+            'destination pixel exceeds the span cap (%d); coarsen() '
+            'first for downsample factors this large'
+            % (idx_y.shape[1], idx_x.shape[1], FOOTPRINT_SPAN_CAP))
+    return (jnp.asarray(idx_y), jnp.asarray(in_y),
+            jnp.asarray(valid_y), jnp.asarray(idx_x),
+            jnp.asarray(in_x), jnp.asarray(valid_x))
+
 
 def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
                width=None, height=None, res=None, extent=None, **kwargs):
@@ -591,6 +635,17 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
         paths, curvilinear warps, big rasters — uses the device
         gather (whose coordinate grid is only built and uploaded when
         this fallback actually fires)."""
+        from .ops.interp import FOOTPRINT_STATS
+        if method in FOOTPRINT_STATS:
+            plan = _cached_footprint_plan(*grid_key, values.shape[-2:])
+            if plan is None:
+                raise NotImplementedError(
+                    'footprint resampling (%r) requires a separable '
+                    'warp (axis-aligned affine grids or '
+                    'per-axis-factoring CRS pairs); use nearest or '
+                    'bilinear for this geometry' % (method,))
+            return _footprint_jit()(values, *plan, stat=method,
+                                    cval=float(nodata))
         if values.dtype == jnp.float32 or method == 'average':
             plan = _cached_plan(*grid_key, values.shape[-2:], method,
                                 np.dtype(coord_dtype).str)
@@ -640,22 +695,30 @@ def _reproject(ds, src_crs=None, dst_crs=None, dst_transform=None,
     def _method_for_dtype(dtype, resampling):
         """Dtype-dispatch matching the reference (warp.py:724-732):
         nearest/0 for ints, bilinear/NaN for floats. Explicit
-        ``resampling=`` accepts nearest/bilinear/cubic (Catmull-Rom,
-        GDAL's kernel)/lanczos (normalized Lanczos-3)/average
-        (NaN-skipping footprint mean for downsampling, separable
-        warps only)."""
+        ``resampling=`` accepts every rasterio.warp.Resampling member
+        the reference forwards to GDAL: nearest/bilinear/cubic
+        (Catmull-Rom)/cubic_spline (approximating B-spline)/lanczos
+        (normalized Lanczos-3)/average (NaN-skipping footprint mean),
+        plus the footprint statistics mode (categorical majority)/
+        min/max/med/q1/q3/sum/rms — the footprint family needs a
+        separable warp and is meant for downsampling."""
+        from .ops.interp import FOOTPRINT_STATS
         if np.issubdtype(np.dtype(str(dtype)), np.integer):
             method, nodata = 'nearest', 0
         else:
             method, nodata = 'bilinear', np.nan
         if resampling is not None:
-            if resampling not in ('nearest', 'bilinear', 'cubic',
-                                  'lanczos', 'average'):
+            choices = ('nearest', 'bilinear', 'cubic', 'cubic_spline',
+                       'lanczos', 'average') + FOOTPRINT_STATS
+            if resampling not in choices:
                 raise ValueError(
-                    'unsupported resampling %r (choose nearest, '
-                    'bilinear, cubic, lanczos or average)'
-                    % (resampling,))
+                    'unsupported resampling %r (choose one of %s)'
+                    % (resampling, ', '.join(choices)))
             method = resampling
+        if method in FOOTPRINT_STATS:
+            # the aggregates are computed in float (NaN = nodata) even
+            # for integer rasters; ints restore exactly through rint
+            nodata = np.nan
         return method, nodata
 
     def _reproject_da(da, shape):

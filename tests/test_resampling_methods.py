@@ -155,9 +155,12 @@ def test_average_curvilinear_raises():
 
 def test_unknown_resampling_rejected():
     ds = generate_test_dataset(dims={'y': 8, 'x': 8, 'time': 1})
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError) as ei:
         Reprojection(crs='epsg:4326',
-                     resampling='mode').apply(ds)
+                     resampling='bogus_method').apply(ds)
+    # the message enumerates the full method set
+    for m in ('cubic_spline', 'mode', 'med', 'rms'):
+        assert m in str(ei.value)
 
 
 def test_lanczos_constant_and_linear_reproduction():
@@ -200,3 +203,212 @@ def test_cubic_integer_promotion_roundtrip():
     out = map_coordinates(v, np.array([2.0]), np.array([3.0]),
                           method='cubic')
     assert np.asarray(out)[0] == pytest.approx(v[0, 2, 3], abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# round 4 (VERDICT item 4): footprint order statistics
+# (mode/min/max/med/q1/q3/sum/rms) + cubic_spline
+# ---------------------------------------------------------------------------
+
+def _aligned_downsample(ds, factor):
+    """Destination grid whose pixels exactly tile ``factor x factor``
+    source blocks (footprint == coarsen blocks)."""
+    from nd_tpu.crs.affine import Affine
+    from nd_tpu.warp import get_crs, get_transform
+    t = get_transform(ds)
+    off = (factor - 1) / 2.0
+    dstt = Affine(t.a * factor, 0, t.c + off * t.a,
+                  0, t.e * factor, t.f + off * t.e)
+    return dict(crs=get_crs(ds), transform=dstt,
+                width=ds.sizes['x'] // factor,
+                height=ds.sizes['y'] // factor)
+
+
+def _footprint_fixture():
+    rng = np.random.RandomState(7)
+    ds = generate_test_dataset(dims={'y': 32, 'x': 40, 'time': 2},
+                               extent=(10.0, 50.0, 14.0, 53.2))
+    f = rng.normal(size=(32, 40, 2))
+    f[3:6, 4:7, :] = np.nan          # a NaN pocket inside one block
+    f[0:4, 0:4, 0] = np.nan          # one fully-NaN block in time 0
+    ds['C11'] = (('y', 'x', 'time'), f)
+    return ds, f
+
+
+def test_footprint_stats_match_blocked_oracles():
+    ds, f = _footprint_fixture()
+    grid = _aligned_downsample(ds, 4)
+    blocks = f.reshape(8, 4, 10, 4, 2)
+    win = blocks.transpose(0, 2, 1, 3, 4).reshape(8, 10, 16, 2)
+    import warnings
+    oracles = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')   # all-NaN slices are the point
+        oracles['min'] = np.nanmin(win, axis=2)
+        oracles['max'] = np.nanmax(win, axis=2)
+        oracles['med'] = np.nanquantile(win, 0.5, axis=2)
+        oracles['q1'] = np.nanquantile(win, 0.25, axis=2)
+        oracles['q3'] = np.nanquantile(win, 0.75, axis=2)
+        cnt = np.isfinite(win).sum(axis=2)
+        oracles['sum'] = np.where(cnt > 0, np.nansum(win, axis=2),
+                                  np.nan)
+        oracles['rms'] = np.sqrt(np.where(
+            cnt > 0, np.nansum(win ** 2, axis=2), np.nan)
+            / np.maximum(cnt, 1))
+    for stat, want in oracles.items():
+        out = Reprojection(resampling=stat, **grid).apply(ds)
+        got = np.asarray(out['C11'].values)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                   equal_nan=True, err_msg=stat)
+        # the fully-NaN block is NaN in time 0 only
+        assert np.isnan(got[0, 0, 0]) and np.isfinite(got[0, 0, 1]), \
+            stat
+
+
+def test_mode_on_labels_equals_blocked_mode_oracle():
+    # VERDICT r3 done-criterion: mode on an integer label cube equals
+    # the blocked-mode oracle on aligned grids (ties -> smallest value,
+    # the documented deterministic rule)
+    rng = np.random.RandomState(3)
+    ds = generate_test_dataset(dims={'y': 32, 'x': 40, 'time': 1},
+                               extent=(10.0, 50.0, 14.0, 53.2))
+    labels = rng.randint(0, 5, size=(32, 40)).astype(np.int32)
+    ds['labels'] = (('y', 'x'), labels)
+    grid = _aligned_downsample(ds, 4)
+    out = Reprojection(resampling='mode', **grid).apply(ds)
+    got = np.asarray(out['labels'].values)
+    assert got.dtype == np.int32
+    lb = labels.reshape(8, 4, 10, 4)
+    for i in range(8):
+        for j in range(10):
+            vals, cnt = np.unique(lb[i, :, j, :], return_counts=True)
+            want = vals[np.argmax(cnt)]   # unique sorts: first max ==
+            assert got[i, j] == want      # smallest among the tied
+
+
+def test_mode_tie_breaks_to_smallest():
+    ds = generate_test_dataset(dims={'y': 4, 'x': 4, 'time': 1},
+                               extent=(10.0, 50.0, 11.0, 51.0))
+    labels = np.array([[9, 9, 2, 2],
+                       [2, 9, 9, 2],
+                       [5, 5, 7, 7],
+                       [7, 5, 5, 7]], np.int64)
+    ds['labels'] = (('y', 'x'), labels)
+    grid = _aligned_downsample(ds, 4)
+    out = Reprojection(resampling='mode', **grid).apply(ds)
+    # 8x '9' vs 8x '2' in the top half... the full 4x4 block ties 4-4-4-4
+    # between {2, 9, 5, 7} with counts {4+... }
+    got = int(np.asarray(out['labels'].values)[0, 0])
+    vals, cnt = np.unique(labels, return_counts=True)
+    assert got == vals[np.argmax(cnt)] == 2
+
+
+def test_footprint_nan_label_excluded_from_mode():
+    ds = generate_test_dataset(dims={'y': 4, 'x': 4, 'time': 1},
+                               extent=(10.0, 50.0, 11.0, 51.0))
+    lab = np.full((4, 4), 3.0)
+    lab[:3, :] = np.nan              # 12 NaN vs 4x value 3
+    ds['labels'] = (('y', 'x'), lab)
+    grid = _aligned_downsample(ds, 4)
+    out = Reprojection(resampling='mode', **grid).apply(ds)
+    assert float(np.asarray(out['labels'].values)[0, 0]) == 3.0
+
+
+def test_footprint_curvilinear_raises():
+    ds = generate_test_dataset(dims={'y': 16, 'x': 16, 'time': 1})
+    with pytest.raises(NotImplementedError):
+        Reprojection(crs='epsg:3035', resampling='mode').apply(ds)
+
+
+def test_footprint_span_cap_raises():
+    ds = generate_test_dataset(dims={'y': 80, 'x': 80, 'time': 1},
+                               extent=(10.0, 50.0, 14.0, 53.2))
+    with pytest.raises(NotImplementedError):
+        # 40x per axis -> 1600 contributors per pixel > the 1024 cap
+        Reprojection(resampling='med',
+                     **_aligned_downsample(ds, 40)).apply(ds)
+
+
+def _bspline_1d(samples, x):
+    """Literal cubic B-spline smoothing of 1-d ``samples`` at ``x``
+    (edge-clamped), written from the basis definition B(t) on [0,2]."""
+    def B(t):
+        t = abs(t)
+        if t < 1:
+            return (4.0 - 6.0 * t * t + 3.0 * t ** 3) / 6.0
+        if t < 2:
+            return (2.0 - t) ** 3 / 6.0
+        return 0.0
+    n = len(samples)
+    i = int(np.floor(x))
+    return sum(samples[min(max(i + k, 0), n - 1)] * B(x - (i + k))
+               for k in (-1, 0, 1, 2))
+
+
+def test_cubic_spline_matches_literal_bspline():
+    rng = np.random.RandomState(1)
+    v = rng.rand(1, 12, 15)
+    rows = np.array([3.3, 5.0, 7.75])
+    cols = np.array([2.6, 9.25, 11.0])
+    out = np.asarray(map_coordinates(v, rows, cols,
+                                     method='cubic_spline'))
+    for k, (rr, cc) in enumerate(zip(rows, cols)):
+        i = int(np.floor(rr))
+        col_vals = [_bspline_1d(v[0, min(max(i + a, 0), 11)], cc)
+                    for a in (-1, 0, 1, 2)]
+        expect = _bspline_1d(np.asarray(col_vals), 1.0 + (rr - i))
+        np.testing.assert_allclose(out[0, k], expect, rtol=1e-12)
+
+
+def test_cubic_spline_reproduces_constants_and_linears():
+    # non-negative partition-of-unity taps: constants exact; linear
+    # functions also reproduce (the cubic B-spline has approximation
+    # order 4 but reproduces polynomials only up to degree 1 through
+    # its quasi-interpolant — plain filtering reproduces affine)
+    y, x = np.mgrid[0:16, 0:20].astype(np.float64)
+    lin = 2.0 + 0.3 * x + 0.1 * y
+    rows = np.array([4.5, 7.25, 9.9])
+    cols = np.array([5.5, 10.75, 3.2])
+    out = np.asarray(map_coordinates(lin[None], rows, cols,
+                                     method='cubic_spline'))
+    want = 2.0 + 0.3 * cols + 0.1 * rows
+    np.testing.assert_allclose(out[0], want, rtol=1e-12)
+
+
+def test_cubic_spline_plan_matches_gather():
+    rng = np.random.RandomState(5)
+    v = rng.rand(2, 16, 20).astype(np.float32)
+    v[0, 5, 7] = np.nan
+    rows1 = np.linspace(0.0, 15.0, 11)
+    cols1 = np.linspace(0.0, 19.0, 13)
+    rows = np.broadcast_to(rows1[:, None], (11, 13))
+    cols = np.broadcast_to(cols1[None, :], (11, 13))
+    gathered = np.asarray(map_coordinates(v, rows, cols,
+                                          method='cubic_spline'))
+    wy, wym, vy = axis_weights(rows1, 16, 'cubic_spline')
+    wx, wxm, vx = axis_weights(cols1, 20, 'cubic_spline')
+    planned = np.asarray(matmul_resample(
+        v, jnp.asarray(wy), jnp.asarray(wym), jnp.asarray(wx),
+        jnp.asarray(wxm), jnp.asarray(vy), jnp.asarray(vx),
+        np.float32(np.nan), expected=16.0))
+    np.testing.assert_allclose(planned, gathered, rtol=1e-5,
+                               atol=1e-6, equal_nan=True)
+
+
+def test_footprint_stats_on_integer_cube_restore_exactly():
+    rng = np.random.RandomState(9)
+    ds = generate_test_dataset(dims={'y': 16, 'x': 16, 'time': 1},
+                               extent=(10.0, 50.0, 12.0, 51.6))
+    ints = rng.randint(-50, 50, size=(16, 16)).astype(np.int16)
+    ds['v'] = (('y', 'x'), ints)
+    grid = _aligned_downsample(ds, 4)
+    blocks = ints.reshape(4, 4, 4, 4)
+    win = np.moveaxis(blocks, 2, 1).reshape(4, 4, 16)
+    for stat, oracle in [('min', win.min(axis=2)),
+                         ('max', win.max(axis=2)),
+                         ('sum', win.sum(axis=2))]:
+        out = Reprojection(resampling=stat, **grid).apply(ds)
+        got = np.asarray(out['v'].values)
+        assert got.dtype == np.int16, stat
+        np.testing.assert_array_equal(got, oracle.astype(np.int16),
+                                      err_msg=stat)
