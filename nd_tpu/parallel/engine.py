@@ -151,10 +151,16 @@ def apply_sharded(algo, ds, mesh=None):
                 result._variables[v] = Variable(vdims, filtered,
                                                 ds[v].attrs)
                 continue
-            stacked = jnp.stack([jnp.asarray(ds[v].data) for v in vs])
-            filtered = _run(stacked, ('_stack_',) + tuple(vdims))
+            # stack TRAILING (not leading): the fused Pallas conv only
+            # accepts filter taps on axes (0, 1, 2), so a leading stack
+            # axis silently knocked every 3-axis filter (e.g. a
+            # spatio-temporal boxcar) off the fused path under sharding
+            stacked = jnp.stack([jnp.asarray(ds[v].data) for v in vs],
+                                axis=-1)
+            filtered = _run(stacked, tuple(vdims) + ('_stack_',))
             for i, v in enumerate(vs):
-                result._variables[v] = Variable(vdims, filtered[i],
+                result._variables[v] = Variable(vdims,
+                                                filtered[..., i],
                                                 ds[v].attrs)
         return result
 
