@@ -65,7 +65,7 @@ def _time(fn, *args, reps=4, warmup=1):
     return (time.perf_counter() - t0) / reps, outs[-1]
 
 
-def _time_loop(kernel, x, reps=10):
+def _time_loop(kernel, x, reps=10, best_of=1):
     """Device throughput: run ``kernel`` ``reps`` times inside ONE jit
     via lax.fori_loop, so per-dispatch host-link latency (tens of ms on
     tunneled backends) is paid once instead of per repetition.
@@ -89,10 +89,16 @@ def _time_loop(kernel, x, reps=10):
 
     eps = jnp.zeros((), x.dtype)
     _sync(run(x, eps))                   # compile + warm
-    t0 = time.perf_counter()
-    out = run(x, eps)
-    _sync(out)
-    return (time.perf_counter() - t0) / reps, out
+    # best_of > 1 for fields that swing with harness load (VERDICT r3
+    # item 10): the minimum is the least-contended sample
+    ts = []
+    out = None
+    for _ in range(max(1, best_of)):
+        t0 = time.perf_counter()
+        out = run(x, eps)
+        _sync(out)
+        ts.append((time.perf_counter() - t0) / reps)
+    return min(ts), out
 
 
 # TPU v5e single-chip peaks (public figures: 197 TFLOP/s bf16 MXU,
@@ -111,40 +117,99 @@ _MEASURED = {'hbm_gbps': None, 'vpu_tflops': None}
 
 def _measure_device_peaks(detail, cube_d, time_loop):
     """Empirical single-chip ceilings, measured with the same
-    fori-loop methodology as every kernel: streaming bandwidth from a
-    full-cube elementwise add (read N + write N), VPU f32 FLOP rate
-    from eight independent FMA chains (independent accumulators so the
-    probe measures throughput, not FMA latency)."""
+    fori-loop methodology as every kernel — each with TWO independent
+    probes (VERDICT r3 item 1: every per-kernel percentage leans on
+    these; an uncorroborated microbenchmark can silently over- or
+    under-state the silicon).
+
+    HBM: (a) full-cube elementwise add, (b) a pure copy (lax.fori_loop
+    whose carry is jnp.roll of itself — read N + write N with no
+    arithmetic, and the rolled array IS the next carry so nothing can
+    be dead-code-eliminated). VPU: independent-FMA-chain probes at
+    several (chains, depth, block) geometries; the ceiling is the max,
+    and the geometry sweep doubles as a saturation check. The larger
+    of each pair is recorded as the ceiling; a >20% disagreement is
+    flagged in ``peak_probe_disagreement`` so a regressing probe can't
+    silently re-anchor every percentage."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
     nbytes = cube_d.size * cube_d.dtype.itemsize
+    hbm_add = hbm_copy = None
     try:
         t = time_loop(lambda a: a + jnp.float32(1.0), cube_d)[0]
-        _MEASURED['hbm_gbps'] = 2 * nbytes / t / 1e9
-        detail['device_hbm_gbps_measured'] = round(
-            _MEASURED['hbm_gbps'], 1)
+        hbm_add = 2 * nbytes / t / 1e9
+        detail['device_hbm_gbps_measured_add'] = round(hbm_add, 1)
     except Exception as e:
         detail.setdefault('errors', {})['peak_hbm'] = str(e)[:200]
     try:
-        blk = jnp.ones((512, 1024), jnp.float32)
-        c = jnp.float32(1.0000001)
-        d = jnp.float32(1e-9)
+        reps = 10
 
-        def fma(a):
-            accs = [a + jnp.float32(i) for i in range(8)]
-            for _ in range(16):
-                accs = [x * c + d for x in accs]
-            out = accs[0]
-            for x in accs[1:]:
-                out = out + x
-            return out
-        t = time_loop(fma, blk, reps=100)[0]
-        fl = (8 * 16 * 2 + 15) * blk.size
-        _MEASURED['vpu_tflops'] = fl / t / 1e12
+        @jax.jit
+        def copy_loop(x, eps):
+            def body(i, c):
+                # roll = slice + slice + concat: read N, write N. The
+                # result is the carry, so every byte stays live.
+                return jnp.roll(c, 1, axis=0) + eps
+            return lax.fori_loop(0, reps, body, x)
+
+        eps = jnp.zeros((), cube_d.dtype)
+        _sync(copy_loop(cube_d, eps))
+        t0 = time.perf_counter()
+        _sync(copy_loop(cube_d, eps))
+        t = (time.perf_counter() - t0) / reps
+        hbm_copy = 2 * nbytes / t / 1e9
+        detail['device_hbm_gbps_measured_copy'] = round(hbm_copy, 1)
+    except Exception as e:
+        detail.setdefault('errors', {})['peak_hbm_copy'] = str(e)[:200]
+    if hbm_add or hbm_copy:
+        pair = [v for v in (hbm_add, hbm_copy) if v]
+        _MEASURED['hbm_gbps'] = max(pair)
+        detail['device_hbm_gbps_measured'] = round(
+            _MEASURED['hbm_gbps'], 1)
+        if len(pair) == 2 and abs(pair[0] - pair[1]) / max(pair) > 0.2:
+            detail.setdefault('peak_probe_disagreement', {})['hbm'] = \
+                [round(v, 1) for v in pair]
+
+    vpu_runs = {}
+    c = jnp.float32(1.0000001)
+    d = jnp.float32(1e-9)
+    for chains, depth, shape in ((8, 16, (512, 1024)),
+                                 (16, 64, (512, 1024)),
+                                 (32, 64, (1024, 1024)),
+                                 (64, 64, (1024, 1024)),
+                                 (128, 64, (1024, 1024))):
+        try:
+            blk = jnp.ones(shape, jnp.float32)
+
+            def fma(a, chains=chains, depth=depth):
+                accs = [a + jnp.float32(i) for i in range(chains)]
+                for _ in range(depth):
+                    accs = [x * c + d for x in accs]
+                out = accs[0]
+                for x in accs[1:]:
+                    out = out + x
+                return out
+            t = time_loop(fma, blk, reps=100)[0]
+            fl = (chains * depth * 2 + chains - 1) * blk.size
+            vpu_runs['%dx%d' % (chains, depth)] = fl / t / 1e12
+        except Exception as e:
+            detail.setdefault('errors', {})[
+                'peak_vpu_%dx%d' % (chains, depth)] = str(e)[:200]
+    if vpu_runs:
+        _MEASURED['vpu_tflops'] = max(vpu_runs.values())
         detail['device_vpu_tflops_measured'] = round(
             _MEASURED['vpu_tflops'], 2)
-    except Exception as e:
-        detail.setdefault('errors', {})['peak_vpu'] = str(e)[:200]
+        detail['device_vpu_tflops_probes'] = {
+            k: round(v, 2) for k, v in vpu_runs.items()}
+        # saturation check: the top two rungs of the ILP ladder must
+        # agree — if the biggest geometry is still pulling ahead of
+        # the runner-up by >20%, the measured ceiling is a lower
+        # bound, not the silicon
+        vals = sorted(vpu_runs.values())
+        if len(vals) > 1 and (vals[-1] - vals[-2]) / vals[-1] > 0.2:
+            detail.setdefault('peak_probe_disagreement', {})[
+                'vpu_unsaturated'] = [round(v, 2) for v in vals[-2:]]
 
 
 def _roofline(detail, key, bytes_per_pix, flops_per_pix=None,
@@ -455,9 +520,14 @@ def main():
         # launch failure, so this times whatever path survived)
         def hybrid():
             change_detection_hybrid(cube_d, alpha=alpha, n=looks)
-            t0 = time.perf_counter()
-            change_detection_hybrid(cube_d, alpha=alpha, n=looks)
-            return time.perf_counter() - t0
+            ts = []
+            for _ in range(3):           # best-of-3: tunnel-facing
+                t0 = time.perf_counter()
+                change_detection_hybrid(cube_d, alpha=alpha, n=looks)
+                ts.append(time.perf_counter() - t0)
+            detail['omnibus_hybrid_samples_s'] = [round(t, 4)
+                                                  for t in ts]
+            return min(ts)
         res, _ = _resilient(detail, 'omnibus_hybrid', hybrid)
         if res:
             detail['omnibus_hybrid_mpix_s'] = round(mpix / res, 2)
@@ -610,13 +680,18 @@ def main():
         proj = Reprojection(crs='epsg:3395')
         _sync(proj.apply(wds)['C11'].data)   # compile + grid cache
         reps = 4
-        t0 = time.perf_counter()
-        outs = [proj.apply(wds) for _ in range(reps)]
-        for o in outs:
-            _sync(o['C11'].data)
-        t_rp = (time.perf_counter() - t0) / reps
+        t_samples = []
+        for _ in range(2):                   # best-of-2 groups of 4
+            t0 = time.perf_counter()
+            outs = [proj.apply(wds) for _ in range(reps)]
+            for o in outs:
+                _sync(o['C11'].data)
+            t_samples.append((time.perf_counter() - t0) / reps)
+        t_rp = min(t_samples)
         wp = (NY // 2) * (NX // 2) * 4 * 4 / 1e6
         detail['reproject_mpix_s'] = round(wp / t_rp, 2)
+        detail['reproject_samples_s'] = [round(t, 4)
+                                         for t in t_samples]
 
         # device kernel rate (chained in one jit like the other
         # kernels; the wall figure above is dominated by per-call
@@ -669,10 +744,13 @@ def main():
             cds[v] = (cds[v].dims, cds[v].values.astype(np.float32))
         coreg = Coregistration(reference=0, upsampling=10)
         coreg.apply(cds)                              # warm compiles
-        t0 = time.perf_counter()
-        coreg.apply(cds)
-        dt = time.perf_counter() - t0
-        return 512 * 512 * 8 * 4 / 1e6 / dt
+        ts = []
+        for _ in range(3):                            # best-of-3
+            t0 = time.perf_counter()
+            coreg.apply(cds)
+            ts.append(time.perf_counter() - t0)
+        detail['coregister_samples_s'] = [round(t, 4) for t in ts]
+        return 512 * 512 * 8 * 4 / 1e6 / min(ts)
     res, _ = _resilient(detail, 'coregister', bench_coreg)
     if res:
         detail['coregister_mpix_s'] = round(res, 2)
@@ -697,7 +775,7 @@ def main():
             return _translate_batch_device(
                 x, jnp.flip(shifts, axis=1).astype(x.dtype))
 
-        t, _ = _time_loop(coreg_dev, ser, reps=4)
+        t, _ = _time_loop(coreg_dev, ser, reps=4, best_of=3)
         return kf * hy * hx / 1e6 / t
     res, _ = _resilient(detail, 'coregister_device',
                         bench_coreg_device)
@@ -710,6 +788,36 @@ def main():
         hw = 512 * 512
         _roofline(detail, 'coregister_device', 12,
                   3 * 5 * _math.log2(hw) + 2 * 4 * 2)
+
+    # registration parity (VERDICT r3 item 2): known alias-free
+    # subpixel shifts recovered by the device kernel, worst error in
+    # pixels (bound: 1/upsample_factor + Fourier-shift leakage)
+    def coreg_parity():
+        from nd_tpu.ops.fft import (_device_fft_ok,
+                                    _pcc_batch_device_impl)
+        if not _device_fft_ok():
+            raise RuntimeError('device FFT unavailable')
+        rng = np.random.RandomState(9)
+        base = rng.rand(512, 512)
+        F = np.fft.fft2(base)
+        F[40:-39, :] = 0
+        F[:, 40:-39] = 0                 # bandlimit: alias-free shift
+        true = np.array([[1.3, -2.7], [-0.4, 0.8],
+                         [3.25, 1.75], [0.0, 0.0]])
+        fy = np.fft.fftfreq(512)[:, None]
+        fx = np.fft.fftfreq(512)[None, :]
+        srcs = np.stack([
+            np.real(np.fft.ifft2(
+                F * np.exp(-2j * np.pi * (fy * dy + fx * dx))))
+            for dy, dx in true]).astype(np.float32)
+        ref = np.real(np.fft.ifft2(F)).astype(np.float32)
+        import jax.numpy as jnp
+        dev = np.asarray(_pcc_batch_device_impl(
+            jnp.asarray(srcs), jnp.asarray(ref), 10, 'phase'))
+        return float(np.abs(dev - true).max())
+    res, _ = _resilient(detail, 'coregister_parity', coreg_parity)
+    if res is not None:
+        detail['coregister_shift_err_px'] = round(res, 4)
 
     # ---- tiling config: tile -> filter each tile -> auto_merge ----------
     _log('config tile_pipeline ...')
@@ -811,15 +919,21 @@ def main():
         small = cube[:by, :bx]
         small_mpix = by * bx * K / 1e6
 
-        t0 = time.perf_counter()
-        nlmeans_native(np.ascontiguousarray(small), r, f, sigma, h,
-                       -1.0, nthreads=1)
-        t_nl_cpu = time.perf_counter() - t0
+        contig = np.ascontiguousarray(small)
+        t_nl_cpu = None
+        for _ in range(3):               # best-of-3: wall-clock on the
+            t0 = time.perf_counter()     # loaded 1-core box swings 2x
+            nlmeans_native(contig, r, f, sigma, h, -1.0, nthreads=1)
+            dt = time.perf_counter() - t0
+            t_nl_cpu = dt if t_nl_cpu is None else min(t_nl_cpu, dt)
 
-        t0 = time.perf_counter()
-        change_cpu = change_detection_native(small, alpha, n=looks,
-                                             nthreads=1)
-        t_om_cpu = time.perf_counter() - t0
+        t_om_cpu = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            change_cpu = change_detection_native(small, alpha, n=looks,
+                                                 nthreads=1)
+            dt = time.perf_counter() - t0
+            t_om_cpu = dt if t_om_cpu is None else min(t_om_cpu, dt)
 
         base_mpix_s = small_mpix * 2 / (t_nl_cpu + t_om_cpu)
         detail['cpu_1core_mpix_s'] = round(base_mpix_s, 3)
