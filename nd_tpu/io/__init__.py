@@ -339,9 +339,9 @@ def _jp2_geo_box(path):
 
 
 def _open_jp2(path, overview_level=None):
-    """JPEG 2000 rasters through the built-in lossless decoder
-    (:mod:`nd_tpu.io.jp2`), with GeoJP2 / world-file / .prj
-    georeferencing."""
+    """JPEG 2000 rasters through the built-in decoder (5/3 lossless
+    and 9/7 lossy, :mod:`nd_tpu.io.jp2`), with GeoJP2 / world-file /
+    .prj georeferencing."""
     from .jp2 import decode_jp2
     if overview_level is not None:
         raise ValueError('overview_level is not supported for JPEG '

@@ -1,18 +1,19 @@
-"""From-scratch JPEG 2000 Part 1 reader (lossless 5/3 profile).
+"""From-scratch JPEG 2000 Part 1 reader (5/3 lossless + 9/7 lossy).
 
 The reference ingests Sentinel-2 JP2 granules through GDAL
 (/root/reference/nd/io.py:283-284); this module owns the format:
 JP2 container boxes, the codestream (SIZ/COD/QCD/SOT tile-parts),
 Tier-2 packet headers (tag trees, LRCP/RLCP/RPCL progressions),
 Tier-1 EBCOT code-block decoding (MQ arithmetic coder, the three
-coding passes), the reversible 5/3 wavelet synthesis and the
-reversible color transform. Scope (deliberate): the REVERSIBLE
-(lossless) profile decodes fully; the irreversible 9/7 profile and
-rare coding-style extensions raise a loud, specific error instead of
+coding passes), both wavelet syntheses — the reversible integer 5/3
+and the irreversible floating 9/7 with Annex E scalar dequantization
+(derived and expounded) — and both color transforms (RCT and ICT).
+Rare coding-style extensions raise a loud, specific error instead of
 approximating.
 
-Decoded output is verified bit-exact against OpenJPEG (via Pillow)
-in tests/test_jp2.py.
+Lossless output is verified bit-exact against OpenJPEG (via Pillow);
+the 9/7 profile is verified to PSNR parity against OpenJPEG's own
+decode in tests/test_jp2.py.
 """
 
 from __future__ import annotations
@@ -277,6 +278,10 @@ class _T1Decoder:
         self.visited = np.zeros((h + 2, w + 2), np.uint8)
         self.refined = np.zeros((h + 2, w + 2), np.uint8)
         self.mag = np.zeros((h + 2, w + 2), np.int64)
+        # bit-plane of each coefficient's most recent interval update
+        # (significance or refinement, regardless of the bit value) —
+        # the 9/7 reconstruction offset is half that plane's step
+        self.lastp = np.zeros((h + 2, w + 2), np.int16)
 
     def _sig_ctx(self, y, x):
         s = self.sig
@@ -317,6 +322,7 @@ class _T1Decoder:
                     if mq.decode(cx[ctx]):
                         self.sig[y, x] = 1
                         self.mag[y, x] |= one
+                        self.lastp[y, x] = bp
                         self.sgn[y, x] = self._decode_sign(mq, cx, y, x)
 
     def mag_ref_pass(self, mq, cx, bp):
@@ -340,6 +346,7 @@ class _T1Decoder:
                     if mq.decode(cx[ctx]):
                         self.mag[y, x] |= one
                     self.refined[y, x] = 1
+                    self.lastp[y, x] = bp
 
     def cleanup_pass(self, mq, cx, bp):
         one = np.int64(1) << bp
@@ -361,6 +368,7 @@ class _T1Decoder:
                         y = y0 + r
                         self.sig[y, x] = 1
                         self.mag[y, x] |= one
+                        self.lastp[y, x] = bp
                         self.sgn[y, x] = self._decode_sign(mq, cx, y, x)
                         y += 1
                 while y < min(y0 + 4, self.h + 1):
@@ -368,6 +376,7 @@ class _T1Decoder:
                         if mq.decode(cx[self._sig_ctx(y, x)]):
                             self.sig[y, x] = 1
                             self.mag[y, x] |= one
+                            self.lastp[y, x] = bp
                             self.sgn[y, x] = \
                                 self._decode_sign(mq, cx, y, x)
                     y += 1
@@ -401,6 +410,19 @@ class _T1Decoder:
         vals = self.mag[1:-1, 1:-1] * self.sgn[1:-1, 1:-1]
         return vals
 
+    def recon_real(self):
+        """Deadzone mid-bin reconstruction for the 9/7 path: each
+        significant coefficient reconstructs at the midpoint of its
+        remaining uncertainty interval, |q| + 0.5 * 2^lastp (lastp =
+        the bit-plane of its last significance/refinement update) —
+        matching OpenJPEG's running half-step adjustments in closed
+        form. Truncated layers thus reconstruct mid-interval instead
+        of at the bin edge (~1 dB on typical content)."""
+        mag = self.mag[1:-1, 1:-1].astype(np.float64)
+        half = np.ldexp(0.5, self.lastp[1:-1, 1:-1].astype(np.int64))
+        mag = np.where(mag > 0, mag + half, 0.0)
+        return mag * self.sgn[1:-1, 1:-1]
+
 
 # ---------------------------------------------------------------------------
 # Codestream structures
@@ -409,7 +431,7 @@ class _T1Decoder:
 class _Band:
     __slots__ = ('otype', 'x0', 'y0', 'x1', 'y1', 'mb', 'cbs',
                  'incl_tree', 'msbs_tree', 'cbw', 'cbh', 'cbx0',
-                 'cby0', 'ncbx', 'ncby', 'xob', 'yob')
+                 'cby0', 'ncbx', 'ncby', 'xob', 'yob', 'delta')
 
 
 class _CodeBlock:
@@ -583,20 +605,27 @@ def _build_tile(cs, tidx):
     for c in range(cs.ncomp):
         cod = cs.coc.get(c, cs.cod)
         q = cs.qcc.get(c, cs.qcd)
-        if q['style'] != 0 or cod['wavelet'] != 1:
+        irrev = cod['wavelet'] == 0
+        if irrev and q['style'] == 0:
             raise Jp2Error(
-                'only the reversible (lossless 5/3) profile is '
-                'supported; this file uses the irreversible 9/7 '
-                'transform or scalar quantization. Re-encode '
-                'losslessly, or install an external decoder.')
+                'irreversible 9/7 transform with no-quantization '
+                'style (Sqcd=0) is not a valid Part 1 combination')
+        if not irrev and q['style'] != 0:
+            raise Jp2Error(
+                'reversible 5/3 transform with scalar quantization '
+                'is not supported (Part 1 pairs 5/3 with Sqcd=0)')
         xr, yr = cs.comps[c]['xr'], cs.comps[c]['yr']
         tcx0, tcy0 = _ceil_div(tx0, xr), _ceil_div(ty0, yr)
         tcx1, tcy1 = _ceil_div(tx1, xr), _ceil_div(ty1, yr)
         nl = cod['nl']
         comp = {'x0': tcx0, 'y0': tcy0, 'x1': tcx1, 'y1': tcy1,
-                'nl': nl, 'resolutions': [], 'cod': cod}
+                'nl': nl, 'resolutions': [], 'cod': cod,
+                'irrev': irrev}
         exps = q['exps']
+        mants = q.get('mants')
         guard = q['guard']
+        prec = cs.comps[c]['prec']
+        _GAIN = {'LL': 0, 'HL': 1, 'LH': 1, 'HH': 2}
         for r in range(nl + 1):
             dshift = nl - r
             trx0 = _ceil_div(tcx0, 1 << dshift)
@@ -648,7 +677,25 @@ def _build_tile(cs, tidx):
                     band.y1 = _ceil_div(tcy1 - (1 << (d - 1)) * yob,
                                         1 << d)
                     eidx = 3 * (r - 1) + bi + 1
-                band.mb = exps[eidx] + guard - 1
+                if q['style'] == 1:
+                    # scalar derived (Annex E, E-5): one exponent for
+                    # the NL-th level LL, halved grids derive the rest
+                    eps_b = exps[0] - (r - 1 if r else 0)
+                    mu_b = mants[0]
+                elif q['style'] == 2:       # scalar expounded
+                    eps_b = exps[eidx]
+                    mu_b = mants[eidx]
+                else:                       # no quantization (5/3)
+                    eps_b = exps[eidx]
+                    mu_b = 0
+                band.mb = eps_b + guard - 1
+                if irrev:
+                    # Annex E dequantization step for this band:
+                    # delta = 2^(Rb - eps_b) * (1 + mu_b / 2^11),
+                    # Rb = component precision + log2 subband gain
+                    rb = prec + _GAIN[otype]
+                    band.delta = (2.0 ** (rb - eps_b)
+                                  * (1.0 + mu_b / 2048.0))
                 band.cbw = 1 << xcb
                 band.cbh = 1 << ycb
                 band.cbx0 = band.x0 >> xcb
@@ -838,13 +885,16 @@ def _decode_tile(cs, tidx, data):
     out_comps = []
     for c, comp in enumerate(tile['comps']):
         nl = comp['nl']
-        # decode every band into its integer array
+        irrev = comp['irrev']
+        # decode every band into its array (int64 magnitudes for the
+        # reversible path; Annex E dequantized float64 for 9/7)
         band_arrays = {}
         for r, res in enumerate(comp['resolutions']):
             for band in res['bands']:
                 bw = band.x1 - band.x0
                 bh = band.y1 - band.y0
-                arr = np.zeros((bh, bw), np.int64)
+                arr = np.zeros((bh, bw),
+                               np.float64 if irrev else np.int64)
                 for (ci, cj), cb in band.cbs.items():
                     w = cb.x1 - cb.x0
                     h = cb.y1 - cb.y0
@@ -854,10 +904,15 @@ def _decode_tile(cs, tidx, data):
                     npasses = sum(n for _, n in cb.segments)
                     t1 = _T1Decoder(w, h, band.otype)
                     vals = t1.decode(buf, npasses, cb.numbps)
+                    if irrev:
+                        # Annex E dequantization of the mid-bin
+                        # reconstruction (see recon_real)
+                        vals = t1.recon_real() * band.delta
                     arr[cb.y0 - band.y0:cb.y1 - band.y0,
                         cb.x0 - band.x0:cb.x1 - band.x0] = vals
                 band_arrays[(r, band.otype)] = (band, arr)
         # multi-level synthesis
+        synthesize = _synthesize_97 if irrev else _synthesize_53
         ll_band, ll = band_arrays[(0, 'LL')]
         x0, y0 = ll_band.x0, ll_band.y0
         for r in range(1, nl + 1):
@@ -865,9 +920,9 @@ def _decode_tile(cs, tidx, data):
             lh_band, lh = band_arrays[(r, 'LH')]
             hh_band, hh = band_arrays[(r, 'HH')]
             res = comp['resolutions'][r]
-            ll = _synthesize_53(ll, hl, lh, hh,
-                                res['x0'], res['y0'],
-                                res['x1'], res['y1'])
+            ll = synthesize(ll, hl, lh, hh,
+                            res['x0'], res['y0'],
+                            res['x1'], res['y1'])
             x0, y0 = res['x0'], res['y0']
         out_comps.append(ll)
     return tile, trect, out_comps
@@ -945,6 +1000,84 @@ def _synthesize_53(ll, hl, lh, hh, x0, y0, x1, y1):
 
 
 # ---------------------------------------------------------------------------
+# Irreversible 9/7 synthesis (Annex F.4.8.2, floating lifting)
+# ---------------------------------------------------------------------------
+
+_97_ALPHA = -1.586134342059924
+_97_BETA = -0.052980118572961
+_97_GAMMA = 0.882911075530934
+_97_DELTA = 0.443506852043971
+_97_K = 1.230174104914001
+
+
+def _sr1d_97(low, high, i0, i1):
+    """1-D irreversible synthesis along axis 0 into [i0, i1); even
+    global indices are lowpass. Mirrors :func:`_sr1d_53`'s structure:
+    interleave, then the four lifting steps each on a freshly
+    symmetric-extended signal (the intermediates keep the whole-sample
+    symmetry, so per-step re-extension is exact)."""
+    n = i1 - i0
+    trail = low.shape[1:] if low.ndim > 1 else \
+        (high.shape[1:] if high.ndim > 1 else ())
+    if n == 1:
+        # single-sample signal: no lifting AND no K de-scaling — the
+        # encoder-side transform of a one-sample signal is the
+        # identity (OpenJPEG returns early when sn==1, dn==0), so
+        # scaling here would bias every width-1 deep resolution of a
+        # narrow tile by ~23% (found as +-1..2-pixel noise across the
+        # 16-px edge tiles of a 32x32-tiled image)
+        arr = low if i0 % 2 == 0 else high
+        return np.asarray(arr, np.float64).copy()
+    x = np.zeros((n,) + trail, np.float64)
+    p = i0 % 2
+    x[p::2] = low
+    x[1 - p::2] = high
+
+    def _extend(arr):
+        ext = np.empty((n + 4,) + trail, np.float64)
+        ext[2:-2] = arr
+        ext[1] = arr[1] if n > 1 else arr[0]
+        ext[0] = arr[2] if n > 2 else arr[0]
+        ext[-2] = arr[-2] if n > 1 else arr[-1]
+        ext[-1] = arr[-3] if n > 2 else arr[-1]
+        return ext
+
+    u = np.arange(i0, i1)
+    even = (u % 2 == 0)
+    odd = ~even
+    # de-scaling (undo the analysis K): low * K, high / K
+    x[even] *= _97_K
+    x[odd] /= _97_K
+    # four lifting steps, reversing the analysis order
+    for coef, on_even in ((_97_DELTA, True), (_97_GAMMA, False),
+                          (_97_BETA, True), (_97_ALPHA, False)):
+        ext = _extend(x)
+        sel = even if on_even else odd
+        x[sel] = x[sel] - coef * (ext[1:-3][sel] + ext[3:-1][sel])
+    return x
+
+
+def _synthesize_97(ll, hl, lh, hh, x0, y0, x1, y1):
+    """One 2-D irreversible synthesis level (float), same interleave
+    and HOR_SR-then-VER_SR order as :func:`_synthesize_53`."""
+    h = y1 - y0
+    w = x1 - x0
+    ex = x0 % 2
+    ey = y0 % 2
+    a = np.zeros((h, w), np.float64)
+    rs_l = slice(ey, h, 2) if ey else slice(0, h, 2)
+    rs_h = slice(0, h, 2) if ey else slice(1, h, 2)
+    cs_l = slice(ex, w, 2) if ex else slice(0, w, 2)
+    cs_h = slice(0, w, 2) if ex else slice(1, w, 2)
+    a[rs_l, cs_l] = ll
+    a[rs_l, cs_h] = hl
+    a[rs_h, cs_l] = lh
+    a[rs_h, cs_h] = hh
+    out = _sr1d_97(a[:, cs_l].T, a[:, cs_h].T, x0, x1).T
+    return _sr1d_97(out[rs_l, :], out[rs_h, :], y0, y1)
+
+
+# ---------------------------------------------------------------------------
 # Top level
 # ---------------------------------------------------------------------------
 
@@ -956,7 +1089,10 @@ def decode_codestream(buf):
     for c in cs.comps:
         if c['xr'] != 1 or c['yr'] != 1:
             raise Jp2Error('component subsampling is not supported')
-    planes = [np.zeros((H, W), np.int64) for _ in range(cs.ncomp)]
+    irrev = cs.cod['wavelet'] == 0 \
+        or any(coc['wavelet'] == 0 for coc in cs.coc.values())
+    pdtype = np.float64 if irrev else np.int64
+    planes = [np.zeros((H, W), pdtype) for _ in range(cs.ncomp)]
 
     # group tile-part byte ranges per tile (tile-parts concatenate)
     per_tile = {}
@@ -969,19 +1105,27 @@ def decode_codestream(buf):
             planes[c][ty0 - cs.yosiz:ty1 - cs.yosiz,
                       tx0 - cs.xosiz:tx1 - cs.xosiz] = arr
 
-    # reversible color transform
+    # color transform: reversible RCT with the 5/3 path, floating ICT
+    # (YCbCr, T.800 G.1.2) with the 9/7 path
     if cs.cod['mct'] == 1:
         if cs.ncomp < 3:
             raise Jp2Error('MCT with fewer than 3 components')
         y, cb, cr = planes[0], planes[1], planes[2]
-        g = y - ((cb + cr) >> 2)
-        r = cr + g
-        b = cb + g
+        if irrev:
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+        else:
+            g = y - ((cb + cr) >> 2)
+            r = cr + g
+            b = cb + g
         planes[0], planes[1], planes[2] = r, g, b
 
     out = []
     for c, plane in enumerate(planes):
         prec = cs.comps[c]['prec']
+        if irrev:
+            plane = np.rint(plane).astype(np.int64)
         if not cs.comps[c]['signed']:
             plane = plane + (1 << (prec - 1))
             plane = np.clip(plane, 0, (1 << prec) - 1)
