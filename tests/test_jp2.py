@@ -245,3 +245,35 @@ def test_sentinel2_safe_granule(tmp_path):
     # unknown resolution is a loud error
     with pytest.raises(ValueError):
         open_sentinel2_granule(str(gdir), resolution=60)
+
+
+def test_derived_quantization_deltas(tmp_path):
+    """Sqcd style 1 (scalar derived): one (exponent, mantissa) pair
+    derives every band's step as eps_b = eps0 - (r - 1) per Annex E
+    E-5. Pillow's encoder always writes expounded, so the derived
+    wiring is pinned by rewriting a parsed codestream's QCD and
+    checking each band's delta against the literal formula."""
+    from nd_tpu.io import jp2 as J
+
+    a = _smooth((48, 48), seed=21)
+    p = str(tmp_path / 'l.jp2')
+    PIL.fromarray(a).save(p, irreversible=True, num_resolutions=4)
+    buf = open(p, 'rb').read()
+    cs = J._parse_markers(buf[buf.find(b'\xff\x4f\xff\x51'):])
+    eps0, mu0, guard = 12, 1536, 2
+    cs.qcd = {'style': 1, 'guard': guard, 'exps': [eps0],
+              'mants': [mu0]}
+    cs.qcc = {}
+    tile, _ = J._build_tile(cs, 0)
+    prec = cs.comps[0]['prec']
+    gains = {'LL': 0, 'HL': 1, 'LH': 1, 'HH': 2}
+    checked = 0
+    for r, res in enumerate(tile['comps'][0]['resolutions']):
+        eps_b = eps0 - (r - 1 if r else 0)
+        for band in res['bands']:
+            want = 2.0 ** (prec + gains[band.otype] - eps_b) \
+                * (1.0 + mu0 / 2048.0)
+            assert band.delta == want, (r, band.otype)
+            assert band.mb == eps_b + guard - 1, (r, band.otype)
+            checked += 1
+    assert checked == 1 + 3 * 3
