@@ -412,3 +412,35 @@ def test_footprint_stats_on_integer_cube_restore_exactly():
         assert got.dtype == np.int16, stat
         np.testing.assert_array_equal(got, oracle.astype(np.int16),
                                       err_msg=stat)
+
+
+def test_resample_algorithm_forwards_footprint_methods():
+    """The Resample algorithm (and its accessor) accepts the full
+    method surface — a mode-downsample of a label raster through the
+    public resample API equals the blocked-mode oracle."""
+    from nd_tpu.warp import Resample
+
+    rng = np.random.RandomState(17)
+    ds = generate_test_dataset(dims={'y': 32, 'x': 40, 'time': 1},
+                               extent=(10.0, 50.0, 14.0, 53.2))
+    labels = rng.randint(0, 4, size=(32, 40)).astype(np.int32)
+    ds['labels'] = (('y', 'x'), labels)
+    out = Resample(width=10, height=8, resampling='mode').apply(ds)
+    got = np.asarray(out['labels'].values)
+    assert got.dtype == np.int32 and got.shape == (8, 10)
+    # oracle: Resample's own (corner-anchored) grid mapped to source
+    # pixel coordinates, reduced with the footprint primitives (which
+    # test_footprint_stats_* pin against blocked numpy oracles)
+    from nd_tpu.ops.interp import footprint_axis, footprint_resample
+    sx = np.asarray(ds.coords['x'].values)
+    sy = np.asarray(ds.coords['y'].values)
+    cx = (np.asarray(out.coords['x'].values) - sx[0]) \
+        / (sx[1] - sx[0])
+    cy = (np.asarray(out.coords['y'].values) - sy[0]) \
+        / (sy[1] - sy[0])
+    iy, my, vy = footprint_axis(cy, 32)
+    ix, mx, vx = footprint_axis(cx, 40)
+    want = np.asarray(footprint_resample(
+        labels.astype(np.float64), iy, my, vy, ix, mx, vx,
+        'mode', np.nan))
+    np.testing.assert_array_equal(got, want.astype(np.int32))
