@@ -343,17 +343,25 @@ def _open_jp2(path, overview_level=None):
     and 9/7 lossy, :mod:`nd_tpu.io.jp2`), with GeoJP2 / world-file /
     .prj georeferencing."""
     from .jp2 import decode_jp2
-    if overview_level is not None:
-        raise ValueError('overview_level is not supported for JPEG '
-                         '2000 yet; the reader decodes the full '
-                         'resolution')
-    arr = decode_jp2(str(path))
+    # overview_level k = the k-th dyadic overview (half resolution at
+    # 0, matching the GeoTIFF reader's first-overview convention):
+    # the DWT pyramid IS the overview chain, so the decoder just stops
+    # the synthesis (and skips Tier-1 for the dropped resolutions)
+    reduce = 0 if overview_level is None else int(overview_level) + 1
+    arr = decode_jp2(str(path), reduce=reduce)
     data = arr[None] if arr.ndim == 2 else np.moveaxis(arr, 2, 0)
     transform, crs = _jp2_geo_box(path)
     if transform is None:
         transform = _read_world_file(path)
     if crs is None:
         crs = _read_prj_file(path)
+    if reduce and transform is not None:
+        from ..crs import Affine
+        s = float(1 << reduce)
+        t = Affine(*transform) if not hasattr(transform, 'a') \
+            else transform
+        transform = Affine(t.a * s, t.b * s, t.c,
+                           t.d * s, t.e * s, t.f)
     return _raster_dataarray(np.ascontiguousarray(data), transform,
                              crs, nodata=None, is_tiled=0)
 

@@ -869,7 +869,7 @@ def _packet_iterator(cs, tile):
                        '(LRCP/RLCP/RPCL only)' % prog)
 
 
-def _decode_tile(cs, tidx, data):
+def _decode_tile(cs, tidx, data, reduce=0):
     tile, trect = _build_tile(cs, tidx)
     cod = cs.cod
     pos = 0
@@ -885,11 +885,15 @@ def _decode_tile(cs, tidx, data):
     out_comps = []
     for c, comp in enumerate(tile['comps']):
         nl = comp['nl']
+        keep = max(nl - reduce, 0)
         irrev = comp['irrev']
         # decode every band into its array (int64 magnitudes for the
         # reversible path; Annex E dequantized float64 for 9/7)
         band_arrays = {}
         for r, res in enumerate(comp['resolutions']):
+            if r > keep:
+                continue            # reduced decode: skip Tier-1 for
+                                    # resolutions beyond the target
             for band in res['bands']:
                 bw = band.x1 - band.x0
                 bh = band.y1 - band.y0
@@ -915,7 +919,7 @@ def _decode_tile(cs, tidx, data):
         synthesize = _synthesize_97 if irrev else _synthesize_53
         ll_band, ll = band_arrays[(0, 'LL')]
         x0, y0 = ll_band.x0, ll_band.y0
-        for r in range(1, nl + 1):
+        for r in range(1, keep + 1):
             hl_band, hl = band_arrays[(r, 'HL')]
             lh_band, lh = band_arrays[(r, 'LH')]
             hh_band, hh = band_arrays[(r, 'HH')]
@@ -1081,11 +1085,24 @@ def _synthesize_97(ll, hl, lh, hh, x0, y0, x1, y1):
 # Top level
 # ---------------------------------------------------------------------------
 
-def decode_codestream(buf):
-    """Decode a raw JPEG 2000 codestream -> (H, W) or (H, W, C) array."""
+def decode_codestream(buf, reduce=0):
+    """Decode a raw JPEG 2000 codestream -> (H, W) or (H, W, C) array.
+
+    ``reduce`` drops that many DWT levels (dyadic pyramid): the output
+    covers the same extent at ``ceil(size / 2**reduce)`` samples per
+    axis, and Tier-1 never decodes the skipped resolutions' packets —
+    a quarter of the work per level for typical content."""
     cs = _parse_markers(bytes(buf))
-    H = cs.ysiz - cs.yosiz
-    W = cs.xsiz - cs.xosiz
+    reduce = int(reduce)
+    nl_min = min(cs.coc.get(c, cs.cod)['nl'] for c in range(cs.ncomp))
+    if reduce < 0 or reduce > nl_min:
+        raise ValueError(
+            'reduce=%d out of range: this codestream has %d '
+            'decomposition levels (reduce 0..%d)'
+            % (reduce, nl_min, nl_min))
+    rd = 1 << reduce
+    H = _ceil_div(cs.ysiz, rd) - _ceil_div(cs.yosiz, rd)
+    W = _ceil_div(cs.xsiz, rd) - _ceil_div(cs.xosiz, rd)
     for c in cs.comps:
         if c['xr'] != 1 or c['yr'] != 1:
             raise Jp2Error('component subsampling is not supported')
@@ -1100,10 +1117,13 @@ def decode_codestream(buf):
         per_tile.setdefault(tidx, []).append(body)
     for tidx, bodies in per_tile.items():
         tile, (tx0, ty0, tx1, ty1), comps = _decode_tile(
-            cs, tidx, b''.join(bodies))
+            cs, tidx, b''.join(bodies), reduce=reduce)
         for c, arr in enumerate(comps):
-            planes[c][ty0 - cs.yosiz:ty1 - cs.yosiz,
-                      tx0 - cs.xosiz:tx1 - cs.xosiz] = arr
+            planes[c][_ceil_div(ty0, rd) - _ceil_div(cs.yosiz, rd):
+                      _ceil_div(ty1, rd) - _ceil_div(cs.yosiz, rd),
+                      _ceil_div(tx0, rd) - _ceil_div(cs.xosiz, rd):
+                      _ceil_div(tx1, rd) - _ceil_div(cs.xosiz, rd)] \
+                = arr
 
     # color transform: reversible RCT with the 5/3 path, floating ICT
     # (YCbCr, T.800 G.1.2) with the 9/7 path
@@ -1144,16 +1164,17 @@ def decode_codestream(buf):
     return np.stack(out, axis=-1)
 
 
-def decode_jp2(path_or_bytes):
+def decode_jp2(path_or_bytes, reduce=0):
     """Decode a .jp2 container (or raw .j2k codestream) from a path or
-    bytes."""
+    bytes; ``reduce`` selects a dyadic overview (see
+    :func:`decode_codestream`)."""
     if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
         buf = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, 'rb') as f:
             buf = f.read()
     if buf[:4] == b'\xff\x4f\xff\x51':
-        return decode_codestream(buf)
+        return decode_codestream(buf, reduce=reduce)
     if buf[4:8] != b'jP  ':
         raise Jp2Error('not a JP2 file (missing signature box)')
     # box walk to the contiguous codestream
@@ -1168,6 +1189,7 @@ def decode_jp2(path_or_bytes):
         elif lbox == 0:
             lbox = len(buf) - pos
         if tbox == b'jp2c':
-            return decode_codestream(buf[pos + hdr:pos + lbox])
+            return decode_codestream(buf[pos + hdr:pos + lbox],
+                                     reduce=reduce)
         pos += lbox
     raise Jp2Error('no codestream (jp2c box) found')

@@ -277,3 +277,54 @@ def test_derived_quantization_deltas(tmp_path):
             assert band.mb == eps_b + guard - 1, (r, band.otype)
             checked += 1
     assert checked == 1 + 3 * 3
+
+
+@pytest.mark.parametrize('reduce', [1, 2, 3])
+def test_reduced_resolution_decode_bit_exact(tmp_path, reduce):
+    """reduce= stops the DWT synthesis early (the pyramid IS the
+    overview chain) — bit-exact against OpenJPEG's own reduced decode
+    (Pillow's Jpeg2KImageFile.reduce)."""
+    a = _smooth((96, 112), seed=4)
+    p = str(tmp_path / 'r.jp2')
+    PIL.fromarray(a).save(p, irreversible=False)
+    img = PIL.open(p)
+    img.reduce = reduce
+    oracle = np.asarray(img)
+    mine = decode_jp2(p, reduce=reduce)
+    np.testing.assert_array_equal(mine, oracle)
+
+
+def test_reduced_resolution_decode_lossy_and_tiled(tmp_path):
+    a = _smooth((95, 113), seed=5)
+    p = str(tmp_path / 'r2.jp2')
+    PIL.fromarray(a).save(p, irreversible=True, tile_size=(32, 32))
+    img = PIL.open(p)
+    img.reduce = 1
+    oracle = np.asarray(img).astype(int)
+    mine = decode_jp2(p, reduce=1).astype(int)
+    assert mine.shape == oracle.shape == (48, 57)
+    assert np.abs(mine - oracle).max() <= 2    # f32-vs-f64 rounding
+    with pytest.raises(ValueError, match='reduce'):
+        decode_jp2(p, reduce=9)
+
+
+def test_open_rasterio_jp2_overview_level(tmp_path):
+    """overview_level decodes the dyadic overview and scales the
+    transform like the GeoTIFF reader."""
+    from nd_tpu.io import open_rasterio
+    a = _smooth((64, 64), seed=6)
+    p = str(tmp_path / 'ov.jp2')
+    PIL.fromarray(a).save(p, irreversible=False)
+    # world file georeferencing
+    with open(str(tmp_path / 'ov.j2w'), 'w') as fh:
+        fh.write('10.0\n0.0\n0.0\n-10.0\n600005.0\n5900035.0\n')
+    full = open_rasterio(p)
+    half = open_rasterio(p, overview_level=0)
+    assert half.shape == (1, 32, 32)
+    t0 = np.asarray(full.attrs['transform'], float)
+    t1 = np.asarray(half.attrs['transform'], float)
+    assert t1[0] == 2 * t0[0] and t1[4] == 2 * t0[4]
+    assert t1[2] == t0[2] and t1[5] == t0[5]
+    # pixel centers: first reduced center = origin + half a (big) px
+    assert abs(float(np.asarray(half['x'].values)[0])
+               - (600000.0 + 10.0)) < 1e-6
