@@ -19,7 +19,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, 'libnd_native.so')
-_SOURCES = ['nlmeans.cpp', 'change.cpp']
+_SOURCES = ['nlmeans.cpp', 'change.cpp', 'jp2_t1.cpp']
 _LOCK = threading.Lock()
 _LIB = None
 
@@ -72,6 +72,12 @@ def _load():
             fc.restype = None
             fc.argtypes = [ptr, ctypes.POINTER(ctypes.c_uint8),
                            i64, i64, i64, dbl, dbl, ctypes.c_int]
+        ft1 = lib.nd_jp2_t1_decode
+        ft1.restype = ctypes.c_int
+        ft1.argtypes = [ctypes.POINTER(ctypes.c_uint8), i64,
+                        i64, i64, ctypes.c_int, i64, i64,
+                        ctypes.POINTER(ctypes.c_int64),
+                        ctypes.POINTER(ctypes.c_int16)]
         _LIB = lib
         return lib
 
@@ -138,3 +144,32 @@ def change_detection_native(values, alpha, n=1, nthreads=1):
        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
        ny, nx, k, float(alpha), float(n), int(nthreads))
     return out.astype(bool)
+
+
+_T1_ORIENT = {'LL': 0, 'HL': 1, 'LH': 2, 'HH': 3}
+
+
+def jp2_t1_decode_native(data, w, h, orientation, npasses, numbps):
+    """Native EBCOT Tier-1 decode of one code-block.
+
+    Returns ``(vals, lastp)``: signed int64 coefficients (h, w) and
+    the per-coefficient last-updated bit-plane (int16, consumed by
+    the 9/7 mid-bin reconstruction). Bit-exact twin of
+    :class:`nd_tpu.io.jp2._T1Decoder` (pinned in tests/test_jp2.py).
+    Raises :class:`NativeUnavailable` when the toolchain is absent and
+    ValueError on a malformed pass count (same condition the Python
+    decoder raises on).
+    """
+    lib = _load()
+    buf = np.frombuffer(bytes(data), np.uint8)
+    vals = np.zeros((int(h), int(w)), np.int64)
+    lastp = np.zeros((int(h), int(w)), np.int16)
+    rc = lib.nd_jp2_t1_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(buf), int(w), int(h), _T1_ORIENT[orientation],
+        int(npasses), int(numbps),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lastp.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    if rc != 0:
+        raise ValueError('more coding passes than bit-planes')
+    return vals, lastp

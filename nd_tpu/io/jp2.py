@@ -418,10 +418,49 @@ class _T1Decoder:
         matching OpenJPEG's running half-step adjustments in closed
         form. Truncated layers thus reconstruct mid-interval instead
         of at the bin edge (~1 dB on typical content)."""
-        mag = self.mag[1:-1, 1:-1].astype(np.float64)
-        half = np.ldexp(0.5, self.lastp[1:-1, 1:-1].astype(np.int64))
-        mag = np.where(mag > 0, mag + half, 0.0)
-        return mag * self.sgn[1:-1, 1:-1]
+        return _recon_real(self.mag[1:-1, 1:-1]
+                           * self.sgn[1:-1, 1:-1],
+                           self.lastp[1:-1, 1:-1])
+
+
+def _recon_real(vals, lastp):
+    """Mid-bin reconstruction from signed integer coefficients and
+    their last-updated bit-planes (see ``_T1Decoder.recon_real``)."""
+    mag = np.abs(vals).astype(np.float64)
+    half = np.ldexp(0.5, np.asarray(lastp, np.int64))
+    return np.where(mag > 0, mag + half, 0.0) * np.sign(vals)
+
+
+_NATIVE_T1 = None
+
+
+def _t1_decode(buf, w, h, otype, npasses, numbps):
+    """Tier-1 decode of one code-block -> (vals, lastp).
+
+    Uses the native C++ decoder (bit-exact twin, ~100x faster on the
+    Python-loop hot path — a full Sentinel-2 band is ~29k blocks) when
+    the toolchain built it; the Python ``_T1Decoder`` is the readable
+    specification and the fallback. ``ND_TPU_JP2_NATIVE=0`` pins the
+    Python path (the parity tests compare both)."""
+    import os as _os
+
+    global _NATIVE_T1
+    if _NATIVE_T1 is None:
+        if _os.environ.get('ND_TPU_JP2_NATIVE', '1') == '0':
+            _NATIVE_T1 = False
+        else:
+            try:
+                from .._native import (available,
+                                       jp2_t1_decode_native)
+                _NATIVE_T1 = jp2_t1_decode_native if available() \
+                    else False
+            except Exception:
+                _NATIVE_T1 = False
+    if _NATIVE_T1:
+        return _NATIVE_T1(buf, w, h, otype, npasses, numbps)
+    t1 = _T1Decoder(w, h, otype)
+    vals = t1.decode(buf, npasses, numbps)
+    return vals, t1.lastp[1:-1, 1:-1].copy()
 
 
 # ---------------------------------------------------------------------------
@@ -906,12 +945,12 @@ def _decode_tile(cs, tidx, data, reduce=0):
                         continue
                     buf = b''.join(s for s, _ in cb.segments)
                     npasses = sum(n for _, n in cb.segments)
-                    t1 = _T1Decoder(w, h, band.otype)
-                    vals = t1.decode(buf, npasses, cb.numbps)
+                    vals, lastp = _t1_decode(buf, w, h, band.otype,
+                                             npasses, cb.numbps)
                     if irrev:
                         # Annex E dequantization of the mid-bin
                         # reconstruction (see recon_real)
-                        vals = t1.recon_real() * band.delta
+                        vals = _recon_real(vals, lastp) * band.delta
                     arr[cb.y0 - band.y0:cb.y1 - band.y0,
                         cb.x0 - band.x0:cb.x1 - band.x0] = vals
                 band_arrays[(r, band.otype)] = (band, arr)

@@ -328,3 +328,35 @@ def test_open_rasterio_jp2_overview_level(tmp_path):
     # pixel centers: first reduced center = origin + half a (big) px
     assert abs(float(np.asarray(half['x'].values)[0])
                - (600000.0 + 10.0)) < 1e-6
+
+
+def test_native_t1_matches_python(tmp_path, monkeypatch):
+    """The C++ Tier-1 decoder is a bit-exact twin of the Python
+    specification: full decodes of lossless AND truncated-lossy
+    fixtures agree coefficient-for-coefficient (the decoded images
+    match bitwise, incl. the lastp-driven 9/7 reconstruction)."""
+    from nd_tpu._native import available
+    if not available():
+        pytest.skip('native toolchain unavailable')
+    from nd_tpu.io import jp2 as J
+
+    rng = np.random.RandomState(33)
+    fixtures = []
+    a = rng.randint(0, 256, (80, 96), np.uint8)
+    p1 = str(tmp_path / 'n1.jp2')
+    PIL.fromarray(a).save(p1, irreversible=False)
+    fixtures.append(p1)
+    b = _smooth((95, 77), seed=34)
+    p2 = str(tmp_path / 'n2.jp2')
+    PIL.fromarray(b).save(p2, irreversible=True,
+                          quality_layers=[50, 30])
+    fixtures.append(p2)
+    for p in fixtures:
+        monkeypatch.setattr(J, '_NATIVE_T1', None)
+        monkeypatch.setenv('ND_TPU_JP2_NATIVE', '1')
+        native = J.decode_jp2(p)
+        monkeypatch.setattr(J, '_NATIVE_T1', None)
+        monkeypatch.setenv('ND_TPU_JP2_NATIVE', '0')
+        python = J.decode_jp2(p)
+        monkeypatch.setattr(J, '_NATIVE_T1', None)
+        np.testing.assert_array_equal(native, python, err_msg=p)
