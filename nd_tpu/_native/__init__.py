@@ -78,6 +78,15 @@ def _load():
                         i64, i64, ctypes.c_int, i64, i64,
                         ctypes.POINTER(ctypes.c_int64),
                         ctypes.POINTER(ctypes.c_int16)]
+        fb = lib.nd_jp2_t1_decode_batch
+        fb.restype = ctypes.c_int
+        fb.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                       ctypes.POINTER(ctypes.c_int64),
+                       ctypes.POINTER(ctypes.c_int64), i64,
+                       ctypes.POINTER(ctypes.c_int64),
+                       ctypes.POINTER(ctypes.c_int16),
+                       ctypes.POINTER(ctypes.c_int64),
+                       ctypes.c_int]
         _LIB = lib
         return lib
 
@@ -173,3 +182,47 @@ def jp2_t1_decode_native(data, w, h, orientation, npasses, numbps):
     if rc != 0:
         raise ValueError('more coding passes than bit-planes')
     return vals, lastp
+
+
+def jp2_t1_decode_batch_native(blocks, nthreads=0):
+    """Batched native Tier-1 decode: ``blocks`` is a list of
+    ``(data_bytes, w, h, orientation, npasses, numbps)``; code-blocks
+    are independent, so they fan out over OpenMP threads
+    (``nthreads=0`` = all cores). Returns a list of ``(vals, lastp)``
+    in input order, each bit-exact with the per-block decode."""
+    lib = _load()
+    if not blocks:
+        return []
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    data = b''.join(b[0] for b in blocks)
+    offs = np.zeros(len(blocks) + 1, np.int64)
+    np.cumsum([len(b[0]) for b in blocks], out=offs[1:])
+    meta = np.asarray(
+        [(int(b[1]), int(b[2]), _T1_ORIENT[b[3]], int(b[4]),
+          int(b[5])) for b in blocks], np.int64)
+    out_offs = np.zeros(len(blocks) + 1, np.int64)
+    np.cumsum([int(b[1]) * int(b[2]) for b in blocks],
+              out=out_offs[1:])
+    vals = np.zeros(int(out_offs[-1]), np.int64)
+    lastp = np.zeros(int(out_offs[-1]), np.int16)
+    buf = np.frombuffer(data, np.uint8)
+    if not len(buf):
+        buf = np.zeros(1, np.uint8)
+    rc = lib.nd_jp2_t1_decode_batch(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(blocks),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lastp.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(nthreads))
+    if rc != 0:
+        raise ValueError('more coding passes than bit-planes')
+    out = []
+    for i, b in enumerate(blocks):
+        w, h = int(b[1]), int(b[2])
+        s = slice(int(out_offs[i]), int(out_offs[i + 1]))
+        out.append((vals[s].reshape(h, w), lastp[s].reshape(h, w)))
+    return out

@@ -296,7 +296,7 @@ struct T1 {
 
 }  // namespace
 
-extern "C" int nd_jp2_t1_decode(
+static int t1_decode_one(
     const uint8_t* data, int64_t nbytes,
     int64_t w, int64_t h, int orient,
     int64_t npasses, int64_t numbps,
@@ -330,4 +330,35 @@ extern "C" int nd_jp2_t1_decode(
             out_lastp[y * w + x] = t1.lastp[p];
         }
     return 0;
+}
+
+extern "C" int nd_jp2_t1_decode(
+    const uint8_t* data, int64_t nbytes,
+    int64_t w, int64_t h, int orient,
+    int64_t npasses, int64_t numbps,
+    int64_t* out_vals, int16_t* out_lastp) {
+    return t1_decode_one(data, nbytes, w, h, orient, npasses,
+                         numbps, out_vals, out_lastp);
+}
+
+// Batched decode: code-blocks are fully independent (each owns its MQ
+// codeword segment and state planes), so a tile's blocks fan out over
+// OpenMP threads. meta rows: (w, h, orient, npasses, numbps).
+extern "C" int nd_jp2_t1_decode_batch(
+    const uint8_t* data, const int64_t* offs,
+    const int64_t* meta, int64_t nblocks,
+    int64_t* out_vals, int16_t* out_lastp,
+    const int64_t* out_offs, int nthreads) {
+    int err = 0;
+#pragma omp parallel for schedule(dynamic) num_threads(nthreads) \
+    reduction(max : err)
+    for (int64_t b = 0; b < nblocks; b++) {
+        const int64_t* m = meta + 5 * b;
+        int rc = t1_decode_one(
+            data + offs[b], offs[b + 1] - offs[b],
+            m[0], m[1], (int)m[2], m[3], m[4],
+            out_vals + out_offs[b], out_lastp + out_offs[b]);
+        if (rc > err) err = rc;
+    }
+    return err;
 }

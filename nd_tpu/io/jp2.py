@@ -434,12 +434,11 @@ def _recon_real(vals, lastp):
 _NATIVE_T1 = None
 
 
-def _t1_decode(buf, w, h, otype, npasses, numbps):
-    """Tier-1 decode of one code-block -> (vals, lastp).
-
-    Uses the native C++ decoder (bit-exact twin, ~100x faster on the
-    Python-loop hot path — a full Sentinel-2 band is ~29k blocks) when
-    the toolchain built it; the Python ``_T1Decoder`` is the readable
+def _t1_backend():
+    """The native batched Tier-1 decoder, or False. The native C++
+    twin is bit-exact and ~100x faster on the Python-loop hot path (a
+    full Sentinel-2 band is ~29k blocks), and fans independent blocks
+    out over OpenMP threads; the Python ``_T1Decoder`` is the readable
     specification and the fallback. ``ND_TPU_JP2_NATIVE=0`` pins the
     Python path (the parity tests compare both)."""
     import os as _os
@@ -451,16 +450,32 @@ def _t1_decode(buf, w, h, otype, npasses, numbps):
         else:
             try:
                 from .._native import (available,
-                                       jp2_t1_decode_native)
-                _NATIVE_T1 = jp2_t1_decode_native if available() \
-                    else False
+                                       jp2_t1_decode_batch_native)
+                _NATIVE_T1 = jp2_t1_decode_batch_native \
+                    if available() else False
             except Exception:
                 _NATIVE_T1 = False
-    if _NATIVE_T1:
-        return _NATIVE_T1(buf, w, h, otype, npasses, numbps)
-    t1 = _T1Decoder(w, h, otype)
-    vals = t1.decode(buf, npasses, numbps)
-    return vals, t1.lastp[1:-1, 1:-1].copy()
+    return _NATIVE_T1
+
+
+def _t1_decode_many(jobs):
+    """Tier-1 decode of many code-blocks: ``jobs`` rows are
+    ``(buf, w, h, otype, npasses, numbps)`` -> list of
+    ``(vals, lastp)`` in order."""
+    native = _t1_backend()
+    if native:
+        return native(jobs)
+    out = []
+    for buf, w, h, otype, npasses, numbps in jobs:
+        t1 = _T1Decoder(w, h, otype)
+        vals = t1.decode(buf, npasses, numbps)
+        out.append((vals, t1.lastp[1:-1, 1:-1].copy()))
+    return out
+
+
+def _t1_decode(buf, w, h, otype, npasses, numbps):
+    """Tier-1 decode of one code-block -> (vals, lastp)."""
+    return _t1_decode_many([(buf, w, h, otype, npasses, numbps)])[0]
 
 
 # ---------------------------------------------------------------------------
@@ -928,7 +943,12 @@ def _decode_tile(cs, tidx, data, reduce=0):
         irrev = comp['irrev']
         # decode every band into its array (int64 magnitudes for the
         # reversible path; Annex E dequantized float64 for 9/7)
+        # collect every code-block of every kept band, decode them in
+        # ONE batched Tier-1 call (independent blocks fan out over
+        # OpenMP threads in the native path), then place the results
         band_arrays = {}
+        jobs = []
+        places = []          # (band, arr, cb) aligned with jobs
         for r, res in enumerate(comp['resolutions']):
             if r > keep:
                 continue            # reduced decode: skip Tier-1 for
@@ -938,6 +958,7 @@ def _decode_tile(cs, tidx, data, reduce=0):
                 bh = band.y1 - band.y0
                 arr = np.zeros((bh, bw),
                                np.float64 if irrev else np.int64)
+                band_arrays[(r, band.otype)] = (band, arr)
                 for (ci, cj), cb in band.cbs.items():
                     w = cb.x1 - cb.x0
                     h = cb.y1 - cb.y0
@@ -945,15 +966,17 @@ def _decode_tile(cs, tidx, data, reduce=0):
                         continue
                     buf = b''.join(s for s, _ in cb.segments)
                     npasses = sum(n for _, n in cb.segments)
-                    vals, lastp = _t1_decode(buf, w, h, band.otype,
-                                             npasses, cb.numbps)
-                    if irrev:
-                        # Annex E dequantization of the mid-bin
-                        # reconstruction (see recon_real)
-                        vals = _recon_real(vals, lastp) * band.delta
-                    arr[cb.y0 - band.y0:cb.y1 - band.y0,
-                        cb.x0 - band.x0:cb.x1 - band.x0] = vals
-                band_arrays[(r, band.otype)] = (band, arr)
+                    jobs.append((buf, w, h, band.otype, npasses,
+                                 cb.numbps))
+                    places.append((band, arr, cb))
+        for (band, arr, cb), (vals, lastp) in zip(
+                places, _t1_decode_many(jobs)):
+            if irrev:
+                # Annex E dequantization of the mid-bin
+                # reconstruction (see recon_real)
+                vals = _recon_real(vals, lastp) * band.delta
+            arr[cb.y0 - band.y0:cb.y1 - band.y0,
+                cb.x0 - band.x0:cb.x1 - band.x0] = vals
         # multi-level synthesis
         synthesize = _synthesize_97 if irrev else _synthesize_53
         ll_band, ll = band_arrays[(0, 'LL')]
