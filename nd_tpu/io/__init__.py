@@ -366,7 +366,8 @@ def _open_jp2(path, overview_level=None):
                              crs, nodata=None, is_tiled=0)
 
 
-def open_sentinel2_granule(path, resolution=None, bands=None):
+def open_sentinel2_granule(path, resolution=None, bands=None,
+                           overview_level=None):
     """Open a Sentinel-2 SAFE granule (the directory holding
     ``MTD_TL.xml`` + ``IMG_DATA/``) as a Dataset.
 
@@ -384,6 +385,10 @@ def open_sentinel2_granule(path, resolution=None, bands=None):
     bands : list of str, optional
         Band ids (e.g. ``['B02', 'B03']``). Default: every JP2 whose
         shape matches the chosen grid.
+    overview_level : int, optional
+        Dyadic overview to decode (0 = half resolution): the band
+        JP2s' DWT pyramids stop early and the grid scales to match —
+        the fast path for quicklooks over full granules.
     """
     import glob as _glob
     import xml.etree.ElementTree as ET
@@ -429,6 +434,11 @@ def open_sentinel2_granule(path, resolution=None, bands=None):
     g = geo[resolution]
     ulx, uly = g['ULX'], g['ULY']
     xdim, ydim = g['XDIM'], g['YDIM']
+    reduce = 0 if overview_level is None else int(overview_level) + 1
+    if reduce:
+        scale = float(1 << reduce)
+        xdim *= scale
+        ydim *= scale
 
     jp2s = sorted(_glob.glob(os.path.join(gdir, 'IMG_DATA', '*.jp2'))
                   + _glob.glob(os.path.join(gdir, 'IMG_DATA', '*',
@@ -444,10 +454,14 @@ def open_sentinel2_granule(path, resolution=None, bands=None):
         band_id = stem.split('_')[-1]
         if want is not None and band_id not in want:
             continue
-        arr = decode_jp2(f)
+        arr = decode_jp2(f, reduce=reduce)
         if arr.ndim != 2:
             continue
         exp = sizes.get(resolution)
+        if exp:
+            rd = 1 << reduce
+            exp = {'NROWS': -(-exp['NROWS'] // rd),
+                   'NCOLS': -(-exp['NCOLS'] // rd)}
         if exp and (arr.shape != (exp['NROWS'], exp['NCOLS'])):
             if want is not None:
                 raise ValueError(

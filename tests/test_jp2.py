@@ -245,6 +245,18 @@ def test_sentinel2_safe_granule(tmp_path):
     # unknown resolution is a loud error
     with pytest.raises(ValueError):
         open_sentinel2_granule(str(gdir), resolution=60)
+    # dyadic overview: half-resolution decode with a scaled grid,
+    # bit-exact vs OpenJPEG's own reduced decode of each band
+    ov = open_sentinel2_granule(str(gdir), overview_level=0)
+    assert set(ov.data_vars) == {'B02', 'B03', 'B04'}
+    for b in ('B02', 'B03', 'B04'):
+        img = PIL.open(str(gdir / 'IMG_DATA' /
+                           ('T33UUP_20250101T101049_%s.jp2' % b)))
+        img.reduce = 1
+        np.testing.assert_array_equal(np.asarray(ov[b].values),
+                                      np.asarray(img))
+    assert np.asarray(ov['x'].values)[0] == 600010.0   # 20 m centers
+    assert ov.attrs['res'] == (20.0, 20.0)
 
 
 def test_derived_quantization_deltas(tmp_path):
