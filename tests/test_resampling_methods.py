@@ -444,3 +444,78 @@ def test_resample_algorithm_forwards_footprint_methods():
         labels.astype(np.float64), iy, my, vy, ix, mx, vx,
         'mode', np.nan))
     np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3])
+def test_fuzz_footprint_stats_vs_literal_loop(seed):
+    """Random non-integer downsample grids: the vectorized footprint
+    reduction equals a literal per-destination-pixel numpy loop (same
+    footprint definition, independent window extraction/reduction)."""
+    from nd_tpu.ops.interp import footprint_axis, footprint_resample
+
+    rng = np.random.RandomState(seed)
+    H, W = rng.randint(20, 40), rng.randint(20, 40)
+    v = rng.normal(size=(H, W))
+    v[rng.rand(H, W) < 0.15] = np.nan
+    sy = rng.uniform(1.5, 4.0)
+    sx = rng.uniform(1.5, 4.0)
+    ny, nx = int(H / sy) - 1, int(W / sx) - 1
+    cy = rng.uniform(0, sy) + np.arange(ny) * sy
+    cx = rng.uniform(0, sx) + np.arange(nx) * sx
+    iy, my, vy = footprint_axis(cy, H)
+    ix, mx, vx = footprint_axis(cx, W)
+
+    def windows(i, j):
+        lo_y = int(np.ceil(cy[i] - np.median(np.diff(cy)) / 2 - 1e-9))
+        hi_y = int(np.floor(cy[i] + np.median(np.diff(cy)) / 2 - 1e-9))
+        lo_x = int(np.ceil(cx[j] - np.median(np.diff(cx)) / 2 - 1e-9))
+        hi_x = int(np.floor(cx[j] + np.median(np.diff(cx)) / 2 - 1e-9))
+        if hi_y < lo_y:
+            lo_y = hi_y = int(round(cy[i]))
+        if hi_x < lo_x:
+            lo_x = hi_x = int(round(cx[j]))
+        ys = [y for y in range(lo_y, hi_y + 1) if 0 <= y < H]
+        xs = [x for x in range(lo_x, hi_x + 1) if 0 <= x < W]
+        return np.asarray([v[y, x] for y in ys for x in xs])
+
+    import warnings
+    for stat, red in [('min', np.nanmin), ('max', np.nanmax),
+                      ('med', lambda a: np.nanquantile(a, 0.5)),
+                      ('sum', np.nansum)]:
+        got = np.asarray(footprint_resample(
+            v, iy, my, vy, ix, mx, vx, stat, np.nan))
+        for i in range(ny):
+            for j in range(nx):
+                win = windows(i, j)
+                finite = win[np.isfinite(win)]
+                if len(win) == 0 or len(finite) == 0:
+                    assert np.isnan(got[i, j]), (stat, i, j)
+                    continue
+                with warnings.catch_warnings():
+                    warnings.simplefilter('ignore')
+                    want = red(win)
+                np.testing.assert_allclose(got[i, j], want,
+                                           rtol=1e-12, atol=1e-12,
+                                           err_msg=str((stat, i, j)))
+
+
+@pytest.mark.parametrize('seed', [5, 6])
+def test_fuzz_cubic_spline_plan_vs_gather(seed):
+    rng = np.random.RandomState(seed)
+    H, W = rng.randint(16, 30), rng.randint(16, 30)
+    v = rng.rand(H, W).astype(np.float32)
+    v[rng.rand(H, W) < 0.05] = np.nan
+    rows1 = np.sort(rng.uniform(0, H - 1, size=11))
+    cols1 = np.sort(rng.uniform(0, W - 1, size=9))
+    R = np.broadcast_to(rows1[:, None], (11, 9))
+    C = np.broadcast_to(cols1[None, :], (11, 9))
+    gathered = np.asarray(map_coordinates(v[None], R, C,
+                                          method='cubic_spline'))[0]
+    wy, wym, vy = axis_weights(rows1, H, 'cubic_spline')
+    wx, wxm, vx = axis_weights(cols1, W, 'cubic_spline')
+    planned = np.asarray(matmul_resample(
+        jnp.asarray(v), jnp.asarray(wy), jnp.asarray(wym),
+        jnp.asarray(wx), jnp.asarray(wxm), jnp.asarray(vy),
+        jnp.asarray(vx), np.float32(np.nan), expected=16.0))
+    np.testing.assert_allclose(planned, gathered, rtol=1e-4,
+                               atol=1e-5, equal_nan=True)
