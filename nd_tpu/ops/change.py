@@ -442,22 +442,32 @@ def _patch_capacity(ny, nx, capacity=None):
 def _capacity_ladder(k, capacity, npix):
     """Rescan capacities tried in order inside the jitted exact scan.
 
-    Short series (fused kernel, exact threshold immediates) keep the
-    single requested capacity: their suspect counts are tiny. Long
-    series run the sequential-scan kernel whose polynomial-fit margin
-    widening makes the suspect fraction grow with k, so a second rung
-    at 4x (capped at the grid size) absorbs data that overflows the
-    base capacity without falling off the device path. Overflowing the
-    LAST rung still means "not exact" — callers compare the returned
-    count against ``_capacity_ladder(...)[-1]``.
+    Short series (fused kernel, exact threshold immediates) have tiny
+    suspect counts — typically hundreds per megapixel — so they rescan
+    at a SMALL base rung (~npix/1024, min 1024) and only escalate to
+    the requested capacity when the count overflows: the f64 patch
+    scales linearly with its capacity, and paying the full requested
+    size every call cost the exact mode ~25% of its runtime at the
+    bench config (4.2 ms of 18 ms for a 16384-capacity rescan whose
+    true suspect count was <1k). Long series run the sequential-scan
+    kernel whose polynomial-fit margin widening makes the suspect
+    fraction grow with k, so their base rung is the full requested
+    capacity with a second rung at 4x (capped at the grid size).
+    Overflowing the LAST rung still means "not exact" — callers
+    compare the returned count against ``_capacity_ladder(...)[-1]``.
     """
     from .change_pallas import _K_MAX
 
-    caps = [capacity]
     if k > _K_MAX:
+        caps = [capacity]
         wide = -(-min(4 * capacity, npix) // 128) * 128
         if wide > capacity:
             caps.append(wide)
+    else:
+        base = -(-min(capacity, max(1024, npix // 1024)) // 128) * 128
+        caps = [base]
+        if capacity > base:
+            caps.append(capacity)
     return tuple(caps)
 
 
@@ -480,15 +490,21 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
     non-suspect pixel with its exact decision is a no-op, so the
     capacity fill entries need no masking.
     """
-    from .change_pallas import _K_MAX, change_detection_pallas
+    from .change_pallas import (_K_MAX, _round_cap,
+                                change_detection_pallas)
 
     values = jnp.asarray(values)
     ny, nx, k, _ = values.shape
     capacity = -(-capacity // 128) * 128        # lane-friendly rescan
     if k <= _K_MAX:
+        # round-capped: pixels needing more restarts than the cap
+        # land in the suspect rescan (margin = -inf), so the unrolled
+        # round loop shrinks ~2x at the bench k with decisions
+        # unchanged
         packed, margin = change_detection_pallas(  # (P, ny, nx) int32
             values, alpha, n=n, return_margin=True,
-            return_packed=True, interpret=interpret)
+            return_packed=True, interpret=interpret,
+            max_rounds=_round_cap(k))
     else:
         # long series: the sequential-scan kernel (O(k) passes, no
         # round cap — any pixel's full restart chain in one pass);
@@ -541,14 +557,15 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
                     indices_are_sorted=True).reshape(ny, nx))
         return jnp.stack(out_planes)
 
-    # Capacity ladder: the long-series kernel's fitted thresholds
-    # widen the suspect margin, and the suspect fraction grows with k
-    # (~1.3% at k=56, ~12% at k=200 on the bench cubes) — a static
-    # capacity either over-provisions short chains or overflows long
-    # ones. Patch at the base capacity, and only when the count
-    # overflows take a lax.cond branch that patches at the wider rung
-    # — the data picks its own rescan size at runtime with no host
-    # round-trip, and a rung is paid only when it is actually taken.
+    # Capacity ladder: suspect counts vary orders of magnitude —
+    # hundreds per megapixel at short k (exact threshold immediates),
+    # growing with k under the long-series kernel's fitted thresholds
+    # (~1.3% at k=56, ~12% at k=200 on the bench cubes) — so a static
+    # capacity either overpays every call or overflows long ones.
+    # Patch at the base rung, and only when the count overflows take a
+    # lax.cond branch that patches at the wider rung — the data picks
+    # its own rescan size at runtime with no host round-trip, and a
+    # rung is paid only when it is actually taken.
     caps = _capacity_ladder(k, capacity, ny * nx)
     if len(caps) == 1:
         packed = patch_at(caps[0])
@@ -716,8 +733,10 @@ def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
         values_dev = jnp.asarray(values, jnp.float32)
         k_host = values_dev.shape[2]
         if k_host <= _K_MAX:
+            from .change_pallas import _round_cap
             flags, margin = change_detection_pallas(
-                values_dev, alpha, n=n, return_margin=True)
+                values_dev, alpha, n=n, return_margin=True,
+                max_rounds=_round_cap(k_host))
         else:
             from .change_scan_pallas import change_detection_scan
             flags, margin = change_detection_scan(

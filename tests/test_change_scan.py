@@ -196,8 +196,11 @@ def test_capacity_ladder_second_rung(monkeypatch):
     ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
                                       stat_dtype='mixed'))
 
-    # short series keep a single rung; the long path adds the 4x one
+    # short series rescan at a small base rung and keep the requested
+    # capacity as the escalation; the long path starts at the request
+    # and adds the 4x rung
     assert _capacity_ladder(8, 256, 1024) == (256,)
+    assert _capacity_ladder(8, 16384, 1 << 20) == (1024, 16384)
     assert _capacity_ladder(20, 256, 1024) == (256, 1024)
 
     # a huge margin_eps makes EVERY pixel suspect: count (1024)
@@ -214,3 +217,51 @@ def test_capacity_ladder_second_rung(monkeypatch):
         cube, alpha=0.99, n=9, margin_eps=1e9, capacity=256,
         interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_round_cap_many_changes_exact():
+    """The short-k exact pass caps its unrolled restart rounds; a cube
+    whose pixels restart MORE times than the cap (a change every other
+    step) must still match the f64 'mixed' oracle — the capped pixels
+    ride the margin = -inf suspect escape into the rescan."""
+    from nd_tpu.ops.change import _change_detection_exact_core
+    from nd_tpu.ops.change_pallas import _round_cap
+
+    k = 20
+    assert _round_cap(k) < k - 1
+    rng = np.random.RandomState(7)
+    ny, nx = 8, 128
+    c11 = np.abs(rng.normal(1.0, 0.05, size=(ny, nx, k))) + 0.5
+    c22 = np.abs(rng.normal(1.0, 0.05, size=(ny, nx, k))) + 0.5
+    # strong alternating scale jumps: a detectable change point every
+    # 2 steps -> ~k/2 restarts per pixel, far beyond the cap
+    scale = np.where(np.arange(k) % 4 < 2, 1.0, 8.0)
+    c11 *= scale
+    c22 *= scale
+    mag = 0.1 * np.sqrt(c11 * c22)
+    cube = np.stack([c11, mag, 0 * mag, c22], axis=-1) \
+        .astype(np.float32)
+    ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
+                                      stat_dtype='mixed'))
+    assert ref.sum() > ny * nx * 4          # the scan really restarts
+    flags, count = _change_detection_exact_core(
+        cube, 0.99, 9, 3e-4, 1024, interpret=True)
+    np.testing.assert_array_equal(np.asarray(flags), ref)
+
+
+def test_capacity_ladder_short_k_escalation():
+    """Short series rescan at the small base rung; an overflowing
+    suspect count (every pixel, via a huge margin_eps) must escalate
+    to the requested-capacity rung inside the jit and stay exact."""
+    from nd_tpu.ops.change import (_capacity_ladder,
+                                   _change_detection_exact_core)
+
+    # 16x128 = 2048 px > the 1024 base rung
+    cube = _cube_with_changes(16, 128, 8, seed=13)
+    ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
+                                      stat_dtype='mixed'))
+    assert _capacity_ladder(8, 2048, 2048) == (1024, 2048)
+    flags, count = _change_detection_exact_core(
+        cube, 0.99, 9, 1e9, 2048, interpret=True)
+    assert int(count) == 2048 > 1024
+    np.testing.assert_array_equal(np.asarray(flags), ref)
