@@ -95,11 +95,21 @@ def _pcc_batch_device_impl(srcs, ref, upsample_factor, normalization):
         dftshift = float(np.fix(ups / 2.0))
         shifts = jnp.round(shifts * upf) / upf
         offsets = dftshift - shifts * upf               # (B, 2)
-        # the full Hermitian spectrum of the (real) correlation
-        # surface, reconstructed on device: fft2(corr) == the
-        # completed ip, so data = conj(fft2(corr)) matches the host
-        # path's conj(image_product) exactly
-        full = jnp.conj(jnp.fft.fft2(corr.astype(jnp.complex64)))
+        # The refinement needs the FULL spectrum of the correlation
+        # surface — which is just the Hermitian completion of the
+        # half-spectrum ``ip`` already in hand:
+        #   full[h, w] = ip[h, w]                 for w < W//2+1
+        #   full[h, w] = conj(ip[(-h) % H, W-w])  otherwise
+        # Completing by flip/roll/concat is pure data movement; the
+        # old ``fft2(corr.astype(complex64))`` recomputed it with a
+        # full complex FFT batch, and carried irfft->fft roundtrip
+        # error besides (the host path contracts conj(image_product)
+        # directly — the completed ip IS that product's tail half, so
+        # this is also the closer numerical match).
+        Wh = ip.shape[-1]                               # W//2 + 1
+        tail = jnp.conj(ip[:, :, 1:W - Wh + 1][:, :, ::-1])
+        tail = jnp.roll(jnp.flip(tail, axis=1), 1, axis=1)
+        full = jnp.conj(jnp.concatenate([ip, tail], axis=-1))
         im2pi = jnp.complex64(1j * 2 * np.pi)
         u = jnp.arange(ups, dtype=jnp.float32)
         fw = jnp.fft.fftfreq(W, upf).astype(jnp.float32)

@@ -131,3 +131,14 @@ def test_device_pcc_matches_host_path():
     np.testing.assert_allclose(dev, host, atol=1e-3)
     np.testing.assert_allclose(host[0], [3, -5], atol=0.11)
     np.testing.assert_allclose(host[1], [-7, 2], atol=0.11)
+
+    # odd extents exercise both parities of the Hermitian completion
+    # (the refinement rebuilds the full spectrum from the rfft half)
+    ref_o = rng.rand(47, 63).astype(np.float32)
+    srcs_o = np.stack([np.roll(ref_o, (4, -6), axis=(0, 1)), ref_o])
+    host_o = np.asarray(phase_cross_correlation_batch(
+        srcs_o, ref_o, upsample_factor=10))
+    dev_o = np.asarray(_pcc_batch_device_impl(
+        jnp.asarray(srcs_o), jnp.asarray(ref_o), 10, 'phase'))
+    np.testing.assert_allclose(dev_o, host_o, atol=1e-3)
+    np.testing.assert_allclose(host_o[0], [4, -6], atol=0.11)
