@@ -77,6 +77,16 @@ def fits_vmem(shape, r, f):
     returns False."""
     ny, nx, nt, nv = shape
     p_t = int(r[2]) + int(f[2])
+    if p_t == 0:
+        # spatial windows ride the row-fused kernel, whose t-chunked
+        # grid never needs the whole t axis resident
+        n_pairs_sp = max(((2 * int(r[0]) + 1)
+                          * (2 * int(r[1]) + 1) - 1) // 2, 1)
+        if _rowfused_geometry(ny, nx, nt, nv,
+                              int(r[0]) + int(f[0]),
+                              int(r[1]) + int(f[1]),
+                              n_pairs_sp) is not None:
+            return True
     hp_y = int(np.ceil((int(r[0]) + int(f[0])) / 4)) * 4
     hp_x = int(np.ceil((int(r[1]) + int(f[1])) / 64)) * 64
     n_pairs = max(((2 * int(r[2]) + 1) * (2 * int(r[0]) + 1)
@@ -195,6 +205,149 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
         out_ref[:, v] = (out_ref[:, v] + w_self * center) * inv_total
 
 
+def _rowfused_geometry(ny, nx, nt, nv, p_y, p_x, n_pairs):
+    """(ty, tc) for the row-fused spatial kernel, or None.
+
+    x is never tiled (full-width rows kill the per-tile x-halo DMA
+    duplication: at r=2/f=2 the old 8x512 tiling re-read 2.0x in y and
+    1.25x in x; full-width ty=64 rows read 1.125x in each). The t axis
+    is gridded instead of VMEM-resident — legal because the spatial
+    kernel has no temporal taps — which is what frees the VMEM for
+    tall row slabs. Live-bytes model per grid step: the double-
+    buffered (tc, v, ty + 2h, nx_in) input scratch, one variable-free
+    extended slab retained per unrolled offset pair (same Mosaic
+    behavior the tiled chooser was calibrated against), and the 3 + v
+    accumulator/output row slabs."""
+    h_y = int(np.ceil(p_y / 4)) * 4
+    wout = int(np.ceil(nx / 128)) * 128
+    nx_in = int(np.ceil((wout + 2 * p_x) / 128)) * 128
+
+    def live(ty, tc):
+        scr = 2 * tc * nv * (ty + 2 * h_y) * nx_in * 4
+        ext = tc * (ty + 2 * h_y) * nx_in * 4
+        row = tc * ty * nx_in * 4
+        return scr + n_pairs * ext + (3 + nv) * row + 1.15 * row
+
+    best = None
+    for ty in (64, 32, 16, 8):
+        if ty > max(8, int(np.ceil(ny / 8)) * 8):
+            continue
+        for tc in (2, 1):
+            if tc > nt:
+                continue
+            if live(ty, tc) > _VMEM_NL_BUDGET:
+                continue
+            steps = (int(np.ceil(ny / ty)) * int(np.ceil(nt / tc)))
+            key = (steps, -ty)
+            if best is None or key < best[0]:
+                best = (key, ty, tc)
+    return None if best is None else (best[1], best[2])
+
+
+def _nlmeans_rowfused(arr, r, f, sigma, h, n_eff, geom,
+                      interpret=False):
+    """Row-fused spatial NLMeans: full-width rows, (t-chunk, y-tile)
+    grid, ONE combined reflect pad, double-buffered DMA. Numerically
+    identical to the tiled kernel (same ``_kernel`` body, same
+    accumulation order)."""
+    ry, rx = int(r[0]), int(r[1])
+    fy, fx = int(f[0]), int(f[1])
+    p_y, p_x = ry + fy, rx + fx
+    ty, tc = geom
+    arr = jnp.asarray(arr)
+    if arr.dtype != jnp.float32:
+        arr = arr.astype(jnp.float32)
+    ny, nx, nt, nv = arr.shape
+    dtype = arr.dtype
+    dsq_norm = float(nv * (2 * fy + 1) * (2 * fx + 1))
+
+    h_y = int(np.ceil(p_y / 4)) * 4
+    wout = int(np.ceil(nx / 128)) * 128
+    nx_in = int(np.ceil((wout + 2 * p_x) / 128)) * 128
+    h_x = (nx_in - wout) // 2          # >= p_x by construction
+    ny_pad = int(np.ceil(ny / ty)) * ty
+    nt_pad = int(np.ceil(nt / tc)) * tc
+
+    data = jnp.transpose(arr, (2, 3, 0, 1))        # (t, v, y, x)
+    widths = ((0, nt_pad - nt), (0, 0),
+              (h_y, h_y + ny_pad - ny),
+              (h_x, nx_in - nx - h_x))
+    if max(h_y, h_y + ny_pad - ny) <= ny - 1 \
+            and max(h_x, nx_in - nx - h_x) <= nx - 1:
+        # ONE pad: reflect values at distance d from the edge are
+        # independent of the pad width, so the alignment/grid ring is
+        # self-consistent (only values within p of the edge are ever
+        # read for kept outputs; the rest feed dropped rows)
+        data = jnp.pad(data, widths, mode='reflect')
+    else:
+        # narrow extents: true reflect ring first, then dead edge fill
+        data = jnp.pad(data, ((0, 0), (0, 0), (p_y, p_y),
+                              (p_x, p_x)), mode='reflect')
+        data = jnp.pad(
+            data, ((0, nt_pad - nt), (0, 0),
+                   (h_y - p_y, h_y - p_y + ny_pad - ny),
+                   (h_x - p_x, nx_in - nx - h_x - p_x)), mode='edge')
+
+    gy = ny_pad // ty
+    gt = nt_pad // tc
+    n_steps = gt * gy
+    i32 = np.int32
+
+    kernel = functools.partial(
+        _kernel, rt=0, ry=ry, rx=rx, ft=0, fy=fy, fx=fx,
+        sigma=float(sigma), h=float(h), n_eff=float(n_eff), nvars=nv,
+        dsq_norm=dsq_norm, halo=(h_y, h_x))
+
+    def dma_kernel(hbm_ref, out_ref, scratch, wsum_s, wsq_s, wmax_s,
+                   sems):
+        g = pl.program_id(0)
+        slot = jax.lax.rem(g, i32(2))
+
+        def start(gg, sl):
+            it = gg // i32(gy)
+            iy = jax.lax.rem(gg, i32(gy))
+            pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(it * tc, tc), :,
+                           pl.ds(iy * ty, ty + 2 * h_y), :],
+                scratch.at[sl], sems.at[sl]).start()
+
+        @pl.when(g == 0)
+        def _():
+            start(g, slot)
+
+        @pl.when(g + 1 < n_steps)
+        def _():
+            start(g + i32(1), jax.lax.rem(g + i32(1), i32(2)))
+
+        pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(0, tc), :, pl.ds(0, ty + 2 * h_y), :],
+            scratch.at[slot], sems.at[slot]).wait()
+        kernel((scratch.at[slot], wsum_s, wsq_s, wmax_s), out_ref)
+
+    out = pl.pallas_call(
+        dma_kernel,
+        out_shape=jax.ShapeDtypeStruct((nt_pad, nv, ny_pad, wout),
+                                       dtype),
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (tc, nv, ty, wout),
+            lambda g: (g // i32(gy), g * 0,
+                       jax.lax.rem(g, i32(gy)), g * 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tc, nv, ty + 2 * h_y, nx_in), dtype),
+            pltpu.VMEM((tc, ty, wout), dtype),
+            pltpu.VMEM((tc, ty, wout), dtype),
+            pltpu.VMEM((tc, ty, wout), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(data)
+    out = out[:nt, :, :ny, :nx]
+    return jnp.transpose(out, (2, 3, 0, 1))
+
+
 def nlmeans_pallas(arr, r, f, sigma, h, n_eff=-1.0, interpret=False):
     """NLMeans of a (d0, d1, d2, var) array with a full 3-D window.
 
@@ -226,6 +379,19 @@ def nlmeans_pallas(arr, r, f, sigma, h, n_eff=-1.0, interpret=False):
                 % (pad, name, ext))
     if ry == 0 and rx == 0 and rt == 0:
         return arr                      # no neighbors: identity
+
+    if rt == 0 and ft == 0:
+        # spatial windows take the row-fused kernel whenever a
+        # geometry fits: gridding t frees the VMEM the tiled kernel
+        # spends keeping it resident, and full-width tall rows cut
+        # the halo read amplification ~2x at production radii
+        n_pairs_sp = max(((2 * ry + 1) * (2 * rx + 1) - 1) // 2, 1)
+        geom = _rowfused_geometry(ny, nx, nt, nv, p_y, p_x,
+                                  n_pairs_sp)
+        if geom is not None:
+            return _nlmeans_rowfused(arr, (ry, rx), (fy, fx), sigma,
+                                     h, n_eff, geom,
+                                     interpret=interpret)
 
     # Mosaic DMA slices must respect the (8, 128) tiling: round the
     # halo up so the window extents stay aligned; the extra ring is

@@ -103,6 +103,42 @@ def test_nlmeans_vmem_gate_routes_deep_stacks_to_xla(monkeypatch):
     assert np.asarray(out).shape == arr.shape
 
 
+def test_nlmeans_rowfused_routing_and_equality(monkeypatch):
+    """Spatial windows take the row-fused kernel (t-chunked grid,
+    full-width rows) whenever a geometry fits, and its output equals
+    the tiled kernel BIT-EXACTLY (same ``_kernel`` body, same add
+    order)."""
+    import nd_tpu.ops.nlmeans_pallas as npall
+
+    rng = np.random.RandomState(3)
+    arr = rng.rand(24, 150, 5, 4).astype(np.float32)
+
+    calls = []
+    orig = npall._nlmeans_rowfused
+
+    def spy(*a, **kw):
+        calls.append(a[6])              # geometry
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(npall, '_nlmeans_rowfused', spy)
+    got = np.asarray(npall.nlmeans_spatial_pallas(
+        arr, (2, 2), (2, 2), 0.5, 0.8, -1.0, interpret=True))
+    assert calls, 'spatial call must route to the row-fused kernel'
+
+    # tiled twin: disable the row-fused route
+    monkeypatch.setattr(npall, '_rowfused_geometry',
+                        lambda *a, **k: None)
+    ref = np.asarray(npall.nlmeans_spatial_pallas(
+        arr, (2, 2), (2, 2), 0.5, 0.8, -1.0, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+    # temporal windows must NOT route row-fused
+    calls.clear()
+    np.asarray(npall.nlmeans_pallas(
+        arr, (1, 1, 1), (1, 1, 0), 0.5, 0.8, -1.0, interpret=True))
+    assert not calls
+
+
 def test_pallas_nlmeans_n_eff():
     rng = np.random.RandomState(1)
     arr = rng.rand(16, 16, 2, 4).astype(np.float32)
