@@ -66,9 +66,20 @@ def _time(fn, *args, reps=4, warmup=1):
 
 
 def _time_loop(kernel, x, reps=10, best_of=1):
-    """Device throughput: run ``kernel`` ``reps`` times inside ONE jit
-    via lax.fori_loop, so per-dispatch host-link latency (tens of ms on
-    tunneled backends) is paid once instead of per repetition.
+    """Device throughput: run ``kernel`` inside ONE jit via a
+    traced-count loop, timed DIFFERENTIALLY at two trip counts.
+
+    A dispatch + 1-element sync on the tunneled backend costs a FIXED
+    ~25 ms round trip (measured this round: the sync fetch alone is
+    ~27 ms), so any single-trip-count figure folds that constant into
+    the rate — at reps=10 it inflated every per-iteration time by
+    ~2.5 ms, which understated fast kernels up to ~7x (coregistration:
+    283 "measured" vs ~1900 Mpix/s true — VERDICT r3 item 2's gap was
+    mostly this artifact). Timing the SAME compiled loop at ``reps``
+    and ``4*reps`` and taking the slope cancels the fixed cost
+    exactly:  t = (T(4N) - T(N)) / (3N).  The trip count is a traced
+    argument (lax.while_loop semantics), so both timings share one
+    executable.
 
     A traced epsilon (0.0 at runtime) chains each iteration's output
     into the next input, forcing re-execution without changing values —
@@ -79,26 +90,35 @@ def _time_loop(kernel, x, reps=10, best_of=1):
     from jax import lax
 
     @jax.jit
-    def run(x, eps):
+    def run(x, eps, n):
         def body(i, carry):
             out = kernel(carry)
             leaf = jax.tree_util.tree_leaves(out)[0]
             dep = jnp.asarray(leaf).ravel()[0].astype(carry.dtype)
             return carry + eps * dep
-        return lax.fori_loop(0, reps, body, x)
+        return lax.fori_loop(0, n, body, x)
 
     eps = jnp.zeros((), x.dtype)
-    _sync(run(x, eps))                   # compile + warm
+    n_lo = jnp.asarray(reps, jnp.int32)
+    n_hi = jnp.asarray(4 * reps, jnp.int32)
+    _sync(run(x, eps, n_lo))             # compile + warm
     # best_of > 1 for fields that swing with harness load (VERDICT r3
-    # item 10): the minimum is the least-contended sample
-    ts = []
+    # item 10): per-count minima are the least-contended samples, and
+    # the slope of minima is robust to one-sided noise
+    lo, hi = [], []
     out = None
     for _ in range(max(1, best_of)):
         t0 = time.perf_counter()
-        out = run(x, eps)
+        _sync(run(x, eps, n_lo))
+        lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = run(x, eps, n_hi)
         _sync(out)
-        ts.append((time.perf_counter() - t0) / reps)
-    return min(ts), out
+        hi.append(time.perf_counter() - t0)
+    slope = (min(hi) - min(lo)) / (3 * reps)
+    if slope <= 0:                       # noise swamped the lo sample
+        slope = min(hi) / (4 * reps)
+    return slope, out
 
 
 # TPU v5e single-chip peaks (public figures: 197 TFLOP/s bf16 MXU,
@@ -146,18 +166,27 @@ def _measure_device_peaks(detail, cube_d, time_loop):
         reps = 10
 
         @jax.jit
-        def copy_loop(x, eps):
+        def copy_loop(x, eps, n):
             def body(i, c):
                 # roll = slice + slice + concat: read N, write N. The
                 # result is the carry, so every byte stays live.
                 return jnp.roll(c, 1, axis=0) + eps
-            return lax.fori_loop(0, reps, body, x)
+            return lax.fori_loop(0, n, body, x)
 
         eps = jnp.zeros((), cube_d.dtype)
-        _sync(copy_loop(cube_d, eps))
+        n_lo = jnp.asarray(reps, jnp.int32)
+        n_hi = jnp.asarray(4 * reps, jnp.int32)
+        _sync(copy_loop(cube_d, eps, n_lo))
         t0 = time.perf_counter()
-        _sync(copy_loop(cube_d, eps))
-        t = (time.perf_counter() - t0) / reps
+        _sync(copy_loop(cube_d, eps, n_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(copy_loop(cube_d, eps, n_hi))
+        t_hi = time.perf_counter() - t0
+        # differential: the fixed dispatch+sync round trip cancels
+        t = (t_hi - t_lo) / (3 * reps)
+        if t <= 0:
+            t = t_hi / (4 * reps)
         hbm_copy = 2 * nbytes / t / 1e9
         detail['device_hbm_gbps_measured_copy'] = round(hbm_copy, 1)
     except Exception as e:
@@ -775,7 +804,9 @@ def main():
             return _translate_batch_device(
                 x, jnp.flip(shifts, axis=1).astype(x.dtype))
 
-        t, _ = _time_loop(coreg_dev, ser, reps=4, best_of=3)
+        # reps=16: the kernel is ~1 ms/iter, so the differential's lo
+        # sample needs enough trips to rise clear of timer noise
+        t, _ = _time_loop(coreg_dev, ser, reps=16, best_of=3)
         return kf * hy * hx / 1e6 / t
     res, _ = _resilient(detail, 'coregister_device',
                         bench_coreg_device)
@@ -793,8 +824,11 @@ def main():
     # subpixel shifts recovered by the device kernel, worst error in
     # pixels (bound: 1/upsample_factor + Fourier-shift leakage)
     def coreg_parity():
-        from nd_tpu.ops.fft import (_device_fft_ok,
-                                    _pcc_batch_device_impl)
+        # the JITTED wrapper: on the tunneled backend several complex
+        # primitives are UNIMPLEMENTED when dispatched eagerly but
+        # compile fine (measured: the eager impl call dies, the jitted
+        # one runs)
+        from nd_tpu.ops.fft import _device_fft_ok, _pcc_batch_device
         if not _device_fft_ok():
             raise RuntimeError('device FFT unavailable')
         rng = np.random.RandomState(9)
@@ -812,7 +846,7 @@ def main():
             for dy, dx in true]).astype(np.float32)
         ref = np.real(np.fft.ifft2(F)).astype(np.float32)
         import jax.numpy as jnp
-        dev = np.asarray(_pcc_batch_device_impl(
+        dev = np.asarray(_pcc_batch_device(
             jnp.asarray(srcs), jnp.asarray(ref), 10, 'phase'))
         return float(np.abs(dev - true).max())
     res, _ = _resilient(detail, 'coregister_parity', coreg_parity)
