@@ -464,7 +464,10 @@ def _capacity_ladder(k, capacity, npix):
         if wide > capacity:
             caps.append(wide)
     else:
-        base = -(-min(capacity, max(1024, npix // 1024)) // 128) * 128
+        # ~npix/256 fits the measured short-k suspect density with
+        # headroom (bench cube: 2312 suspects per 1 Mpix at the
+        # default margin_eps — a npix/1024 rung escalated every call)
+        base = -(-min(capacity, max(2048, npix // 256)) // 128) * 128
         caps = [base]
         if capacity > base:
             caps.append(capacity)

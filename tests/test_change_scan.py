@@ -200,7 +200,7 @@ def test_capacity_ladder_second_rung(monkeypatch):
     # capacity as the escalation; the long path starts at the request
     # and adds the 4x rung
     assert _capacity_ladder(8, 256, 1024) == (256,)
-    assert _capacity_ladder(8, 16384, 1 << 20) == (1024, 16384)
+    assert _capacity_ladder(8, 16384, 1 << 20) == (4096, 16384)
     assert _capacity_ladder(20, 256, 1024) == (256, 1024)
 
     # a huge margin_eps makes EVERY pixel suspect: count (1024)
@@ -256,12 +256,12 @@ def test_capacity_ladder_short_k_escalation():
     from nd_tpu.ops.change import (_capacity_ladder,
                                    _change_detection_exact_core)
 
-    # 16x128 = 2048 px > the 1024 base rung
-    cube = _cube_with_changes(16, 128, 8, seed=13)
+    # 32x128 = 4096 px > the 2048 base rung
+    cube = _cube_with_changes(32, 128, 8, seed=13)
     ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
                                       stat_dtype='mixed'))
-    assert _capacity_ladder(8, 2048, 2048) == (1024, 2048)
+    assert _capacity_ladder(8, 4096, 1 << 19) == (2048, 4096)
     flags, count = _change_detection_exact_core(
-        cube, 0.99, 9, 1e9, 2048, interpret=True)
-    assert int(count) == 2048 > 1024
+        cube, 0.99, 9, 1e9, 4096, interpret=True)
+    assert int(count) == 4096 > 2048
     np.testing.assert_array_equal(np.asarray(flags), ref)
