@@ -67,7 +67,7 @@ def _time(fn, *args, reps=4, warmup=1):
     return (time.perf_counter() - t0) / reps, outs[-1]
 
 
-def _time_loop(kernel, x, reps=10, best_of=1):
+def _time_loop(kernel, x, reps=10, best_of=1, chain='row'):
     """Device throughput: run ``kernel`` inside ONE jit via a
     traced-count loop, timed DIFFERENTIALLY at two trip counts.
 
@@ -86,6 +86,19 @@ def _time_loop(kernel, x, reps=10, best_of=1):
     A traced epsilon (0.0 at runtime) chains each iteration's output
     into the next input, forcing re-execution without changing values —
     XLA cannot fold ``eps * f(out)`` because eps is a runtime argument.
+    ``chain`` picks how the dependency feeds back (measured on-chip):
+
+    - 'row' (default): one leading-axis row of the carry is updated in
+      place (dynamic_update_slice on the loop carry aliases), so the
+      chain costs O(row) — the honest choice for OPAQUE kernels
+      (Pallas, matmul warps), whose full-array chain otherwise adds a
+      read+write of the whole input per iteration (boxcar: 4332 ->
+      5450 Mpix/s reported once the artificial pass is gone; a real
+      pipeline's next op reads the previous op's OUTPUT, it does not
+      re-stream the input).
+    - 'eps': full-array ``carry + eps*dep`` — for ELEMENTWISE bodies
+      (the ceiling probes), where XLA fuses the chain into the body
+      at zero extra traffic while the row update would add a pass.
     """
     import jax
     import jax.numpy as jnp
@@ -97,7 +110,11 @@ def _time_loop(kernel, x, reps=10, best_of=1):
             out = kernel(carry)
             leaf = jax.tree_util.tree_leaves(out)[0]
             dep = jnp.asarray(leaf).ravel()[0].astype(carry.dtype)
-            return carry + eps * dep
+            if chain == 'eps':
+                return carry + eps * dep
+            row = lax.dynamic_slice_in_dim(carry, 0, 1, 0) \
+                + eps * dep
+            return lax.dynamic_update_slice_in_dim(carry, row, 0, 0)
         return lax.fori_loop(0, n, body, x)
 
     eps = jnp.zeros((), x.dtype)
@@ -159,7 +176,8 @@ def _measure_device_peaks(detail, cube_d, time_loop):
     nbytes = cube_d.size * cube_d.dtype.itemsize
     hbm_add = hbm_copy = None
     try:
-        t = time_loop(lambda a: a + jnp.float32(1.0), cube_d)[0]
+        t = time_loop(lambda a: a + jnp.float32(1.0), cube_d,
+              chain='eps')[0]
         hbm_add = 2 * nbytes / t / 1e9
         detail['device_hbm_gbps_measured_add'] = round(hbm_add, 1)
     except Exception as e:
@@ -204,6 +222,25 @@ def _measure_device_peaks(detail, cube_d, time_loop):
             detail.setdefault('peak_probe_disagreement', {})['hbm'] = \
                 [round(v, 1) for v in pair]
 
+    # chain='row' calibration: the kernel configs rely on XLA aliasing
+    # the loop carry for the one-row dynamic_update_slice chain. An
+    # identity body leaves ONLY the chain in the loop, so this times
+    # the chain itself — ~0 when aliased in place, a full read+write
+    # of the cube when some future XLA declines (in which case every
+    # kernel rate silently re-inherits the old full-pass artifact:
+    # flag it instead).
+    try:
+        t = time_loop(lambda a: a, cube_d, reps=20)[0]
+        detail['chain_row_overhead_ms'] = round(t * 1e3, 4)
+        if _MEASURED['hbm_gbps']:
+            stream_ms = 2 * nbytes / (_MEASURED['hbm_gbps'] * 1e9) \
+                * 1e3
+            if t * 1e3 > 0.25 * stream_ms:
+                detail.setdefault('peak_probe_disagreement', {})[
+                    'chain_row_not_aliased'] = round(t * 1e3, 3)
+    except Exception as e:
+        detail.setdefault('errors', {})['chain_row'] = str(e)[:200]
+
     vpu_runs = {}
     c = jnp.float32(1.0000001)
     d = jnp.float32(1e-9)
@@ -223,7 +260,7 @@ def _measure_device_peaks(detail, cube_d, time_loop):
                 for x in accs[1:]:
                     out = out + x
                 return out
-            t = time_loop(fma, blk, reps=100)[0]
+            t = time_loop(fma, blk, reps=100, chain='eps')[0]
             fl = (chains * depth * 2 + chains - 1) * blk.size
             vpu_runs['%dx%d' % (chains, depth)] = fl / t / 1e12
         except Exception as e:

@@ -53,7 +53,6 @@ _K_MAX = 48
 # test). ``max_rounds`` below still serves this module's own
 # round-capped variant for direct callers.
 _K_RESCAN_MAX = 256
-_ROUNDS_LONG = 16
 
 
 def supports_pallas(k=None):

@@ -206,7 +206,10 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
 
 
 def _rowfused_geometry(ny, nx, nt, nv, p_y, p_x, n_pairs):
-    """(ty, tc) for the row-fused spatial kernel, or None.
+    """(ty, tc, h_y, wout, nx_in) for the row-fused spatial kernel, or
+    None — the SINGLE source of the rounding/halo formulas, so the
+    VMEM admission model and the kernel's actual scratch allocation
+    can never disagree.
 
     x is never tiled (full-width rows kill the per-tile x-halo DMA
     duplication: at r=2/f=2 the old 8x512 tiling re-read 2.0x in y and
@@ -241,7 +244,8 @@ def _rowfused_geometry(ny, nx, nt, nv, p_y, p_x, n_pairs):
             key = (steps, -ty)
             if best is None or key < best[0]:
                 best = (key, ty, tc)
-    return None if best is None else (best[1], best[2])
+    return None if best is None else (best[1], best[2], h_y, wout,
+                                      nx_in)
 
 
 def _nlmeans_rowfused(arr, r, f, sigma, h, n_eff, geom,
@@ -253,7 +257,7 @@ def _nlmeans_rowfused(arr, r, f, sigma, h, n_eff, geom,
     ry, rx = int(r[0]), int(r[1])
     fy, fx = int(f[0]), int(f[1])
     p_y, p_x = ry + fy, rx + fx
-    ty, tc = geom
+    ty, tc, h_y, wout, nx_in = geom    # one source: _rowfused_geometry
     arr = jnp.asarray(arr)
     if arr.dtype != jnp.float32:
         arr = arr.astype(jnp.float32)
@@ -261,9 +265,6 @@ def _nlmeans_rowfused(arr, r, f, sigma, h, n_eff, geom,
     dtype = arr.dtype
     dsq_norm = float(nv * (2 * fy + 1) * (2 * fx + 1))
 
-    h_y = int(np.ceil(p_y / 4)) * 4
-    wout = int(np.ceil(nx / 128)) * 128
-    nx_in = int(np.ceil((wout + 2 * p_x) / 128)) * 128
     h_x = (nx_in - wout) // 2          # >= p_x by construction
     ny_pad = int(np.ceil(ny / ty)) * ty
     nt_pad = int(np.ceil(nt / tc)) * tc

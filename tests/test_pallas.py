@@ -125,12 +125,24 @@ def test_nlmeans_rowfused_routing_and_equality(monkeypatch):
         arr, (2, 2), (2, 2), 0.5, 0.8, -1.0, interpret=True))
     assert calls, 'spatial call must route to the row-fused kernel'
 
+    # nx=256 rides the MAIN combined-reflect-pad branch (the
+    # production path: pad widths within the reflect limit); nx=150
+    # above rides the narrow-extent fallback — both must match the
+    # tiled kernel bit-for-bit
+    arr2 = np.random.RandomState(8).rand(24, 256, 5, 2) \
+        .astype(np.float32)
+    got2 = np.asarray(npall.nlmeans_spatial_pallas(
+        arr2, (2, 2), (2, 2), 0.5, 0.8, -1.0, interpret=True))
+
     # tiled twin: disable the row-fused route
     monkeypatch.setattr(npall, '_rowfused_geometry',
                         lambda *a, **k: None)
     ref = np.asarray(npall.nlmeans_spatial_pallas(
         arr, (2, 2), (2, 2), 0.5, 0.8, -1.0, interpret=True))
     np.testing.assert_array_equal(got, ref)
+    ref2 = np.asarray(npall.nlmeans_spatial_pallas(
+        arr2, (2, 2), (2, 2), 0.5, 0.8, -1.0, interpret=True))
+    np.testing.assert_array_equal(got2, ref2)
 
     # temporal windows must NOT route row-fused
     calls.clear()
