@@ -774,7 +774,7 @@ def main():
         try:
             hw = (NY // 2, NX // 2)
             plan = _warp._cached_plan(
-                tuple(np.asarray(o.attrs['transform']))[:6], hw,
+                tuple(np.asarray(outs[-1].attrs['transform']))[:6], hw,
                 tuple(np.asarray(wds.attrs['transform']))[:6],
                 CRS.from_user_input('epsg:4326').to_proj4(),
                 CRS.from_user_input('epsg:3395').to_proj4(),
