@@ -54,6 +54,7 @@ def _sync(out):
 
 
 def _time(fn, *args, reps=4, warmup=1):
+    import jax
     for _ in range(warmup):
         out = _sync(fn(*args))
     # queue all reps, then drain with ONE barrier: the single device
@@ -62,7 +63,7 @@ def _time(fn, *args, reps=4, warmup=1):
     # ~25 ms tunnel round trip that would inflate the figure
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(reps)]
-    for leaf in __import__('jax').tree_util.tree_leaves(outs[-1]):
+    for leaf in jax.tree_util.tree_leaves(outs[-1]):
         np.asarray(leaf.ravel()[:1])
     return (time.perf_counter() - t0) / reps, outs[-1]
 
@@ -223,14 +224,19 @@ def _measure_device_peaks(detail, cube_d, time_loop):
                 [round(v, 1) for v in pair]
 
     # chain='row' calibration: the kernel configs rely on XLA aliasing
-    # the loop carry for the one-row dynamic_update_slice chain. An
-    # identity body leaves ONLY the chain in the loop, so this times
-    # the chain itself — ~0 when aliased in place, a full read+write
-    # of the cube when some future XLA declines (in which case every
-    # kernel rate silently re-inherits the old full-pass artifact:
-    # flag it instead).
+    # the loop carry for the one-row dynamic_update_slice chain. The
+    # probe body mirrors the real pattern — the kernel CONSUMES the
+    # carry and produces a separate (here: tiny) output, after which
+    # the carry's buffer is dead and the row update can go in place.
+    # (An identity body would be the wrong probe: returning the carry
+    # itself keeps its buffer live and FORCES a copy — measured 0.63
+    # ms, exactly one full-cube read+write — a worst case no kernel
+    # config hits.) ~0 when aliased; a full-cube pass when some
+    # future XLA declines, in which case every kernel rate silently
+    # re-inherits the old full-pass artifact: flag it instead.
     try:
-        t = time_loop(lambda a: a, cube_d, reps=20)[0]
+        t = time_loop(lambda a: a[:1] * jnp.float32(1.0), cube_d,
+                      reps=20)[0]
         detail['chain_row_overhead_ms'] = round(t * 1e3, 4)
         if _MEASURED['hbm_gbps']:
             stream_ms = 2 * nbytes / (_MEASURED['hbm_gbps'] * 1e9) \
