@@ -662,10 +662,17 @@ def main():
             if not supports_pallas_rescan(KL, looks, alpha):
                 continue
             cube_long = jnp.asarray(_make_cube(lny, lnx, KL, seed=2))
+            # drain the (async) 100+ MB device_put before any timed
+            # window: over the ~26 MB/s dev tunnel the upload takes
+            # seconds, and an unsynced warm call lets the timed sync
+            # absorb its tail (recorded 8 Mpix/s for a call that
+            # measures ~120 Mpix/s with the input resident)
+            _sync(cube_long)
             mpix_long = lny * lnx * KL / 1e6
 
             def long_series(cube_long=cube_long):
-                change_detection_exact(cube_long, alpha, n=looks)
+                _sync(change_detection_exact(cube_long, alpha,
+                                             n=looks))     # warm
                 t0 = time.perf_counter()
                 out = change_detection_exact(cube_long, alpha,
                                              n=looks)
