@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .algorithm import Algorithm, wrap_algorithm
@@ -67,6 +68,13 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
 
     da = ds_m[['C11', 'C12__re', 'C12__im', 'C22']].to_array()
     da = da.transpose('y', 'x', 'time', 'variable')
+    # device in -> device out: a chained pipeline's cube is already in
+    # HBM, and forcing the boolean map through the host link costs
+    # more than the whole scan (the dev tunnel moves ~26 MB/s; the
+    # exact kernel runs at ~2 Gpix/s). Host-resident inputs keep the
+    # reference-style numpy delivery via the bit-packed hybrid
+    # transfer.
+    host_in = not isinstance(da.data, jax.Array)
     values = jnp.asarray(da.data)
 
     from .ops.change import change_detection_hybrid
@@ -81,7 +89,8 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
         # fused Pallas kernel + exact float64 patching of the rare
         # near-margin pixels — exact decisions at fast-mode speed
         change = change_detection_hybrid(values, alpha=float(alpha),
-                                         n=int(n))
+                                         n=int(n),
+                                         return_device=not host_in)
     else:
         # mesh-sharded inputs stay on the jittable XLA path: GSPMD
         # partitions it over the pixel grid, while the host-driven
@@ -90,7 +99,8 @@ def _omnibus_change_detection(ds, alpha=0.01, ml=None, n=1, njobs=1):
                                    n=int(n))
 
     coords = {k: v for k, v in ds._coords.items()}
-    out = DataArray(np.asarray(change), dims=('y', 'x', 'time'),
+    payload = np.asarray(change) if host_in else jnp.asarray(change)
+    out = DataArray(payload, dims=('y', 'x', 'time'),
                     attrs=dict(ds.attrs), name='change')
     for ck, cv in coords.items():
         if set(cv.dims).issubset({'y', 'x', 'time'}):

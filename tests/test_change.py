@@ -262,3 +262,27 @@ def test_mixed_decisions_batch_shape_invariant():
                                                unroll=True))
     np.testing.assert_array_equal(got_unrolled[:, 0],
                                   full.reshape(ny * nx, k)[idx])
+
+
+def test_omnibus_device_in_device_out():
+    """A device-resident cube chained into OmnibusTest keeps its
+    change map ON DEVICE (no forced host materialization — the round-4
+    residency fix), with decisions identical to the host-input path."""
+    import jax
+    import jax.numpy as jnp
+
+    from nd_tpu.change import OmnibusTest
+    from nd_tpu.testing import generate_test_dataset
+
+    ds = generate_test_dataset(dims={'y': 12, 'x': 14, 'time': 6})
+    host = OmnibusTest(ml=3, alpha=0.9).apply(ds)
+    assert isinstance(host.data, np.ndarray)       # numpy in, numpy out
+
+    dev = ds.copy()
+    for v in list(dev.data_vars):
+        dev[v] = (dev[v].dims,
+                  jnp.asarray(np.asarray(dev[v].values)))
+    out = OmnibusTest(ml=3, alpha=0.9).apply(dev)
+    assert isinstance(out.data, jax.Array)         # device in, device out
+    np.testing.assert_array_equal(np.asarray(out.values),
+                                  np.asarray(host.values))
