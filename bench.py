@@ -68,7 +68,14 @@ def _time(fn, *args, reps=4, warmup=1):
     return (time.perf_counter() - t0) / reps, outs[-1]
 
 
-def _time_loop(kernel, x, reps=10, best_of=1, chain='row'):
+# labels of configs whose _time_loop differential collapsed to the
+# single-count fallback (which folds the fixed ~25 ms dispatch RTT back
+# in) — surfaced in detail['timing_slope_fallback'] so a degraded
+# measurement is distinguishable from a clean one (ADVICE r4)
+_SLOPE_FALLBACKS = []
+
+
+def _time_loop(kernel, x, reps=10, best_of=1, chain='row', label=None):
     """Device throughput: run ``kernel`` inside ONE jit via a
     traced-count loop, timed DIFFERENTIALLY at two trip counts.
 
@@ -136,8 +143,19 @@ def _time_loop(kernel, x, reps=10, best_of=1, chain='row'):
         _sync(out)
         hi.append(time.perf_counter() - t0)
     slope = (min(hi) - min(lo)) / (3 * reps)
-    if slope <= 0:                       # noise swamped the lo sample
-        slope = min(hi) / (4 * reps)
+    if slope <= 0:                       # noise swamped the lo sample:
+        for _ in range(2):               # retry before degrading
+            t0 = time.perf_counter()
+            _sync(run(x, eps, n_lo))
+            lo.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out = run(x, eps, n_hi)
+            _sync(out)
+            hi.append(time.perf_counter() - t0)
+        slope = (min(hi) - min(lo)) / (3 * reps)
+    if slope <= 0:                       # still degraded: fall back to
+        slope = min(hi) / (4 * reps)     # single-count (RTT folded in)
+        _SLOPE_FALLBACKS.append(label or 'unlabeled')
     return slope, out
 
 
@@ -229,13 +247,25 @@ def _measure_device_peaks(detail, cube_d, time_loop):
     except Exception as e:
         detail.setdefault('errors', {})['peak_hbm_copy'] = str(e)[:200]
     if hbm_add or hbm_max:
+        # a probe ABOVE the paper roofline is physically impossible
+        # (r4: a poisoned compare-select probe returned 1197.5 GB/s =
+        # 146% of the 819 GB/s v5e peak and max() silently re-anchored
+        # every percentage by it) — reject it rather than clamp, so
+        # the surviving corroborated probe carries the ceiling
         pair = [v for v in (hbm_add, hbm_max) if v]
-        _MEASURED['hbm_gbps'] = max(pair)
-        detail['device_hbm_gbps_measured'] = round(
-            _MEASURED['hbm_gbps'], 1)
-        if len(pair) == 2 and abs(pair[0] - pair[1]) / max(pair) > 0.2:
+        sane = [v for v in pair if v <= 1.05 * _V5E_HBM_GBPS]
+        if len(sane) < len(pair):
+            detail.setdefault('peak_probe_rejected', {})['hbm'] = [
+                round(v, 1) for v in pair if v not in sane]
+        if len(sane) == 2 and abs(sane[0] - sane[1]) / max(sane) > 0.2:
             detail.setdefault('peak_probe_disagreement', {})['hbm'] = \
-                [round(v, 1) for v in pair]
+                [round(v, 1) for v in sane]
+            # uncorroborated: the conservative member anchors
+            sane = [min(sane)]
+        if sane:
+            _MEASURED['hbm_gbps'] = min(max(sane), _V5E_HBM_GBPS)
+            detail['device_hbm_gbps_measured'] = round(
+                _MEASURED['hbm_gbps'], 1)
 
     # chain='row' calibration: the kernel configs rely on XLA aliasing
     # the loop carry for the one-row dynamic_update_slice chain. The
@@ -250,11 +280,19 @@ def _measure_device_peaks(detail, cube_d, time_loop):
     # re-inherits the old full-pass artifact: flag it instead.
     try:
         t = time_loop(lambda a: a[:1] * jnp.float32(1.0), cube_d,
-                      reps=20)[0]
+                      reps=20, label='chain_row_probe')[0]
         detail['chain_row_overhead_ms'] = round(t * 1e3, 4)
         if _MEASURED['hbm_gbps']:
             stream_ms = 2 * nbytes / (_MEASURED['hbm_gbps'] * 1e9) \
                 * 1e3
+            if t * 1e3 > 0.25 * stream_ms:
+                # one transient stall (harness load on the 1-core box)
+                # must not condemn every kernel rate: re-measure once
+                # and keep the better sample before flagging
+                t = min(t, time_loop(
+                    lambda a: a[:1] * jnp.float32(1.0), cube_d,
+                    reps=20, label='chain_row_probe_retry')[0])
+                detail['chain_row_overhead_ms'] = round(t * 1e3, 4)
             if t * 1e3 > 0.25 * stream_ms:
                 detail.setdefault('peak_probe_disagreement', {})[
                     'chain_row_not_aliased'] = round(t * 1e3, 3)
@@ -287,19 +325,33 @@ def _measure_device_peaks(detail, cube_d, time_loop):
             detail.setdefault('errors', {})[
                 'peak_vpu_%dx%d' % (chains, depth)] = str(e)[:200]
     if vpu_runs:
-        _MEASURED['vpu_tflops'] = max(vpu_runs.values())
+        # consensus estimator (r4: a lone 8x16 rung at 5.32 TFLOP/s
+        # was picked as the max while the four saturated geometries
+        # agreed at ~4.3-4.5): the ceiling is the max of the probes
+        # within 20% of the ladder's median — a single outlier rung,
+        # high or low, cannot re-anchor the percentages — clamped to
+        # the f32 paper roofline
+        vals = sorted(vpu_runs.values())
+        med = vals[len(vals) // 2]
+        plateau = [v for v in vals if abs(v - med) <= 0.2 * med]
+        outliers = [v for v in vals if v not in plateau]
+        if outliers:
+            detail.setdefault('peak_probe_rejected', {})['vpu'] = [
+                round(v, 2) for v in outliers]
+        _MEASURED['vpu_tflops'] = min(max(plateau), _V5E_F32_TFLOPS)
         detail['device_vpu_tflops_measured'] = round(
             _MEASURED['vpu_tflops'], 2)
         detail['device_vpu_tflops_probes'] = {
             k: round(v, 2) for k, v in vpu_runs.items()}
-        # saturation check: the top two rungs of the ILP ladder must
-        # agree — if the biggest geometry is still pulling ahead of
-        # the runner-up by >20%, the measured ceiling is a lower
-        # bound, not the silicon
-        vals = sorted(vpu_runs.values())
-        if len(vals) > 1 and (vals[-1] - vals[-2]) / vals[-1] > 0.2:
+        # saturation check: the top two consensus rungs must agree —
+        # if the biggest geometry is still pulling ahead of the
+        # runner-up by >20%, the measured ceiling is a lower bound,
+        # not the silicon
+        if len(plateau) > 1 and \
+                (plateau[-1] - plateau[-2]) / plateau[-1] > 0.2:
             detail.setdefault('peak_probe_disagreement', {})[
-                'vpu_unsaturated'] = [round(v, 2) for v in vals[-2:]]
+                'vpu_unsaturated'] = [round(v, 2)
+                                      for v in plateau[-2:]]
 
 
 def _roofline(detail, key, bytes_per_pix, flops_per_pix=None,
@@ -469,6 +521,12 @@ def main():
     # paper peaks and these measured ones
     _resilient(detail, 'device_peaks',
                lambda: _measure_device_peaks(detail, cube_d, _time_loop))
+    # a fired probe flag means the measured anchors are suspect: every
+    # *_pct_measured_* field below inherits it — say so once, loudly,
+    # instead of letting the percentages read as clean (VERDICT r4)
+    if 'peak_probe_disagreement' in detail:
+        detail['measured_pct_unanchored'] = sorted(
+            detail['peak_probe_disagreement'])
 
     # ---- NLMeans (r=1, f=1 spatial, joint over 4 channels) -------------
     r = (1, 1, 0)
@@ -489,8 +547,8 @@ def main():
 
     run_nlmeans = run_nlmeans_pallas if use_pallas else run_nlmeans_xla
     res, fb = _resilient(
-        detail, 'nlmeans', lambda: _time_loop(run_nlmeans, nl_in),
-        fallback=((lambda: _time_loop(run_nlmeans_xla, nl_in))
+        detail, 'nlmeans', lambda: _time_loop(run_nlmeans, nl_in, label='nlmeans'),
+        fallback=((lambda: _time_loop(run_nlmeans_xla, nl_in, label='nlmeans_xla_fb'))
                   if use_pallas else None))
     if fb:
         run_nlmeans = run_nlmeans_xla
@@ -523,8 +581,8 @@ def main():
 
     run_nl_r2 = run_nl_r2_pallas if use_pallas else run_nl_r2_xla
     res, fb_r2 = _resilient(
-        detail, 'nlmeans_r2', lambda: _time_loop(run_nl_r2, nl_in),
-        fallback=((lambda: _time_loop(run_nl_r2_xla, nl_in))
+        detail, 'nlmeans_r2', lambda: _time_loop(run_nl_r2, nl_in, label='nlmeans_r2'),
+        fallback=((lambda: _time_loop(run_nl_r2_xla, nl_in, label='nlmeans_r2_xla_fb'))
                   if use_pallas else None))
     if res:
         detail['nlmeans_r2_mpix_s'] = round(mpix / res[0], 2)
@@ -561,8 +619,9 @@ def main():
     run_omnibus = run_omnibus_exact if use_change_pallas \
         else run_omnibus_mixed
     res, fb = _resilient(
-        detail, 'omnibus', lambda: _time_loop(run_omnibus, cube_d),
-        fallback=((lambda: _time_loop(run_omnibus_mixed, cube_d))
+        detail, 'omnibus', lambda: _time_loop(run_omnibus, cube_d, label='omnibus'),
+        fallback=((lambda: _time_loop(run_omnibus_mixed, cube_d,
+                                      label='omnibus_mixed_fb'))
                   if use_change_pallas else None))
     if fb:
         run_omnibus = run_omnibus_mixed
@@ -600,7 +659,8 @@ def main():
         # full-grid f64 'mixed' XLA path, reported for reference
         res, _ = _resilient(
             detail, 'omnibus_mixed',
-            lambda: _time_loop(run_omnibus_mixed, cube_d))
+            lambda: _time_loop(run_omnibus_mixed, cube_d,
+                               label='omnibus_mixed'))
         if res:
             detail['omnibus_mixed_mpix_s'] = round(mpix / res[0], 2)
 
@@ -628,7 +688,8 @@ def main():
                                     stat_dtype='float32')
         res, _ = _resilient(
             detail, 'omnibus_fast',
-            lambda: _time_loop(run_omnibus_fast, cube_d))
+            lambda: _time_loop(run_omnibus_fast, cube_d,
+                               label='omnibus_fast'))
         if res:
             detail['omnibus_fast_mpix_s'] = round(mpix / res[0], 2)
             t_fast = res[0]
@@ -710,7 +771,8 @@ def main():
 
             res, _ = _resilient(
                 detail, tag + '_device',
-                lambda: _time_loop(run_exact_long, cube_long))
+                lambda: _time_loop(run_exact_long, cube_long,
+                                   label=tag + '_device'))
             if res:
                 detail[tag + '_device_mpix_s'] = \
                     round(mpix_long / res[0], 2)
@@ -744,7 +806,8 @@ def main():
         return convolve(x, k3, axes=(0, 1), mode='reflect')
 
     res, _ = _resilient(detail, 'boxcar',
-                        lambda: _time_loop(run_boxcar, cube_d))
+                        lambda: _time_loop(run_boxcar, cube_d,
+                                           label='boxcar'))
     if res:
         detail['boxcar_mpix_s'] = round(mpix / res[0], 2)
     # 4 channels f32 in+out; 9 MACs per channel
@@ -757,7 +820,8 @@ def main():
         return separable_convolve(x, [g1, g1], axes=(0, 1))
 
     res, _ = _resilient(detail, 'gaussian',
-                        lambda: _time_loop(run_gauss, cube_d))
+                        lambda: _time_loop(run_gauss, cube_d,
+                                           label='gaussian'))
     if res:
         detail['gaussian_mpix_s'] = round(mpix / res[0], 2)
     # separable: 2 passes of len(g1) MACs over 4 channels
@@ -822,7 +886,8 @@ def main():
                 return jnp.nan_to_num(matmul_resample(
                     x, *plan[:6], jnp.float32(np.nan), plan[6]))
 
-            t_rd, _ = _time_loop(run_warp, stacked)
+            t_rd, _ = _time_loop(run_warp, stacked,
+                                 label='reproject_device')
             detail['reproject_device_mpix_s'] = round(wp / t_rd, 2)
             # separable warp = two dense MXU matmuls: ~2*(h+w) MAC
             # flops per output sample, ~12 B/pix HBM (src re-read +
@@ -876,7 +941,8 @@ def main():
 
         # reps=16: the kernel is ~1 ms/iter, so the differential's lo
         # sample needs enough trips to rise clear of timer noise
-        t, _ = _time_loop(coreg_dev, ser, reps=16, best_of=3)
+        t, _ = _time_loop(coreg_dev, ser, reps=16, best_of=3,
+                          label='coregister_device')
         return kf * hy * hx / 1e6 / t
     res, _ = _resilient(detail, 'coregister_device',
                         bench_coreg_device)
@@ -996,7 +1062,8 @@ def main():
         def run_pipeline(x):
             return pipe.forward(x)
 
-        t_pl, _ = _time_loop(run_pipeline, cube_d, reps=4)
+        t_pl, _ = _time_loop(run_pipeline, cube_d, reps=4,
+                             label='pipeline_forward')
         detail['pipeline_forward_mpix_s'] = round(mpix / t_pl, 2)
     except Exception as e:  # pragma: no cover
         detail['pipeline_error'] = str(e)
@@ -1053,6 +1120,16 @@ def main():
     vs_baseline = (combined_mpix_s / base_mpix_s) \
         if (base_mpix_s and combined_mpix_s) else None
 
+    if _SLOPE_FALLBACKS:
+        detail['timing_slope_fallback'] = _SLOPE_FALLBACKS[:20]
+    if backend == 'cpu':
+        # _time/_time_loop sync only the last rep, which is exact on
+        # the single in-order accelerator stream but can understate
+        # time on a backend that overlaps independent dispatches
+        detail['timing_single_stream_assumption'] = (
+            'non-TPU backend: last-rep sync assumes in-order '
+            'execution')
+
     result = {
         'metric': 'Mpix/s/chip: NLMeans + OmnibusTest on S1 cube; '
                   'change-map parity <=1e-5',
@@ -1063,6 +1140,44 @@ def main():
         'detail': detail,
     }
     print(json.dumps(result))
+
+    # the driver archives only the LAST 2000 chars of stdout, and the
+    # full line above is far longer than that — r3/r4 artifacts lost
+    # the headline to its own detail dict. End stdout with one compact
+    # (<1500 chars) self-contained JSON object carrying the north-star
+    # number, the flagship per-kernel rates, both measured ceilings,
+    # parity, and every fired flag.
+    flags = sorted(detail.get('peak_probe_disagreement', {}))
+    if _SLOPE_FALLBACKS:
+        flags.append('timing_slope_fallback')
+    if degraded:
+        flags.append('backend_degraded')
+    summary_keys = (
+        'nlmeans_mpix_s', 'nlmeans_r2_mpix_s', 'omnibus_mpix_s',
+        'omnibus_fast_mpix_s', 'omnibus_long_device_mpix_s',
+        'omnibus_k200_device_mpix_s', 'boxcar_mpix_s',
+        'gaussian_mpix_s', 'reproject_device_mpix_s',
+        'coregister_device_mpix_s', 'tile_pipeline_mpix_s',
+        'pipeline_forward_mpix_s', 'device_hbm_gbps_measured',
+        'device_dma_gbps_measured', 'device_vpu_tflops_measured',
+        'change_map_mismatch_rate', 'omnibus_fast_vs_exact_mismatch',
+        'coregister_shift_err_px', 'cpu_1core_mpix_s')
+    compact = {
+        'metric': result['metric'],
+        'value': result['value'],
+        'unit': 'Mpix/s',
+        'vs_baseline': result['vs_baseline'],
+        'summary': {k: detail[k] for k in summary_keys
+                    if k in detail},
+        'flags': flags,
+        'error_keys': sorted(detail.get('errors', {}))[:10],
+        'backend': backend,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:                 # hard bound: never truncate
+        compact.pop('error_keys', None)
+        line = json.dumps(compact)
+    print(line)
     return result
 
 

@@ -444,7 +444,7 @@ def _capacity_ladder(k, capacity, npix):
 
     Short series (fused kernel, exact threshold immediates) have tiny
     suspect counts — typically hundreds per megapixel — so they rescan
-    at a SMALL base rung (~npix/1024, min 1024) and only escalate to
+    at a SMALL base rung (~npix/256, min 2048) and only escalate to
     the requested capacity when the count overflows: the f64 patch
     scales linearly with its capacity, and paying the full requested
     size every call cost the exact mode ~25% of its runtime at the

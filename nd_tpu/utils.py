@@ -185,16 +185,21 @@ def block_split(array, blocks):
 
 
 def block_merge(array_list, blocks):
-    """Reassemble arrays as generated by block_split."""
-    if len(array_list) != np.prod(blocks):
-        raise ValueError('Length of array list must equal the product of '
-                         'the shape elements.')
-    result = array_list
-    for i, nblocks in enumerate(blocks[::-1]):
-        axis = len(blocks) - i - 1
-        result = [np.concatenate(_, axis=axis)
-                  for _ in chunks(result, nblocks)]
-    return result[0]
+    """Inverse of block_split: stitch a flat block list back together.
+
+    The flat list is laid out with the first axis outermost (the order
+    block_split emits); it is arranged into an object grid of shape
+    ``blocks`` and stitched in one ``np.block`` call.
+    """
+    blocks = tuple(int(b) for b in blocks)
+    expected = int(np.prod(blocks))
+    if len(array_list) != expected:
+        raise ValueError('block_merge: got %d blocks but grid %r needs %d'
+                         % (len(array_list), blocks, expected))
+    grid = np.empty(blocks, dtype=object)
+    for idx, arr in zip(np.ndindex(*blocks), array_list):
+        grid[idx] = arr
+    return np.block(grid.tolist())
 
 
 def xr_split(ds, dim, chunks, buffer=0):
@@ -557,19 +562,40 @@ def _stack_attr():
 
 
 def extract_arguments(fn, args, kwargs):
-    """Bind args/kwargs against fn's signature, collecting leftovers."""
-    def _(*args, **kwargs):
-        pass
-
-    sig = inspect.signature(fn)
-    if 'self' in sig.parameters:
-        sig = sig.replace(parameters=tuple(sig.parameters.values())[1:])
-    parameters = OrderedDict(sig.parameters)
-    parameters.update(OrderedDict(inspect.signature(_).parameters))
-    parameters = sorted(
-        parameters.values(),
-        key=lambda p: (p.kind, p.default is not inspect._empty))
-    new_sig = sig.replace(parameters=parameters)
-    bound = new_sig.bind(*args, **kwargs)
-    bound.apply_defaults()
-    return bound.arguments
+    """Match ``args``/``kwargs`` to fn's named parameters; whatever
+    does not fit lands in the ``'args'`` / ``'kwargs'`` entries of the
+    returned dict (always present, even when empty). ``self`` is
+    ignored so unbound methods can be passed directly.
+    """
+    params = [p for p in inspect.signature(fn).parameters.values()
+              if p.name != 'self']
+    named = [p for p in params
+             if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD,
+                           p.KEYWORD_ONLY)]
+    out = OrderedDict()
+    overflow_pos = []
+    for i, value in enumerate(args):
+        slot = named[i] if i < len(named) else None
+        if slot is not None and slot.kind != slot.KEYWORD_ONLY:
+            out[slot.name] = value
+        else:
+            overflow_pos.append(value)
+    overflow_kw = {}
+    by_name = {p.name: p for p in named}
+    for key, value in kwargs.items():
+        if key in out:
+            raise TypeError('%s() got multiple values for %r'
+                            % (getattr(fn, '__name__', fn), key))
+        if key in by_name:
+            out[key] = value
+        else:
+            overflow_kw[key] = value
+    for p in named:
+        if p.name not in out:
+            if p.default is inspect.Parameter.empty:
+                raise TypeError('%s() missing required argument: %r'
+                                % (getattr(fn, '__name__', fn), p.name))
+            out[p.name] = p.default
+    out['args'] = tuple(overflow_pos)
+    out['kwargs'] = overflow_kw
+    return out

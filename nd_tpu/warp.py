@@ -975,17 +975,17 @@ class Resample(Algorithm):
 
     @parallelize
     def apply(self, ds):
-        """Resample the dataset.
+        """Run the resampling.
 
         Parameters
         ----------
         ds : Dataset or DataArray
-            The input dataset
+            Datacube to regrid.
 
         Returns
         -------
         Dataset or DataArray
-            The resampled dataset.
+            Copy of ``ds`` on the requested grid (same CRS).
         """
         return _reproject(ds, width=self.width, height=self.height,
                           res=self.res, **self.kwargs)
@@ -1012,9 +1012,32 @@ class Alignment(Algorithm):
         self.crs = crs
         self.extent = extent
 
+    @staticmethod
+    def _sources(datasets):
+        """Normalize the input into (name, loader) pairs. The loader
+        re-opens file-backed products on demand, so the write loop
+        keeps at most one full dataset alive at a time."""
+        if isinstance(datasets, str):
+            datasets = glob.glob(datasets)
+        if not datasets:
+            raise ValueError(
+                'Alignment: nothing to align (empty list or glob '
+                'with no matches)')
+        pairs = []
+        for i, item in enumerate(datasets):
+            if isinstance(item, str):
+                stem = os.path.basename(item)
+                dot = stem.rfind('.')
+                name = stem[:dot] if dot > 0 else stem
+                pairs.append((name, functools.partial(
+                    open_dataset, item, as_complex=False)))
+            else:
+                pairs.append(('data%d' % i, (lambda d=item: d)))
+        return pairs
+
     def apply(self, datasets, path):
-        """Reproject datasets onto the common grid and stream each to
-        ``<path>/<name>_aligned.nc``.
+        """Reproject every product onto one shared grid and stream
+        each result to ``<path>/<name>_aligned.nc``.
 
         Parameters
         ----------
@@ -1023,35 +1046,24 @@ class Alignment(Algorithm):
         path : str
             Output directory.
         """
-        if isinstance(datasets, str):
-            datasets = glob.glob(datasets)
-        if len(datasets) == 0:
-            raise ValueError('No files found!')
+        pairs = self._sources(datasets)
 
-        products = datasets
-        if isinstance(datasets[0], str):
-            product_names = [os.path.splitext(os.path.split(_)[1])[0]
-                             for _ in products]
-            datasets = [open_dataset(d, as_complex=False)
-                        for d in datasets]
-        else:
-            product_names = ['data{}'.format(i)
-                             for i in range(len(datasets))]
+        # the shared grid needs every product's metadata up front
+        opened = [load() for _, load in pairs]
+        grid = {
+            'extent': (get_common_bounds(opened)
+                       if self.extent is None else self.extent),
+            'res': get_common_resolution(opened),
+            'dst_crs': (get_crs(opened[0])
+                        if self.crs is None else self.crs),
+        }
+        del opened
+        proj = Reprojection(**grid)
 
         os.makedirs(path, exist_ok=True)
-        extent = self.extent if self.extent is not None \
-            else get_common_bounds(datasets)
-        res = get_common_resolution(datasets)
-        crs = self.crs if self.crs is not None else get_crs(datasets[0])
-
-        proj = Reprojection(dst_crs=crs, extent=extent, res=res)
-        for name, ds in zip(product_names, products):
-            outfile = os.path.join(path, name + '_aligned.nc')
-            if isinstance(ds, str):
-                ds = open_dataset(ds, as_complex=False)
-            aligned = proj.apply(ds)
-            to_netcdf(aligned, outfile)
-            del aligned
+        for name, load in pairs:
+            to_netcdf(proj.apply(load()),
+                      os.path.join(path, name + '_aligned.nc'))
 
 
 align = wrap_algorithm(Alignment, 'align')
@@ -1081,17 +1093,17 @@ class Coregistration(Algorithm):
         self.upsampling = upsampling
 
     def apply(self, ds):
-        """Coregister the dataset.
+        """Estimate and undo per-time-step shifts.
 
         Parameters
         ----------
         ds : Dataset
-            The input dataset.
+            Time series to register.
 
         Returns
         -------
         Dataset
-            The coregistered dataset.
+            Series with every slice translated onto the master image.
         """
         return _coregister(ds, reference=self.reference,
                            upsampling=self.upsampling)
