@@ -26,6 +26,40 @@ _WKT_GCS_NAMES = {
 }
 
 
+_GENERATED = None
+
+
+def _generated_registry():
+    """The data-driven EPSG table (``epsg_registry.json.gz``, built by
+    ``tools/gen_epsg_registry.py`` from the PROJ/EPSG dataset): every
+    projected + geographic-2D code whose method, datum path and axes
+    the engine implements (~4.7k codes — State Plane zones, national
+    grids, the UTM-on-datum long tail). The curated ``_EPSG`` table
+    keeps priority for the codes it defines. Covers the reference's
+    resolve-any-authority-code surface
+    (/root/reference/nd/warp.py:71-115)."""
+    global _GENERATED
+    if _GENERATED is None:
+        import gzip
+        import json
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'epsg_registry.json.gz')
+        try:
+            with gzip.open(path, 'rb') as f:
+                raw = json.load(f)
+            table = {}
+            for k, v in raw.items():
+                if 'towgs84' in v:
+                    v = dict(v)
+                    v['towgs84'] = tuple(v['towgs84'])
+                table[int(k)] = v
+            _GENERATED = table
+        except Exception:   # registry file absent: curated-only mode
+            _GENERATED = {}
+    return _GENERATED
+
+
 def _utm_params(zone, south=False, ellps='WGS84', datum=None):
     p = {'proj': 'utm', 'zone': zone, 'lon_0': zone * 6 - 183,
          'k': 0.9996, 'x_0': 500000.0, 'y_0': 10000000.0 if south else 0.0,
@@ -384,8 +418,15 @@ class CRS:
     def from_epsg(cls, code):
         code = int(code)
         if code not in _EPSG:
-            raise ValueError('EPSG:%d is not in the built-in registry'
-                             % code)
+            gen = _generated_registry().get(code)
+            if gen is None:
+                raise ValueError(
+                    'EPSG:%d is neither in the curated registry nor '
+                    'in the generated EPSG table (%d codes); its '
+                    'projection method, datum path or axes are '
+                    'outside the engine' % (code,
+                                            len(_generated_registry())))
+            return cls(dict(gen), epsg=code)
         return cls(dict(_EPSG[code]), epsg=code)
 
     @classmethod
