@@ -948,13 +948,38 @@ def main():
                         bench_coreg_device)
     if res:
         detail['coregister_device_mpix_s'] = round(res, 2)
-        # traffic model: series read twice (FFT + translate) + shifted
-        # write, f32 -> ~12 B per (y, x, t) sample; FFT flops
-        # ~5 HW log2(HW) per image x 3 transforms + 4-tap translate
+        # FFT-traffic model (VERDICT r4 item 9): the registration
+        # pipeline is FFT passes, not a single stream, so its honest
+        # HBM denominator counts every materialized pass. Per (y, x)
+        # sample of one time step (f32 in, c64 half-spectrum of
+        # relative width hs = (nx/2+1)/nx):
+        #   fwd rfft2 axis-1:  4 B read + 8*hs B write
+        #   fwd rfft2 axis-0:  2 * 8*hs B   (c64 in+out)
+        #   cross-power:       3 * 8*hs B   (read XY + ref, write)
+        #   irfft2 axis-0:     2 * 8*hs B
+        #   irfft2 axis-1:     8*hs B + 4 B (c64 in, f32 corr out)
+        #   argmax reduce:     4 B read
+        #   translate:         4 B read + 4 B write (taps in VMEM)
+        # Refinement (upsampled-DFT matmuls + Fourier-shift phase
+        # ramps) touches only a (2*up+1)^2 window -> negligible HBM.
         import math as _math
-        hw = 512 * 512
-        _roofline(detail, 'coregister_device', 12,
-                  3 * 5 * _math.log2(hw) + 2 * 4 * 2)
+        hy = hx = 512
+        hs = (hx // 2 + 1) / hx
+        c = 8.0 * hs
+        bytes_pix = (4 + c) + 2 * c + 3 * c + 2 * c + (c + 4) \
+            + 4 + (4 + 4)
+        # FLOPs: 3 full 2-D transforms at 5 N log2 N + cross-power
+        # normalize (~10) + 4-tap separable translate (2 axes x 4
+        # MACs x 2)
+        flops_pix = 3 * 5 * _math.log2(hy * hx) + 10 + 2 * 4 * 2
+        detail['coregister_device_model'] = {
+            'hbm_bytes_per_pix': round(bytes_pix, 1),
+            'flops_per_pix': round(flops_pix, 1),
+            'terms': 'rfft2(4+%.1f) + axis0(%.1f) + xpow(%.1f) + '
+                     'irfft2(%.1f+%.1f+4) + argmax(4) + translate(8)'
+                     % (c, 2 * c, 3 * c, 2 * c, c),
+        }
+        _roofline(detail, 'coregister_device', bytes_pix, flops_pix)
 
     # registration parity (VERDICT r3 item 2): known alias-free
     # subpixel shifts recovered by the device kernel, worst error in

@@ -532,7 +532,17 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
         # Duplicate fills are benign: each gathers the same series,
         # rescans to the same decision, and scatters the same value.
         idx = jnp.sort(idx)
-        series = values.reshape(ny * nx, k, 4).at[idx].get(
+        # 2-D indexing, NOT values.reshape(ny*nx, ...).at[idx]: the
+        # flat view merges the (y, x) TILED dims, which XLA lowers as
+        # a relayout copy of the whole cube before the gather —
+        # measured 1.3 ms of the exact mode's 6.4 ms at the bench
+        # config (~300 GB/s copy-engine pass over 192 MB) for a
+        # gather whose true payload is <1 MB. Row-major flat idx
+        # sorted => (iy, ix) sorted lexicographically, so the hint
+        # stays legal.
+        iy_idx = idx // nx
+        ix_idx = idx - iy_idx * nx
+        series = values.at[iy_idx, ix_idx].get(
             indices_are_sorted=True)
         # (cap,) rows rescanned as a (cap/128, 128) grid: a (cap, 1)
         # grid would put the 128-lane axis on a size-1 dimension and
@@ -554,10 +564,11 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
             rows_packed = jnp.sum(
                 patched[:, 31 * pp:31 * pp + nb].astype(jnp.int32)
                 * weights, axis=-1, dtype=jnp.int32)
+            # 2-D scatter for the same reason as the gather above
+            # (ravel() of the (ny, nx) plane would relayout it twice)
             out_planes.append(
-                packed[pp].ravel().at[idx].set(
-                    rows_packed,
-                    indices_are_sorted=True).reshape(ny, nx))
+                packed[pp].at[iy_idx, ix_idx].set(
+                    rows_packed, indices_are_sorted=True))
         return jnp.stack(out_planes)
 
     # Capacity ladder: suspect counts vary orders of magnitude —

@@ -419,7 +419,7 @@ def _scan_kernel(in_ref, out_ref, margin_ref,
 
 
 def change_detection_scan(values, alpha, n=1, interpret=False,
-                          return_packed=False):
+                          return_packed=False, tile=None):
     """Long-series omnibus change detection as a sequential-scan fused
     kernel (margin-carrying; serves the exact/hybrid rescan callers).
 
@@ -455,13 +455,20 @@ def change_detection_scan(values, alpha, n=1, interpret=False,
     nplanes = (k + 30) // 31
 
     data = jnp.transpose(values, (2, 3, 0, 1))      # (k, 4, y, x)
-    # tile chooser: 40*k*ty*tx bytes of tile + pass planes
+    # tile chooser: 40*k*ty*tx bytes of tile + pass planes. Candidate
+    # order is MEASURED, not monotone in area (r5 on-chip sweep at
+    # k=56: (8,256) 20.0, (16,128) 17.2, (32,128) 14.5, (8,128) 12.5,
+    # (16,256) 8.9 Gpix/s — wide-lane low-sublane tiles win; the old
+    # area-ordered chooser picked (16,256), the slowest of the five).
+    # ``tile`` overrides for occupancy sweeps.
     ty, tx = 8, 128
-    for cand_ty, cand_tx in ((32, 512), (16, 512), (16, 256),
-                             (8, 256), (8, 128)):
+    for cand_ty, cand_tx in ((8, 256), (16, 128), (32, 128),
+                             (8, 128)):
         if 40 * k * cand_ty * cand_tx <= _VMEM_BUDGET:
             ty, tx = cand_ty, cand_tx
             break
+    if tile is not None:
+        ty, tx = tile
     ty = min(ty, max(8, int(np.ceil(ny / 8)) * 8))
     tx = min(tx, max(128, int(np.ceil(nx / 128)) * 128))
     ny_pad = int(np.ceil(ny / ty)) * ty

@@ -35,7 +35,7 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 __all__ = ['separable_convolve_pallas', 'rowfused_convolve',
-           'supports_pallas']
+           'padless_convolve', 'supports_pallas']
 
 _TX = 512
 _VMEM_BUDGET = 12 << 20    # scoped-VMEM budget per grid step (the
@@ -478,6 +478,308 @@ def rowfused_convolve(arr, taps_by_axis, mode='reflect', cval=0.0,
     return out.reshape(shape)
 
 
+# ---------------------------------------------------------------------------
+# Padless kernel: zero prep passes
+# ---------------------------------------------------------------------------
+#
+# Round-5 profiling (tools/exp notes + /tmp probes, measured on-chip):
+# the row-fused kernel's pallas_call alone streams the bench cube in
+# ~0.72 ms (~17.4 Gpix/s), but its end-to-end rate was 5.4 Gpix/s —
+# the other 1.5 ms was the reflect-pad materialization (jnp.pad
+# 'reflect'/'edge' lowers as per-axis concat+flip passes, ~1.7 ms for
+# the 114 MB padded cube, vs 0.73 ms for a single-pass zero pad) plus
+# the layout round trips it forces around the custom call. This
+# variant eliminates the prep pass entirely:
+#
+# - the input is consumed UNPADDED; each y-slab DMA window is shifted
+#   inward at the grid edges (three static-shape branches — first /
+#   interior / last slab), so every start index is provably 8-aligned;
+# - the y boundary halo is built by TINY VMEM row copies inside the
+#   edge slabs (the mirror/symmetric/nearest source rows are already
+#   resident in the slab — no extra DMA, no semaphore juggling);
+# - x taps apply as pltpu.roll lane rotations (full-width rows, no x
+#   pad); the lo1/hi1 wrapped edge columns are then rebuilt per column
+#   from the y-passed slab with mode-correct indexing.
+#
+# Measured (1024x1024x12x4 cube): boxcar 3x3 5.45 -> 18.4 Gpix/s
+# (~590 GB/s by the 32 B/pix model = ~84% of the DMA-through probe's
+# streaming-kernel ceiling), gaussian 13-tap 3.7 -> 4.2 Gpix/s; full
+# parity vs the XLA shift-add path (gaussian bit-exact, boxcar <=1e-6
+# from the per-axis uniform rescale order).
+
+_PADLESS_MODES = ('reflect', 'mirror', 'nearest', 'constant')
+
+
+def _edge_src(j, n, mode):
+    """In-range source index replacing out-of-range position ``j``
+    under the scipy boundary mode (None => constant fill)."""
+    if mode == 'reflect':        # symmetric: -1 -> 0, n -> n-1
+        return (-j - 1) if j < 0 else (2 * n - 1 - j)
+    if mode == 'mirror':         # reflect101: -1 -> 1, n -> n-2
+        return -j if j < 0 else (2 * n - 2 - j)
+    if mode == 'nearest':
+        return 0 if j < 0 else (n - 1)
+    return None                  # 'constant'
+
+
+def _padless_geometry(n0, n1, nt, b, k0, k1):
+    """(ty, tc) for the padless kernel, or None when inadmissible.
+
+    Requirements: 128-lane-aligned width, a ty that divides n0 with
+    n0 >= ty + 2*h0, and the Mosaic scoped-VMEM fit. The live-bytes
+    model is calibrated against the compiler's own allocator reports
+    on the bench cube (see _PADLESS_TEMP_*): the measured OOM/OK
+    boundary sits between boxcar (64,1)+(96? n/a) OK / (128,1) OOM at
+    16.5 MiB and gaussian-13 (32,2) OK — sliced y-taps hold their
+    whole unrolled sum live while rolled x-taps retire per step."""
+    if n1 % 128 != 0 or n0 < 8:
+        return None
+    h0 = int(np.ceil(max((k0 - 1) // 2, k0 // 2) / 8)) * 8 if k0 \
+        else 0
+
+    def live(ty, tc):
+        win = ty + 2 * h0
+        scr = 2 * tc * b * win * n1 * 4
+        row = tc * b * ty * n1 * 4
+        return scr + (_PADLESS_TEMP_BASE
+                      + _PADLESS_TEMP_SLICE * k0
+                      + _PADLESS_TEMP_ROLL * k1) * row
+
+    best = None
+    for ty in (128, 64, 32, 16, 8):
+        if n0 % ty != 0 or n0 < ty + 2 * h0:
+            continue
+        for tc in (2, 1):
+            if nt % tc != 0:
+                continue
+            if live(ty, tc) > _PADLESS_BUDGET:
+                continue
+            steps = (n0 // ty) * (nt // tc)
+            key = (steps, -ty)
+            if best is None or key < best[0]:
+                best = (key, ty, tc)
+    return None if best is None else (best[1], best[2])
+
+
+# live-temp model coefficients (rows of tc*b*ty*n1*4 bytes) — fitted
+# to the Mosaic allocator's OOM reports on the bench cube: boxcar
+# (128,1) allocates 16.5 MiB (scr 4.72 + X => X = 5.62 rows at
+# k0=k1=3), gaussian-13 (32,2) builds and runs. Sliced y-taps keep
+# the whole unrolled sum tree live (coefficient per tap), rolled
+# x-taps retire at each accumulate.
+_PADLESS_TEMP_BASE = 2.1
+_PADLESS_TEMP_SLICE = 0.85
+_PADLESS_TEMP_ROLL = 0.33
+_PADLESS_BUDGET = 15 << 20
+
+
+def padless_convolve(arr, taps_by_axis, mode='reflect', cval=0.0,
+                     ty=None, tc=None, interpret=False):
+    """Zero-prep-pass separable VALID-correlation over axes {0, 1}
+    with scipy origin padding — the fastest conv variant (see the
+    design note above). ``taps_by_axis``: (axis, FLIPPED taps) with
+    axes within {0, 1}; input must satisfy ``_padless_geometry``.
+    """
+    arr = jnp.asarray(arr)
+    shape = arr.shape
+    n0, n1 = shape[0], shape[1]
+    nt = shape[2] if arr.ndim > 2 else 1
+    b = int(np.prod(shape[3:])) if arr.ndim > 3 else 1
+    taps = {int(ax): np.asarray(t, np.float64)
+            for ax, t in taps_by_axis}
+    if any(ax not in (0, 1) for ax in taps):
+        raise ValueError('padless kernel filters axes {0, 1} only')
+    if mode not in _PADLESS_MODES:
+        raise ValueError('unsupported boundary mode %r' % mode)
+    t0 = taps.get(0)
+    t1 = taps.get(1)
+    k0 = len(t0) if t0 is not None else 0
+    k1 = len(t1) if t1 is not None else 0
+    lo0, hi0 = ((k0 - 1) // 2, k0 // 2) if k0 else (0, 0)
+    lo1, hi1 = ((k1 - 1) // 2, k1 // 2) if k1 else (0, 0)
+    if ty is None or tc is None:
+        geom = _padless_geometry(n0, n1, nt, b, k0, k1)
+        if geom is None:
+            raise ValueError('no admissible padless geometry')
+        ty, tc = geom
+    h0 = int(np.ceil(max(lo0, hi0) / 8)) * 8 if k0 else 0
+    win = ty + 2 * h0
+    gy = n0 // ty
+    gt = nt // tc
+    n_steps = gt * gy
+    i32 = np.int32
+    cval_f = float(cval)   # python scalar: a jnp scalar would be a
+    #                        captured constant inside the kernel
+
+    uniform0 = k0 and bool(np.allclose(t0, t0[0]))
+    uniform1 = k1 and bool(np.allclose(t1, t1[0]))
+
+    data = arr.reshape(n0, n1, nt, b)
+    data = jnp.transpose(data, (2, 3, 0, 1))       # (t, B, y, x)
+
+    def compute(scr, out_ref, iy):
+        if k0:
+            # y halo on edge slabs: boundary rows are rebuilt from
+            # rows already resident in the slab (VMEM row copies;
+            # 'constant' writes the fill value)
+            @pl.when(iy == 0)
+            def _():
+                for m in range(1, lo0 + 1):
+                    src = _edge_src(-m, n0, mode)
+                    if src is None:
+                        scr[:, :, h0 - m, :] = jnp.full(
+                            (tc, b, n1), cval_f, jnp.float32)
+                    else:
+                        scr[:, :, h0 - m, :] = scr[:, :, h0 + src, :]
+
+            @pl.when(iy == gy - 1)
+            def _():
+                base = n0 - ty - h0 if gy > 1 else -h0
+                for m in range(hi0):
+                    src = _edge_src(n0 + m, n0, mode)
+                    if src is None:
+                        scr[:, :, ty + h0 + m, :] = jnp.full(
+                            (tc, b, n1), cval_f, jnp.float32)
+                    else:
+                        scr[:, :, ty + h0 + m, :] = \
+                            scr[:, :, src - base, :]
+            st = h0 - lo0
+            x = scr[:, :, st:st + ty + k0 - 1, :]
+            acc = None
+            for i in range(k0):
+                term = x[:, :, i:i + ty, :]
+                if not uniform0:
+                    term = term * jnp.float32(t0[i])
+                acc = term if acc is None else acc + term
+            if uniform0 and t0[0] != 1.0:
+                acc = acc * jnp.float32(t0[0])
+            x = acc
+        else:
+            x = scr[:, :, h0:h0 + ty, :]
+        if k1:
+            acc = None
+            for j in range(k1):
+                sh = (lo1 - j) % n1
+                term = pltpu.roll(x, jnp.int32(sh), 3) if sh else x
+                if not uniform1:
+                    term = term * jnp.float32(t1[j])
+                acc = term if acc is None else acc + term
+            if uniform1 and t1[0] != 1.0:
+                acc = acc * jnp.float32(t1[0])
+            out_ref[:] = acc
+            # wrapped edge columns: rebuild from the y-passed slab
+            # with mode-correct indexing (same add order)
+            for c in list(range(lo1)) + list(range(n1 - hi1, n1)):
+                col = None
+                for j in range(k1):
+                    p = c - lo1 + j
+                    src = p if 0 <= p < n1 else _edge_src(p, n1, mode)
+                    term = jnp.full((tc, b, ty, 1), cval_f,
+                                    jnp.float32) \
+                        if src is None \
+                        else x[:, :, :, src:src + 1]
+                    if not uniform1:
+                        term = term * jnp.float32(t1[j])
+                    col = term if col is None else col + term
+                if uniform1 and t1[0] != 1.0:
+                    col = col * jnp.float32(t1[0])
+                out_ref[:, :, :, c:c + 1] = col
+        else:
+            out_ref[:] = x
+
+    def dma_kernel(hbm_ref, out_ref, scratch, sems):
+        g = pl.program_id(0)
+        slot = jax.lax.rem(g, i32(2))
+
+        def start(gg, sl):
+            it = gg // i32(gy)
+            iy = jax.lax.rem(gg, i32(gy))
+            if h0 == 0:
+                idx = pl.multiple_of(iy * ty, 8)
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(it * tc, tc), :,
+                               pl.ds(idx, win), :],
+                    scratch.at[sl], sems.at[sl]).start()
+                return
+
+            @pl.when(iy == 0)
+            def _():
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(it * tc, tc), :,
+                               pl.ds(0, ty + h0), :],
+                    scratch.at[sl, :, :, pl.ds(h0, ty + h0), :],
+                    sems.at[sl]).start()
+
+            @pl.when(jnp.logical_and(iy > 0, iy < gy - 1))
+            def _():
+                idx = pl.multiple_of(iy * ty - h0, 8)
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(it * tc, tc), :,
+                               pl.ds(idx, win), :],
+                    scratch.at[sl], sems.at[sl]).start()
+
+            @pl.when(jnp.logical_and(iy == gy - 1, iy > 0))
+            def _():
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(it * tc, tc), :,
+                               pl.ds(n0 - ty - h0, ty + h0), :],
+                    scratch.at[sl, :, :, pl.ds(0, ty + h0), :],
+                    sems.at[sl]).start()
+
+        def wait(gg, sl):
+            if h0 == 0:
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(0, tc), :, pl.ds(0, win), :],
+                    scratch.at[sl], sems.at[sl]).wait()
+                return
+            iy = jax.lax.rem(gg, i32(gy))
+            interior = jnp.logical_and(iy > 0, iy < gy - 1)
+
+            @pl.when(interior)
+            def _():
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(0, tc), :, pl.ds(0, win), :],
+                    scratch.at[sl], sems.at[sl]).wait()
+
+            @pl.when(jnp.logical_not(interior))
+            def _():
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(0, tc), :,
+                               pl.ds(0, ty + h0), :],
+                    scratch.at[sl, :, :, pl.ds(0, ty + h0), :],
+                    sems.at[sl]).wait()
+
+        @pl.when(g == 0)
+        def _():
+            start(g, slot)
+
+        @pl.when(g + 1 < n_steps)
+        def _():
+            start(g + i32(1), jax.lax.rem(g + i32(1), i32(2)))
+
+        wait(g, slot)
+        compute(scratch.at[slot], out_ref, jax.lax.rem(g, i32(gy)))
+
+    out = pl.pallas_call(
+        dma_kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, b, n0, n1), jnp.float32),
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (tc, b, ty, n1),
+            lambda g: (g // i32(gy), g * 0,
+                       jax.lax.rem(g, i32(gy)), g * 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tc, b, win, n1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(data)
+    out = jnp.transpose(out, (2, 3, 0, 1))
+    return out.reshape(shape)
+
+
 def _rowfused_applicable(arr, active, mode):
     """(ty, tc) when the row-fused kernel admits this call, else
     None: spatial-only taps and an admissible VMEM geometry."""
@@ -554,8 +856,21 @@ def try_fused_separable(arr, taps_by_axis, mode, cval,
     if _live_tile_bytes(b, n2, pads, kcounts, 8, 128) > _VMEM_BUDGET:
         return None
 
-    geom = _rowfused_applicable(arr, active, mode)
-    if geom is not None:
+    pad_geom = None
+    if mode in _PADLESS_MODES \
+            and all(ax in (0, 1) for ax, _ in active):
+        kc = {ax: len(t) for ax, t in active}
+        pad_geom = _padless_geometry(
+            shp[0], shp[1], n2, b, kc.get(0, 0), kc.get(1, 0))
+    if pad_geom is not None:
+        # padless variant: no prep pass at all (see design note) —
+        # measured 3.4x the padded row-fused boxcar
+        def pallas_path(a):
+            return padless_convolve(a, active, mode=mode, cval=cval,
+                                    ty=pad_geom[0], tc=pad_geom[1],
+                                    interpret=interpret)
+    elif (geom := _rowfused_applicable(arr, active, mode)) \
+            is not None:
         # bandwidth-optimal row-fused variant (spatial-only taps)
         def pallas_path(a):
             return rowfused_convolve(a, active, mode=mode, cval=cval,

@@ -403,3 +403,65 @@ def test_nlmeans_chooser_regression_r2f2():
     assert _live_tile_bytes(ty=16, tx=512, nt=12, nv=4, p_t=0,
                             hp_y=4, hp_x=64, n_pairs=4) \
         <= _VMEM_NL_BUDGET
+
+
+def test_padless_parity_matrix():
+    """Padless kernel vs the XLA shift-add oracle: every supported
+    mode, uniform/weighted taps, single-axis cases, edge slabs on both
+    boundaries, 13-tap gaussian, and a batchless 2-D input."""
+    import jax.numpy as jnp
+
+    from nd_tpu.ops.conv import (_shift_add_valid, gaussian_kernel1d,
+                                 pad_reflect)
+    from nd_tpu.ops.conv_pallas import (_padless_geometry,
+                                        padless_convolve)
+
+    rng = np.random.RandomState(3)
+    g13 = np.asarray(gaussian_kernel1d(1.5))[::-1]
+    cases = [
+        ((64, 128, 5, 3), [(0, np.ones(3) / 3), (1, np.ones(3) / 3)],
+         'reflect'),
+        ((64, 128, 5, 3), [(0, np.array([.2, .5, .3])),
+                           (1, np.array([.1, .6, .3]))], 'mirror'),
+        ((40, 256, 4), [(1, np.ones(5) / 5)], 'nearest'),
+        ((64, 128), [(0, np.array([.25, .5, .25]))], 'constant'),
+        ((48, 128, 3), [(0, np.array([.3, .4, .3])),
+                        (1, np.ones(7) / 7)], 'constant'),
+        ((96, 128, 2, 2), [(0, g13), (1, g13)], 'reflect'),
+        ((64, 128, 2), [(0, np.ones(4) / 4), (1, np.ones(2) / 2)],
+         'mirror'),                         # even taps: lo != hi
+    ]
+    for shape, taps, mode in cases:
+        x = rng.rand(*shape).astype(np.float32)
+        active = [(ax, np.asarray(t, np.float64)) for ax, t in taps]
+        n2 = shape[2] if len(shape) > 2 else 1
+        b = int(np.prod(shape[3:])) if len(shape) > 3 else 1
+        kc = {ax: len(t) for ax, t in active}
+        geom = _padless_geometry(shape[0], shape[1], n2, b,
+                                 kc.get(0, 0), kc.get(1, 0))
+        assert geom is not None, (shape, taps)
+        got = np.asarray(padless_convolve(
+            jnp.asarray(x), active, mode=mode, cval=0.25,
+            ty=geom[0], tc=geom[1], interpret=True))
+        pad_width = [(0, 0)] * x.ndim
+        for ax, t in active:
+            k = len(t)
+            pad_width[ax] = ((k - 1) // 2, k // 2)
+        ref = pad_reflect(jnp.asarray(x), pad_width, mode, 0.25)
+        for ax, t in active:
+            ref = _shift_add_valid(ref, t, ax)
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=3e-7,
+                                   atol=3e-7, err_msg=str((shape,
+                                                           mode)))
+
+
+def test_padless_geometry_rejects():
+    from nd_tpu.ops.conv_pallas import _padless_geometry
+    # ragged width -> inadmissible
+    assert _padless_geometry(64, 137, 4, 3, 3, 3) is None
+    # no ty divides 100 with enough halo headroom... 100 % ty != 0
+    # for every candidate
+    assert _padless_geometry(100, 128, 4, 3, 3, 3) is None
+    # admissible bench-like case picks a wide tile
+    geom = _padless_geometry(1024, 1024, 12, 4, 3, 3)
+    assert geom is not None and geom[0] >= 32
