@@ -170,7 +170,75 @@ _V5E_F32_TFLOPS = 49.0
 # below the v5e paper figure (66 GB/s measured vs 819), so percentages
 # against the paper peak wildly understate how close a kernel is to
 # what this silicon can actually do
-_MEASURED = {'hbm_gbps': None, 'vpu_tflops': None}
+_MEASURED = {'hbm_gbps': None, 'vpu_tflops': None, 'dma_gbps': None}
+
+
+def _measure_dma_through(detail, cube_d, time_loop):
+    """DMA-through ceiling (VERDICT r4 item 3): a Pallas kernel doing
+    exactly what the streaming kernels do — double-buffered manual
+    DMA of row slabs into VMEM scratch, a trivial VPU op, VMEM out
+    block — as the corroborated ceiling those kernels actually face
+    (XLA's fused elementwise streams ride a different engine; r4
+    showed data-movement lowerings top out ~330-440 GB/s on this chip
+    while fused streams hit 600+, leaving the conv kernels' true
+    bound unmeasured)."""
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        import jax
+        import jax.numpy as jnp
+
+        flat = cube_d.reshape(-1, 1024)
+        M, N = flat.shape
+        ty = 512
+        if M % ty:
+            return
+        g = M // ty
+        i32 = np.int32
+
+        def kern(hbm_ref, out_ref, scratch, sems):
+            gi = pl.program_id(0)
+            slot = jax.lax.rem(gi, i32(2))
+
+            def start(gg, sl):
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(gg * ty, ty), :],
+                    scratch.at[sl], sems.at[sl]).start()
+
+            @pl.when(gi == 0)
+            def _():
+                start(gi, slot)
+
+            @pl.when(gi + 1 < g)
+            def _():
+                start(gi + i32(1), jax.lax.rem(gi + i32(1), i32(2)))
+
+            pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(0, ty), :],
+                scratch.at[slot], sems.at[slot]).wait()
+            out_ref[:] = scratch[slot] + jnp.float32(1.0)
+
+        def probe(x):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+                grid=(g,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec((ty, N), lambda gi: (gi, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, ty, N), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )(x)
+
+        t = time_loop(probe, flat, label='dma_probe')[0]
+        nbytes = flat.size * 4
+        _MEASURED['dma_gbps'] = 2 * nbytes / t / 1e9
+        detail['device_dma_gbps_measured'] = round(
+            _MEASURED['dma_gbps'], 1)
+    except Exception as e:
+        detail.setdefault('errors', {})['peak_dma'] = str(e)[:200]
 
 
 def _measure_device_peaks(detail, cube_d, time_loop):
@@ -371,6 +439,12 @@ def _roofline(detail, key, bytes_per_pix, flops_per_pix=None,
     if _MEASURED['hbm_gbps']:
         detail[key + '_pct_measured_hbm'] = round(
             100.0 * gbps / _MEASURED['hbm_gbps'], 1)
+    if _MEASURED['dma_gbps']:
+        # the ceiling a DMA-in/compute/DMA-out Pallas kernel actually
+        # faces (r4 item 3) — the honest denominator for the
+        # streaming kernels
+        detail[key + '_pct_measured_dma'] = round(
+            100.0 * gbps / _MEASURED['dma_gbps'], 1)
     if flops_per_pix:
         gflops = rate / 1e3 * flops_per_pix
         detail[key + '_gflops'] = round(gflops, 1)
@@ -527,6 +601,10 @@ def main():
     if 'peak_probe_disagreement' in detail:
         detail['measured_pct_unanchored'] = sorted(
             detail['peak_probe_disagreement'])
+    if on_accel:
+        _resilient(detail, 'device_dma',
+                   lambda: _measure_dma_through(detail, cube_d,
+                                                _time_loop))
 
     # ---- NLMeans (r=1, f=1 spatial, joint over 4 channels) -------------
     r = (1, 1, 0)
@@ -645,6 +723,82 @@ def main():
               16 + 4.0 * ((K + 30) // 31) / K, 35 * 3)
 
     if use_change_pallas:
+        # stage split of the exact mode (VERDICT r4 item 4): time the
+        # pipeline at increasing prefixes with the same differential
+        # loop; successive differences attribute the exact-vs-fast gap
+        # to its stages. Published so the ratio can be judged as
+        # headroom or pinned cost (r5 profiling: the patch is
+        # dominated by TPU row-gather latency — ~320 ns per suspect
+        # row — and the compaction's lane-cumsum, not by the f64
+        # rescan itself, which is ~0.25 ms).
+        def stage_split():
+            from nd_tpu.ops.change import _compact_indices
+            from nd_tpu.ops.change_pallas import (_round_cap,
+                                                  change_detection_pallas)
+            cap0 = 4096
+
+            def fast_margin(x):
+                return change_detection_pallas(
+                    x, alpha, n=looks, return_margin=True,
+                    return_packed=True, max_rounds=_round_cap(K))
+
+            def plus_compact(x):
+                packed, margin = fast_margin(x)
+                suspect = ~(margin > jnp.float32(3e-4))
+                idx, cnt = _compact_indices(suspect, cap0)
+                return jnp.sort(idx), cnt
+
+            def plus_gather(x):
+                idx, cnt = plus_compact(x)
+                iy = idx // NX
+                ix = idx - iy * NX
+                return x.at[iy, ix].get(indices_are_sorted=True)
+
+            ts = {}
+            for nm, fn in (('fast_margin_pack', fast_margin),
+                           ('compact_sort', plus_compact),
+                           ('gather', plus_gather)):
+                ts[nm] = _time_loop(fn, cube_d,
+                                    label='split_' + nm)[0]
+            split = {
+                'fast_margin_pack_ms': round(
+                    ts['fast_margin_pack'] * 1e3, 3),
+                'compact_sort_ms': round(
+                    (ts['compact_sort']
+                     - ts['fast_margin_pack']) * 1e3, 3),
+                'gather_ms': round(
+                    (ts['gather'] - ts['compact_sort']) * 1e3, 3),
+            }
+            if t_om:
+                split['rescan_scatter_unpack_ms'] = round(
+                    (t_om - ts['gather']) * 1e3, 3)
+            return split
+        res, _ = _resilient(detail, 'omnibus_stage_split', stage_split)
+        if res:
+            detail['omnibus_stage_split'] = res
+
+        # the long-series scan KERNEL alone (packed output, no
+        # rescan): the k=200 exact-core figure is patch-dominated;
+        # this pins where the kernel itself stands (r5 sweep: tile
+        # (8, 256) 20.0 vs old chooser's (16, 256) 8.9 Gpix/s at
+        # k=56)
+        def scan_kernel_only():
+            from nd_tpu.ops.change_scan_pallas import (
+                change_detection_scan, scan_tables)
+            if scan_tables(200, looks, alpha) is None:
+                raise RuntimeError('k=200 tables infeasible')
+            cube_l = jnp.asarray(_make_cube(128, 512, 200, seed=2))
+            _sync(cube_l)
+            t = _time_loop(
+                lambda x: change_detection_scan(
+                    x, alpha, n=looks, return_packed=True)[0],
+                cube_l, label='scan_kernel_k200')[0]
+            return round(128 * 512 * 200 / 1e6 / t, 2)
+        res, _ = _resilient(detail, 'omnibus_scan_kernel',
+                            scan_kernel_only)
+        if res:
+            detail['omnibus_scan_kernel_k200_mpix_s'] = res
+
         # suspect-count sanity: overflow would mean the timed kernel's
         # patch pass was short — surface it next to the parity figure
         def suspects():

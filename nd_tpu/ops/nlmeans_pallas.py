@@ -78,13 +78,16 @@ def fits_vmem(shape, r, f):
     ny, nx, nt, nv = shape
     p_t = int(r[2]) + int(f[2])
     if p_t == 0:
-        # spatial windows ride the row-fused kernel, whose t-chunked
-        # grid never needs the whole t axis resident
+        # spatial windows ride the padless or row-fused kernel, whose
+        # t-chunked grids never need the whole t axis resident
         n_pairs_sp = max(((2 * int(r[0]) + 1)
                           * (2 * int(r[1]) + 1) - 1) // 2, 1)
-        if _rowfused_geometry(ny, nx, nt, nv,
-                              int(r[0]) + int(f[0]),
-                              int(r[1]) + int(f[1]),
+        p_ysp = int(r[0]) + int(f[0])
+        p_xsp = int(r[1]) + int(f[1])
+        if _padless_nl_geometry(ny, nx, nt, nv, p_ysp, p_xsp,
+                                n_pairs_sp) is not None:
+            return True
+        if _rowfused_geometry(ny, nx, nt, nv, p_ysp, p_xsp,
                               n_pairs_sp) is not None:
             return True
     hp_y = int(np.ceil((int(r[0]) + int(f[0])) / 4)) * 4
@@ -177,6 +180,11 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
         dsq_bwd = patch[-et0 - dt:tt - et0 - dt,
                         -ey0 - dy:ty - ey0 - dy,
                         -ex0 - dx:tx - ex0 - dx] * inv_norm
+        # per-direction accumulation (an r5 experiment fused both
+        # directions into one RMW per ref to halve the VMEM slab
+        # passes — measured on-chip it was ~5% SLOWER, so Mosaic
+        # already coalesces these; the bottleneck is the exp/patch
+        # arithmetic, not accumulator traffic)
         for ddt, ddy, ddx, dsq in ((dt, dy, dx, dsq_fwd),
                                    (-dt, -dy, -dx, dsq_bwd)):
             w = jnp.exp(-jnp.maximum(dsq - two_sigma2, 0) * inv_h2)
@@ -349,6 +357,188 @@ def _nlmeans_rowfused(arr, r, f, sigma, h, n_eff, geom,
     return jnp.transpose(out, (2, 3, 0, 1))
 
 
+def _padless_nl_geometry(ny, nx, nt, nv, p_y, p_x, n_pairs):
+    """(ty, tc, h_y, h_x) for the padless spatial NLMeans, or None.
+
+    Same live-bytes model as :func:`_rowfused_geometry` but with the
+    padless constraints: 128-lane-aligned width (the DMA writes the
+    scratch interior at lane offset h_x = 128), a ty dividing ny, and
+    8-aligned row halos (clamped edge-slab DMA starts must be provably
+    8-aligned)."""
+    if nx % 128 != 0:
+        return None
+    h_y = int(np.ceil(p_y / 8)) * 8
+    h_x = 128
+    nx_in = nx + 2 * h_x
+
+    def live(ty, tc):
+        scr = 2 * tc * nv * (ty + 2 * h_y) * nx_in * 4
+        ext = tc * (ty + 2 * h_y) * nx_in * 4
+        row = tc * ty * nx_in * 4
+        return scr + n_pairs * ext + (3 + nv) * row + 1.15 * row
+
+    best = None
+    for ty in (64, 32, 16, 8):
+        if ny % ty != 0 or ny < ty + 2 * h_y:
+            continue
+        for tc in (2, 1):
+            if nt % tc != 0:
+                continue
+            if live(ty, tc) > _VMEM_NL_BUDGET:
+                continue
+            steps = (ny // ty) * (nt // tc)
+            key = (steps, -ty)
+            if best is None or key < best[0]:
+                best = (key, ty, tc)
+    return None if best is None else (best[1], best[2], h_y, h_x)
+
+
+def _nlmeans_padless(arr, r, f, sigma, h, n_eff, geom,
+                     interpret=False):
+    """Padless spatial NLMeans: no prep pass at all (the conv padless
+    treatment, see ops/conv_pallas.py's design note — on this cube
+    class the multi-pass reflect pad materialization cost ~1.5 ms at
+    ~35% of the r=1 runtime). The input is consumed unpadded; edge
+    slabs shift their DMA window inward and rebuild the reflect
+    (edge-excluding, numpy 'reflect') boundary with tiny VMEM
+    row/lane copies before the shared :func:`_kernel` body runs."""
+    ry, rx = int(r[0]), int(r[1])
+    fy, fx = int(f[0]), int(f[1])
+    p_y, p_x = ry + fy, rx + fx
+    ty, tc, h_y, h_x = geom
+    arr = jnp.asarray(arr)
+    if arr.dtype != jnp.float32:
+        arr = arr.astype(jnp.float32)
+    ny, nx, nt, nv = arr.shape
+    dtype = arr.dtype
+    dsq_norm = float(nv * (2 * fy + 1) * (2 * fx + 1))
+    win = ty + 2 * h_y
+    nx_in = nx + 2 * h_x
+    gy = ny // ty
+    gt = nt // tc
+    n_steps = gt * gy
+    i32 = np.int32
+
+    data = jnp.transpose(arr, (2, 3, 0, 1))        # (t, v, y, x)
+
+    kernel = functools.partial(
+        _kernel, rt=0, ry=ry, rx=rx, ft=0, fy=fy, fx=fx,
+        sigma=float(sigma), h=float(h), n_eff=float(n_eff), nvars=nv,
+        dsq_norm=dsq_norm, halo=(h_y, h_x))
+
+    def fill_edges(scr, iy):
+        # y boundary rows on the edge slabs (numpy 'reflect' is
+        # edge-excluding: row -m -> m, row ny-1+m -> ny-1-m); the
+        # source rows are already resident in the slab
+        @pl.when(iy == 0)
+        def _():
+            for m in range(1, p_y + 1):
+                scr[:, :, h_y - m, :] = scr[:, :, h_y + m, :]
+
+        @pl.when(iy == gy - 1)
+        def _():
+            # last slab holds global rows [ny - ty - h_y, ny) at
+            # offsets [0, ty + h_y)
+            top = ty + h_y - 1                 # global row ny-1
+            for m in range(1, p_y + 1):
+                scr[:, :, top + m, :] = scr[:, :, top - m, :]
+        # x boundary columns, every slab (after the y fill so the
+        # corners pick up both reflections, like sequential jnp.pad)
+        for m in range(1, p_x + 1):
+            scr[:, :, :, h_x - m] = scr[:, :, :, h_x + m]
+            scr[:, :, :, h_x + nx - 1 + m] = \
+                scr[:, :, :, h_x + nx - 1 - m]
+
+    def dma_kernel(hbm_ref, out_ref, scratch, wsum_s, wsq_s, wmax_s,
+                   sems):
+        g = pl.program_id(0)
+        slot = jax.lax.rem(g, i32(2))
+
+        def start(gg, sl):
+            it = gg // i32(gy)
+            iy = jax.lax.rem(gg, i32(gy))
+
+            @pl.when(iy == 0)
+            def _():
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(it * tc, tc), :,
+                               pl.ds(0, ty + h_y), :],
+                    scratch.at[sl, :, :, pl.ds(h_y, ty + h_y),
+                               pl.ds(h_x, nx)],
+                    sems.at[sl]).start()
+
+            @pl.when(jnp.logical_and(iy > 0, iy < gy - 1))
+            def _():
+                idx = pl.multiple_of(iy * ty - h_y, 8)
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(it * tc, tc), :,
+                               pl.ds(idx, win), :],
+                    scratch.at[sl, :, :, :, pl.ds(h_x, nx)],
+                    sems.at[sl]).start()
+
+            @pl.when(jnp.logical_and(iy == gy - 1, iy > 0))
+            def _():
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(it * tc, tc), :,
+                               pl.ds(ny - ty - h_y, ty + h_y), :],
+                    scratch.at[sl, :, :, pl.ds(0, ty + h_y),
+                               pl.ds(h_x, nx)],
+                    sems.at[sl]).start()
+
+        def wait(gg, sl):
+            iy = jax.lax.rem(gg, i32(gy))
+            interior = jnp.logical_and(iy > 0, iy < gy - 1)
+
+            @pl.when(interior)
+            def _():
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(0, tc), :, pl.ds(0, win), :],
+                    scratch.at[sl, :, :, :, pl.ds(h_x, nx)],
+                    sems.at[sl]).wait()
+
+            @pl.when(jnp.logical_not(interior))
+            def _():
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(0, tc), :, pl.ds(0, ty + h_y), :],
+                    scratch.at[sl, :, :, pl.ds(0, ty + h_y),
+                               pl.ds(h_x, nx)],
+                    sems.at[sl]).wait()
+
+        @pl.when(g == 0)
+        def _():
+            start(g, slot)
+
+        @pl.when(g + 1 < n_steps)
+        def _():
+            start(g + i32(1), jax.lax.rem(g + i32(1), i32(2)))
+
+        wait(g, slot)
+        iy = jax.lax.rem(g, i32(gy))
+        fill_edges(scratch.at[slot], iy)
+        kernel((scratch.at[slot], wsum_s, wsq_s, wmax_s), out_ref)
+
+    out = pl.pallas_call(
+        dma_kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, nv, ny, nx), dtype),
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (tc, nv, ty, nx),
+            lambda g: (g // i32(gy), g * 0,
+                       jax.lax.rem(g, i32(gy)), g * 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tc, nv, win, nx_in), dtype),
+            pltpu.VMEM((tc, ty, nx), dtype),
+            pltpu.VMEM((tc, ty, nx), dtype),
+            pltpu.VMEM((tc, ty, nx), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(data)
+    return jnp.transpose(out, (2, 3, 0, 1))
+
+
 def nlmeans_pallas(arr, r, f, sigma, h, n_eff=-1.0, interpret=False):
     """NLMeans of a (d0, d1, d2, var) array with a full 3-D window.
 
@@ -382,11 +572,18 @@ def nlmeans_pallas(arr, r, f, sigma, h, n_eff=-1.0, interpret=False):
         return arr                      # no neighbors: identity
 
     if rt == 0 and ft == 0:
-        # spatial windows take the row-fused kernel whenever a
-        # geometry fits: gridding t frees the VMEM the tiled kernel
-        # spends keeping it resident, and full-width tall rows cut
-        # the halo read amplification ~2x at production radii
+        # spatial windows: padless first (no prep pass at all), then
+        # the row-fused kernel (one combined pad) whenever a geometry
+        # fits — gridding t frees the VMEM the tiled kernel spends
+        # keeping it resident, and full-width tall rows cut the halo
+        # read amplification ~2x at production radii
         n_pairs_sp = max(((2 * ry + 1) * (2 * rx + 1) - 1) // 2, 1)
+        pgeom = _padless_nl_geometry(ny, nx, nt, nv, p_y, p_x,
+                                     n_pairs_sp)
+        if pgeom is not None:
+            return _nlmeans_padless(arr, (ry, rx), (fy, fx), sigma,
+                                    h, n_eff, pgeom,
+                                    interpret=interpret)
         geom = _rowfused_geometry(ny, nx, nt, nv, p_y, p_x,
                                   n_pairs_sp)
         if geom is not None:

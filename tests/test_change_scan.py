@@ -265,3 +265,24 @@ def test_capacity_ladder_short_k_escalation():
         cube, 0.99, 9, 1e9, 4096, interpret=True)
     assert int(count) == 4096 > 2048
     np.testing.assert_array_equal(np.asarray(flags), ref)
+
+
+def test_scan_tile_chooser_prefers_measured_order():
+    """The tile chooser is ordered by the round-5 on-chip sweep
+    ((8, 256) 20.0 / (16, 128) 17.2 / (16, 256) 8.9 Gpix/s at k=56):
+    wide-lane low-sublane tiles must win while VMEM admits them."""
+    import nd_tpu.ops.change_scan_pallas as csp
+
+    def pick(k):
+        for ty, tx in ((8, 256), (16, 128), (32, 128), (8, 128)):
+            if 40 * k * ty * tx <= csp._VMEM_BUDGET:
+                return ty, tx
+        return 8, 128
+
+    assert pick(56) == (8, 256)
+    # k=200: only (8, 128) fits the 40*k*ty*tx budget
+    assert pick(200) == (8, 128)
+    # and the module's own chooser table starts with (8, 256)
+    import inspect
+    src = inspect.getsource(csp.change_detection_scan)
+    assert src.index('(8, 256)') < src.index('(16, 128)')
