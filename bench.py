@@ -224,7 +224,8 @@ def _measure_dma_through(detail, cube_d, time_loop):
                 out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
                 grid=(g,),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=pl.BlockSpec((ty, N), lambda gi: (gi, 0),
+                out_specs=pl.BlockSpec((ty, N),
+                                       lambda gi: (gi, gi * 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
                     pltpu.VMEM((2, ty, N), jnp.float32),
@@ -423,7 +424,7 @@ def _measure_device_peaks(detail, cube_d, time_loop):
 
 
 def _roofline(detail, key, bytes_per_pix, flops_per_pix=None,
-              peak_tflops=_V5E_F32_TFLOPS):
+              peak_tflops=_V5E_F32_TFLOPS, mxu=False):
     """Annotate ``detail[key+'_mpix_s']`` with achieved HBM GB/s and
     FLOP/s against the v5e paper peaks AND the peaks measured on this
     device at bench time, using the documented minimal-traffic /
@@ -450,7 +451,11 @@ def _roofline(detail, key, bytes_per_pix, flops_per_pix=None,
         detail[key + '_gflops'] = round(gflops, 1)
         detail[key + '_pct_compute_roofline'] = round(
             100.0 * gflops / (peak_tflops * 1e3), 2)
-        if _MEASURED['vpu_tflops']:
+        if _MEASURED['vpu_tflops'] and not mxu:
+            # an MXU workload (dense matmuls) measured against the
+            # VPU ceiling reads >100% and means nothing — r5 recorded
+            # 694% for the separable warp; MXU kernels report only
+            # the paper-peak percentage above
             detail[key + '_pct_measured_vpu'] = round(
                 100.0 * gflops / (_MEASURED['vpu_tflops'] * 1e3), 1)
 
@@ -1047,7 +1052,7 @@ def main():
             # flops per output sample, ~12 B/pix HBM (src re-read +
             # intermediate + dst)
             _roofline(detail, 'reproject_device', 12,
-                      2 * 2 * (hw[0] + hw[1]))
+                      2 * 2 * (hw[0] + hw[1]), mxu=True)
     except Exception as e:  # pragma: no cover
         detail['reproject_error'] = str(e)
 
