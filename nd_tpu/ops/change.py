@@ -459,10 +459,18 @@ def _capacity_ladder(k, capacity, npix):
     from .change_pallas import _K_MAX
 
     if k > _K_MAX:
+        # long-k suspect fractions land anywhere in [1%, 15%] of the
+        # grid (the f32 error bound grows with window length), and
+        # the patch cost is gather-LATENCY-bound — proportional to
+        # the rung, not the true count. Geometric rungs keep the paid
+        # capacity within 2x of the need (r5: the k=200 bench cube's
+        # 7.6k suspects paid a 16384-row gather off the [cap, 4cap]
+        # ladder; the 2x middle rung halves that patch).
         caps = [capacity]
-        wide = -(-min(4 * capacity, npix) // 128) * 128
-        if wide > capacity:
-            caps.append(wide)
+        for mult in (2, 4):
+            wide = -(-min(mult * capacity, npix) // 128) * 128
+            if wide > caps[-1]:
+                caps.append(wide)
     else:
         # ~npix/256 fits the measured short-k suspect density with
         # headroom (bench cube: 2312 suspects per 1 Mpix at the
@@ -581,12 +589,20 @@ def _change_detection_exact_packed(values, alpha, n, margin_eps,
     # its own rescan size at runtime with no host round-trip, and a
     # rung is paid only when it is actually taken.
     caps = _capacity_ladder(k, capacity, ny * nx)
-    if len(caps) == 1:
-        packed = patch_at(caps[0])
-    else:
-        packed = lax.cond(count <= caps[0],
-                          lambda: patch_at(caps[0]),
-                          lambda: patch_at(caps[1]))
+
+    def rung(i):
+        # nested lax.cond chain over the (short) rung list: the data
+        # picks the smallest capacity that fits its suspect count, so
+        # the gather-latency-bound patch never pays more than ~2x the
+        # need; overflow of the LAST rung still means "not exact"
+        # (callers compare count against caps[-1])
+        if i == len(caps) - 1:
+            return patch_at(caps[i])
+        return lax.cond(count <= caps[i],
+                        lambda: patch_at(caps[i]),
+                        lambda: rung(i + 1))
+
+    packed = rung(0)
     return packed, count
 
 

@@ -201,7 +201,11 @@ def test_capacity_ladder_second_rung(monkeypatch):
     # and adds the 4x rung
     assert _capacity_ladder(8, 256, 1024) == (256,)
     assert _capacity_ladder(8, 16384, 1 << 20) == (4096, 16384)
-    assert _capacity_ladder(20, 256, 1024) == (256, 1024)
+    # long-k rungs are geometric (r5: the gather-latency-bound patch
+    # pays the RUNG, not the true count, so a [cap, 4cap] ladder paid
+    # 2x too much whenever the count landed between the rungs)
+    assert _capacity_ladder(20, 256, 1024) == (256, 512, 1024)
+    assert _capacity_ladder(20, 4096, 1 << 20) == (4096, 8192, 16384)
 
     # a huge margin_eps makes EVERY pixel suspect: count (1024)
     # overflows the base rung (256) but fits the wide one (1024), so
