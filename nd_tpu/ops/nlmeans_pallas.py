@@ -121,8 +121,10 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
     inv_norm = jnp.asarray(1.0 / dsq_norm, dtype)
 
     wsum_ref[:] = jnp.zeros(wsum_ref.shape, dtype)
-    wsq_ref[:] = jnp.zeros(wsq_ref.shape, dtype)
-    wmax_ref[:] = jnp.zeros(wmax_ref.shape, dtype)
+    if n_eff >= 0:
+        wsq_ref[:] = jnp.zeros(wsq_ref.shape, dtype)
+    else:
+        wmax_ref[:] = jnp.zeros(wmax_ref.shape, dtype)
     out_ref[:] = jnp.zeros(out_ref.shape, dtype)
 
     # Unrolled offset loop with ref-based accumulators: each
@@ -174,23 +176,33 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
         for v in range(1, 2 * fx + 1):
             patch = patch + acc_y[:, :, v:v + hx]
         # patch[s, r, c] = dsq between pixels (et0+s, ey0+r, ex0+c)
-        # and the (dt, dy, dx)-shifted pixel, in tile-output coords
-        dsq_fwd = patch[-et0:tt - et0,
-                        -ey0:ty - ey0, -ex0:tx - ex0] * inv_norm
-        dsq_bwd = patch[-et0 - dt:tt - et0 - dt,
-                        -ey0 - dy:ty - ey0 - dy,
-                        -ex0 - dx:tx - ex0 - dx] * inv_norm
-        # per-direction accumulation (an r5 experiment fused both
+        # and the (dt, dy, dx)-shifted pixel, in tile-output coords.
+        # The weight transform is elementwise, so evaluating it ONCE
+        # on the extended plane and slicing per direction is
+        # bit-identical to per-direction exp at ~half the exp work
+        # (the extended extent exceeds the tile by |d|/tile per axis).
+        w_ext = jnp.exp(-jnp.maximum(patch * inv_norm - two_sigma2, 0)
+                        * inv_h2)
+        w_fwd = w_ext[-et0:tt - et0, -ey0:ty - ey0, -ex0:tx - ex0]
+        w_bwd = w_ext[-et0 - dt:tt - et0 - dt,
+                      -ey0 - dy:ty - ey0 - dy,
+                      -ex0 - dx:tx - ex0 - dx]
+        # per-direction accumulation (two r5 experiments fused both
         # directions into one RMW per ref to halve the VMEM slab
-        # passes — measured on-chip it was ~5% SLOWER, so Mosaic
-        # already coalesces these; the bottleneck is the exp/patch
-        # arithmetic, not accumulator traffic)
-        for ddt, ddy, ddx, dsq in ((dt, dy, dx, dsq_fwd),
-                                   (-dt, -dy, -dx, dsq_bwd)):
-            w = jnp.exp(-jnp.maximum(dsq - two_sigma2, 0) * inv_h2)
+        # passes — measured on-chip ~2-7% SLOWER both times, before
+        # and after the single-exp restructure, so Mosaic already
+        # coalesces these)
+        for ddt, ddy, ddx, w in ((dt, dy, dx, w_fwd),
+                                 (-dt, -dy, -dx, w_bwd)):
             wsum_ref[:] = wsum_ref[:] + w
-            wsq_ref[:] = wsq_ref[:] + w * w
-            wmax_ref[:] = jnp.maximum(wmax_ref[:], w)
+            # exactly one of wsq/wmax feeds the self-weight: wsq only
+            # through the n_eff quadratic, wmax only as the default
+            # self-weight — the other accumulator is dead for the
+            # static config, so its per-pair RMW is skipped entirely
+            if n_eff >= 0:
+                wsq_ref[:] = wsq_ref[:] + w * w
+            else:
+                wmax_ref[:] = jnp.maximum(wmax_ref[:], w)
             for v in range(nvars):
                 out_ref[:, v] = out_ref[:, v] \
                     + w * in_ref[p_t + ddt:p_t + ddt + tt, v,
@@ -198,8 +210,8 @@ def _kernel(refs, out_ref, *, rt, ry, rx, ft, fy, fx, sigma, h, n_eff,
                                  p_x + ddx:p_x + ddx + tx]
 
     wsum = wsum_ref[:]
-    wmax = wmax_ref[:]
     if n_eff < 0:
+        wmax = wmax_ref[:]
         w_self = jnp.where(wmax == 0, jnp.asarray(1, dtype), wmax)
     else:
         from .nlmeans import find_weight_vectorized
