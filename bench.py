@@ -691,7 +691,7 @@ def main():
 
     def run_omnibus_exact(x):
         flags, _ = _change_detection_exact_core(
-            x, alpha, looks, 3e-4, cap)
+            x, alpha, looks, 1e-4, cap)
         return flags
 
     def run_omnibus_mixed(x):
@@ -740,7 +740,7 @@ def main():
             from nd_tpu.ops.change import _compact_indices
             from nd_tpu.ops.change_pallas import (_round_cap,
                                                   change_detection_pallas)
-            cap0 = 4096
+            cap0 = 2048
 
             def fast_margin(x):
                 return change_detection_pallas(
@@ -749,7 +749,7 @@ def main():
 
             def plus_compact(x):
                 packed, margin = fast_margin(x)
-                suspect = ~(margin > jnp.float32(3e-4))
+                suspect = ~(margin > jnp.float32(1e-4))
                 idx, cnt = _compact_indices(suspect, cap0)
                 return jnp.sort(idx), cnt
 
@@ -782,6 +782,38 @@ def main():
         if res:
             detail['omnibus_stage_split'] = res
 
+        # Wall-style exact-vs-fast gap (queued reps, ONE barrier): the
+        # loop figures above embed a ~0.55 ms relayout that only the
+        # exact config pays — inside the timing loop XLA folds the
+        # Pallas operand transpose into the loop-carry layout (making
+        # the fast pass transpose-free) and the rescan's series gather
+        # then relayouts the whole cube back. A standalone dispatch
+        # pins the parameter to the default layout, both configs pay
+        # the same transpose, and the true exact overhead is the
+        # compact+gather+rescan work alone — measured r5: 0.81 ms gap,
+        # exact/fast wall ratio 0.85 (vs 0.69 by the loop figures).
+        def wall_gap():
+            def wall(fn, reps=32):
+                f = jax.jit(fn)
+                _sync(f(cube_d))
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    outs = [f(cube_d) for _ in range(reps)]
+                    _sync(outs[-1])
+                    best = min(best,
+                               (time.perf_counter() - t0) / reps)
+                return best
+            tf = wall(lambda x: change_detection(
+                x, alpha=alpha, n=looks, stat_dtype='float32'))
+            te = wall(run_omnibus_exact)
+            return {'omnibus_exact_wall_gap_ms':
+                    round((te - tf) * 1e3, 3),
+                    'omnibus_exact_wall_ratio': round(tf / te, 3)}
+        res, _ = _resilient(detail, 'omnibus_wall_gap', wall_gap)
+        if res:
+            detail.update(res)
+
         # the long-series scan KERNEL alone (packed output, no
         # rescan): the k=200 exact-core figure is patch-dominated;
         # this pins where the kernel itself stands (r5 sweep: tile
@@ -808,7 +840,7 @@ def main():
         # patch pass was short — surface it next to the parity figure
         def suspects():
             _, n_suspect = _change_detection_exact_core(
-                cube_d, alpha, looks, 3e-4, cap)
+                cube_d, alpha, looks, 1e-4, cap)
             return int(n_suspect)
         res, _ = _resilient(detail, 'omnibus_suspects', suspects)
         if res is not None:
@@ -925,7 +957,7 @@ def main():
 
             def run_exact_long(x, cap_long=cap_long):
                 flags, _ = _change_detection_exact_core(
-                    x, alpha, looks, 3e-4, cap_long)
+                    x, alpha, looks, 1e-4, cap_long)
                 return flags
 
             res, _ = _resilient(
@@ -950,7 +982,7 @@ def main():
                 mism = float(np.asarray(jnp.mean(
                     (exact != ref).astype(jnp.float32))))
                 _, n_sus = _change_detection_exact_core(
-                    cube_long, alpha, looks, 3e-4,
+                    cube_long, alpha, looks, 1e-4,
                     _patch_capacity(lny, lnx))
                 return mism, int(n_sus)
             res, _ = _resilient(detail, tag + '_parity', long_parity)

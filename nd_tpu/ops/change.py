@@ -412,7 +412,12 @@ def _compact_indices(mask, capacity):
     row_off = jnp.cumsum(within[:, -1])            # (rows,) inclusive
     count = row_off[-1]
     targets = jnp.arange(1, capacity + 1, dtype=row_off.dtype)
-    b = jnp.searchsorted(row_off, targets, side='left')
+    # 'compare_all' fuses into one broadcast-compare + lane reduce;
+    # the default 'scan' binary search runs log2(rows) sequential
+    # gather rounds, which cost ~0.4 ms at the bench grid (measured
+    # ~4x this formulation). Gate on the product staying VPU-cheap.
+    method = 'compare_all' if capacity * rows <= (64 << 20) else 'scan'
+    b = jnp.searchsorted(row_off, targets, side='left', method=method)
     b = jnp.minimum(b, rows - 1)
     prev = jnp.where(b > 0, row_off.at[jnp.maximum(b - 1, 0)].get(
         indices_are_sorted=True), 0)
@@ -472,13 +477,20 @@ def _capacity_ladder(k, capacity, npix):
             if wide > caps[-1]:
                 caps.append(wide)
     else:
-        # ~npix/256 fits the measured short-k suspect density with
-        # headroom (bench cube: 2312 suspects per 1 Mpix at the
-        # default margin_eps — a npix/1024 rung escalated every call)
-        base = -(-min(capacity, max(2048, npix // 256)) // 128) * 128
+        # ~npix/512 fits the measured short-k suspect density with
+        # ~2x headroom (bench cube: 1088 suspects per 1 Mpix at the
+        # default margin_eps = 1e-4; the patch cost is gather-latency
+        # bound, so the rung size is paid even when the true count is
+        # smaller), with geometric 4x escalation rungs so a busier
+        # cube pays ~its need instead of jumping straight to the full
+        # requested capacity
+        base = -(-min(capacity, max(2048, npix // 512)) // 128) * 128
         caps = [base]
-        if capacity > base:
-            caps.append(capacity)
+        while caps[-1] < capacity:
+            wide = -(-min(4 * caps[-1], capacity) // 128) * 128
+            if wide <= caps[-1]:
+                break
+            caps.append(wide)
     return tuple(caps)
 
 
@@ -619,7 +631,7 @@ def _change_detection_exact_core(values, alpha, n, margin_eps,
     return unpack_flags(packed, k), count
 
 
-def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
+def change_detection_exact(values, alpha, n=1, margin_eps=1e-4,
                            capacity=None, interpret=False):
     """Exact change detection, fully device-resident (TPU).
 
@@ -628,7 +640,17 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
     reports each pixel's smallest relative decision margin, and only
     the pixels whose margin is below ``margin_eps`` — the only ones
     whose f32 decisions could differ from float64 — are re-scanned on
-    device in float64 via a fixed-capacity gather/rescan/scatter. No
+    device in float64 via a fixed-capacity gather/rescan/scatter.
+
+    The reported margins are already NET of a conservative per-pixel
+    f32 error bound: the kernels subtract a determinant-conditioning
+    term (64x safety on unit roundoff), a per-_mlog-evaluation term
+    (1e-5 per log vs the ~6e-8 measured error) and, for long series,
+    the threshold polynomial's bounded fit error — so ``margin_eps``
+    guards only against that bound itself being violated. The default
+    1e-4 retains ~100x the raw f32 relative error of z on top of the
+    subtracted bound; every bench run re-verifies exact == mixed == 0
+    mismatches under it. No
     host transfer happens unless the suspect count overflows
     ``capacity`` (default 1/128 of the pixels, min 4096, rounded up to
     a 128-lane multiple), in which case the full-grid 'mixed' scan
@@ -685,7 +707,7 @@ def change_detection_exact(values, alpha, n=1, margin_eps=3e-4,
                              probe=False, name='change-exact')
 
 
-def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
+def change_detection_hybrid(values, alpha, n=1, margin_eps=1e-4,
                             nthreads=0, values_host=None,
                             return_device=False, capacity=None):
     """Fail-safe wrapper: a transient Pallas launch failure inside
@@ -712,7 +734,7 @@ def change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
                              probe=False, name='change-hybrid')
 
 
-def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
+def _change_detection_hybrid(values, alpha, n=1, margin_eps=1e-4,
                              nthreads=0, values_host=None,
                              return_device=False, capacity=None):
     """Exact change detection at fast-mode speed (TPU only).
@@ -721,8 +743,7 @@ def _change_detection_hybrid(values, alpha, n=1, margin_eps=3e-4,
     smallest relative decision margin |z - threshold|/|threshold| over
     every comparison its scan made. Pixels whose margin is below
     ``margin_eps`` — the only ones whose f32 decisions could differ
-    from float64 (f32 z carries ~1e-6 relative error; the default
-    margin keeps a ~1000x safety factor) — are re-scanned ON DEVICE in
+    from float64 — are re-scanned ON DEVICE in
     float64 (fixed-capacity gather/rescan/scatter, see
     :func:`change_detection_exact`), and the boolean map crosses the
     host link bit-packed in the smallest dtype that holds k bits

@@ -70,10 +70,11 @@ def test_scan_negative_determinants():
 
 
 def test_scan_tables_fit_contracts():
-    """The F2 threshold polynomial's f32 evaluation error is measured,
-    bounded, and SMALL next to the default margin_eps = 3e-4 (a loose
+    """The F2 threshold polynomial's f32 evaluation error is measured
+    and bounded — the kernel SUBTRACTS it from every reported margin,
+    so exactness never depends on margin_eps exceeding it, but a loose
     fit silently turns the whole grid suspect and overflows the rescan
-    — an earlier absolute-C fit at k=200 ate 0.5 in rel units); the
+    (an earlier absolute-C fit at k=200 ate 0.5 in rel units); the
     derived margin scale 1/(F2 (1+err)) never exceeds the exact
     S(j)."""
     from nd_tpu.ops.change import omnibus_rho, omnibus_thresholds
@@ -196,11 +197,11 @@ def test_capacity_ladder_second_rung(monkeypatch):
     ref = np.asarray(change_detection(cube, alpha=0.99, n=9,
                                       stat_dtype='mixed'))
 
-    # short series rescan at a small base rung and keep the requested
-    # capacity as the escalation; the long path starts at the request
-    # and adds the 4x rung
+    # short series rescan at a small base rung with geometric 4x
+    # escalation up to the requested capacity; the long path starts at
+    # the request and adds the 2x/4x rungs
     assert _capacity_ladder(8, 256, 1024) == (256,)
-    assert _capacity_ladder(8, 16384, 1 << 20) == (4096, 16384)
+    assert _capacity_ladder(8, 16384, 1 << 20) == (2048, 8192, 16384)
     # long-k rungs are geometric (r5: the gather-latency-bound patch
     # pays the RUNG, not the true count, so a [cap, 4cap] ladder paid
     # 2x too much whenever the count landed between the rungs)
