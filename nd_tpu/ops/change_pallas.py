@@ -79,10 +79,14 @@ def _round_cap(k):
     round cap used; the capacity ladder absorbs the extra suspects,
     and a ladder overflow still falls back to the full-grid mixed
     scan). Fast-mode (no-margin) callers must NOT cap — they have no
-    escape. k//4 keeps the suspect tail negligible on busier maps
-    while cutting the k=12 bench round loop ~2x.
+    escape. k//4 keeps the suspect tail negligible on busier maps;
+    the floor of 4 is measured (r5, bench cube): caps 3-6 leave the
+    suspect count IDENTICAL (no pixel there needs a fourth restart)
+    while each extra round costs ~0.45 ms, so 6 -> 4 cut the fused
+    margin pass 3.28 -> 2.13 ms with decisions unchanged — a busier
+    cube's capped pixels ride the ladder's escalation rungs instead.
     """
-    return min(k - 1, max(6, k // 4))
+    return min(k - 1, max(4, k // 4))
 
 
 def supports_pallas_rescan(k=None, n=None, alpha=None):
@@ -228,28 +232,45 @@ def _kernel(in_ref, out_ref, margin_ref, l_ref, active_ref, *, k, nf,
     # into the suspect set below for the caller's exact rescan.
     if rounds is None:
         rounds = k - 1
+    # Aux planes share one packed cumulative chain below: stacking is
+    # round-invariant, so it happens once (the channel planes already
+    # live packed as the input tile).
+    aux_planes = [logdet_t, neg_t]
+    if with_margin:
+        aux_planes += [cond_t, uncertain_t]
+    aux_t = jnp.stack(aux_planes, axis=1)          # (k, A, ty, tx)
+
     for _round in range(rounds):
         l = l_ref[:]
         active = active_ref[:] > 0
         ge_l = tt >= l[None]                       # (k, ty, tx)
 
-        # cumulative sums from l along t (static unrolled adds)
+        # cumulative sums from l along t (static unrolled adds) over
+        # PACKED (k, C, ty, tx) stacks: one 4-wide chain for the
+        # channels and one 2-4-wide chain for the aux planes run the
+        # same adds in the same order as six/eight separate chains
+        # (bit-identical), but Mosaic pays ~one pass per add instead
+        # of one per add per plane — the chains are this kernel's
+        # dominant pass count (measured r5: 3.2 -> 2.6 ms at the
+        # bench config from this packing alone)
         def cum(x):
-            x = jnp.where(ge_l, x, 0.0)
+            x = jnp.where(ge_l[:, None], x, 0.0)
             rows = [x[0]]
             for t in range(1, k):
                 rows.append(rows[-1] + x[t])
             return jnp.stack(rows)
 
-        c11 = cum(c11_t)
-        c12r = cum(c12r_t)
-        c12i = cum(c12i_t)
-        c22 = cum(c22_t)
-        logdet = cum(logdet_t)
-        negsum = cum(neg_t)
+        cumt = cum(tile)                           # (k, 4, ty, tx)
+        cuma = cum(aux_t)                          # (k, A, ty, tx)
+        c11 = cumt[:, 0]
+        c12r = cumt[:, 1]
+        c12i = cumt[:, 2]
+        c22 = cumt[:, 3]
+        logdet = cuma[:, 0]
+        negsum = cuma[:, 1]
         if with_margin:
-            conds = cum(cond_t)
-            uncert = cum(uncertain_t)
+            conds = cuma[:, 2]
+            uncert = cuma[:, 3]
         # odd parity without integer casts
         odd_neg = (negsum - 2.0 * jnp.floor(negsum * 0.5)) > 0.5
 
