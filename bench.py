@@ -1377,7 +1377,8 @@ def main():
         'pipeline_forward_mpix_s', 'device_hbm_gbps_measured',
         'device_dma_gbps_measured', 'device_vpu_tflops_measured',
         'change_map_mismatch_rate', 'omnibus_fast_vs_exact_mismatch',
-        'coregister_shift_err_px', 'cpu_1core_mpix_s')
+        'omnibus_exact_wall_ratio', 'coregister_shift_err_px',
+        'cpu_1core_mpix_s')
     compact = {
         'metric': result['metric'],
         'value': result['value'],
