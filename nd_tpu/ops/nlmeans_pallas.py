@@ -455,11 +455,25 @@ def _nlmeans_padless(arr, r, f, sigma, h, n_eff, geom,
             for m in range(1, p_y + 1):
                 scr[:, :, top + m, :] = scr[:, :, top - m, :]
         # x boundary columns, every slab (after the y fill so the
-        # corners pick up both reflections, like sequential jnp.pad)
-        for m in range(1, p_x + 1):
-            scr[:, :, :, h_x - m] = scr[:, :, :, h_x + m]
-            scr[:, :, :, h_x + nx - 1 + m] = \
-                scr[:, :, :, h_x + nx - 1 - m]
+        # corners pick up both reflections, like sequential jnp.pad).
+        # Each side is ONE concat of the reversed interior columns +
+        # one p_x-wide store instead of p_x single-lane copy pairs
+        # (the per-column loop ran 4*p_x tiny Mosaic ops per grid
+        # step — the conv edge rebuild's cost class, r5); sources are
+        # all interior columns, so the batched store reads the same
+        # values the sequential loop did.
+        if p_x == 1:
+            scr[:, :, :, h_x - 1] = scr[:, :, :, h_x + 1]
+            scr[:, :, :, h_x + nx] = scr[:, :, :, h_x + nx - 2]
+        else:
+            left = jnp.concatenate(
+                [scr[:, :, :, h_x + m:h_x + m + 1]
+                 for m in range(p_x, 0, -1)], axis=-1)
+            scr[:, :, :, h_x - p_x:h_x] = left
+            right = jnp.concatenate(
+                [scr[:, :, :, h_x + nx - 1 - m:h_x + nx - m]
+                 for m in range(1, p_x + 1)], axis=-1)
+            scr[:, :, :, h_x + nx:h_x + nx + p_x] = right
 
     def dma_kernel(hbm_ref, out_ref, scratch, wsum_s, wsq_s, wmax_s,
                    sems):
